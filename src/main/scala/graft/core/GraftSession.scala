@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: UTC, AQE on, shuffle partitions sized to local cores
+  * (the 100 TB deployment overrides via spark-submit conf; these are the
+  * local-mode defaults per SURVEY.md §7.1).
+  */
+object GraftSession {
+
+  /** Builder pre-configured for this engine. `cores` drives both the local
+    * master threads and shuffle parallelism — on a real cluster the same
+    * code runs with `spark.sql.shuffle.partitions` sized to the cluster.
+    */
+  def builder(
+      appName: String = "hielospark",
+      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  ): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;
+      // read as long nanos and convert once at ingest (Tables.load).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "hielospark"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

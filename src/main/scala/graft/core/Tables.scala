@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All normalization that must happen exactly once at ingest lives here
+  * (SURVEY.md §1.1: "parse once, eagerly") — notably the `events.ts`
+  * nanosecond timestamp, which Spark can only read as long nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong`); we truncate to micros, Spark's
+  * maximum precision (SURVEY.md §1.2 ns-precision gap).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events" if df.schema("ts").dataType == LongType =>
+        // long nanos since epoch -> timestamp (micros, truncating).
+        // Integer DIV: a double division would lose precision at 1e18 nanos.
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+
+  /** Register every table as a temp view named after itself. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

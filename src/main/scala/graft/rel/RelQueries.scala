@@ -1,0 +1,474 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryPack
+import graft.core.Tables
+
+/** Layer-B relational surface (SURVEY.md §2: F14, J6-J8, A19-A21, W4-W5,
+  * U4, §2.9) — the generic query library over the TESTDATA star schema.
+  *
+  * Numeric discipline: money aggregates run in exact DECIMAL and cast the
+  * final value to DOUBLE (see [[graft.QueryPack.dec]]) so results are
+  * bit-identical to the DuckDB oracle. Top-k queries always carry a unique
+  * tie-break key so LIMIT is deterministic in both engines.
+  *
+  * Scale notes (100 TB): every query is a pure declarative plan — filters
+  * and projections push to the parquet scan, small dimensions broadcast,
+  * large joins shuffle on their equi-keys, and window queries partition by
+  * high-cardinality keys (supplier/customer/user), never a global sort
+  * except final top-k (TakeOrderedAndProject).
+  */
+object RelQueries extends QueryPack {
+
+  import QueryPack.dec._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** decimal(3,2) view of a near-one factor like (1-disc) / (1+tax) */
+  private def f32(c: org.apache.spark.sql.Column) = c.cast("decimal(3,2)")
+
+  // SQL fragment: exact decimal revenue sum, rendered to double (DuckDB)
+  private val REV =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(3,2))) AS DOUBLE)"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation --------------------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumD2($"l_quantity").as("sum_qty"),
+          sumD2($"l_extendedprice").as("sum_base_price"),
+          sum(d2($"l_extendedprice") * f32(lit(1) - $"l_discount"))
+            .cast("double").as("sum_disc_price"),
+          sum(d2($"l_extendedprice") * f32(lit(1) - $"l_discount") *
+            f32(lit(1) + $"l_tax")).cast("double").as("sum_charge"),
+          avgD2($"l_quantity").as("avg_qty"),
+          avgD2($"l_extendedprice").as("avg_price"),
+          (sum($"l_discount".cast("decimal(3,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q06_revenue_forecast" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+        .agg(sum(d2($"l_extendedprice") * $"l_discount".cast("decimal(3,2)"))
+          .cast("double").as("revenue"))
+    }),
+
+    "q07_rollup_acctbal" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), sumD2($"c_acctbal").as("sum_bal"))
+    }),
+
+    "q08_cube_lineitem" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sumD2($"l_quantity").as("sum_qty"))
+    }),
+
+    "q12_distinct_counts" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q13_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+    }),
+
+    "q20_having" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_suppkey")
+        .agg(sumD2($"l_quantity").as("total_qty"), count(lit(1)).as("n"))
+        .filter($"total_qty" > 6000)
+    }),
+
+    "q21_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_totalprice" > 100000, 1L).otherwise(0L)).as("n_big"),
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"),
+          sumD2(when($"o_totalprice" > 100000, $"o_totalprice")
+            .otherwise(lit(0.0))).as("big_total"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q25_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+          round(var_samp($"l_discount"), 8).as("var_disc"))
+    }),
+
+    // ---- joins ---------------------------------------------------------
+    "q02_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_orderdate")
+        .agg(sum(d2($"l_extendedprice") * f32(lit(1) - $"l_discount"))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey".asc)
+        .limit(10)
+    }),
+
+    "q03_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cut = lit("1998-01-01").cast("timestamp")
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, dir, "orders").filter($"o_orderdate" < cut)
+      val li = t(s, dir, "lineitem").filter($"l_shipdate" > cut)
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(d2($"l_extendedprice") * f32(lit(1) - $"l_discount"))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    }),
+
+    "q04_exists_priority" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter($"l_quantity" > 45)
+      o.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q05_region_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(su), $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r.filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(sum(d2($"l_extendedprice") * f32(lit(1) - $"l_discount"))
+          .cast("double").as("revenue"))
+    }),
+
+    "q16_antijoin_customers" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_totalprice" > 250000)
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    "q23_correlated_avg" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter($"p_brand" === "BRAND_1")
+      // scalable form of the correlated subquery: per-part avg via groupBy,
+      // broadcast-joined back (part side is small after the brand filter)
+      val avgQty = li.groupBy($"l_partkey".as("ak"))
+        .agg((sum(d2($"l_quantity")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(avgQty, $"l_partkey" === $"ak")
+        .filter($"l_quantity" < lit(0.5) * $"avg_qty")
+        .agg((sumD2($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // ---- windows --------------------------------------------------------
+    "q09_topk_per_brand" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn")
+    }),
+
+    "q10_order_deltas" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("gap_days",
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          $"prev_price", $"gap_days")
+    }),
+
+    "q11_running_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("running_qty", sum(d2($"l_quantity")).over(w).cast("double"))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+    }),
+
+    "q22_asof_click_purchase" -> ((s, dir) => {
+      import s.implicits._
+      // as-of join (SURVEY J8): for each purchase, the most recent click at
+      // or before it by the same user. Implemented as a single shuffle on
+      // user_id + ordered window — no range-join explosion at scale.
+      val ev = t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_ts",
+          last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase" && $"last_click_ts".isNotNull)
+        .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+    }),
+
+    // ---- set ops ---------------------------------------------------------
+    "q14_intersect_except" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val y96 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+      val y97 = o.filter(year($"o_orderdate") === 1997).select($"o_custkey")
+      y96.intersect(y97).withColumn("tag", lit("both"))
+        .union(y96.except(y97).withColumn("tag", lit("only96")))
+        .select($"tag", $"o_custkey")
+    }),
+
+    "q15_union_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val top = c.filter($"c_acctbal" > 9000).select($"c_custkey")
+      val auto = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+      top.union(auto).distinct()
+    }),
+
+    // ---- scalar function library -----------------------------------------
+    "q17_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        substring($"p_name", 1, 4).as("prefix"),
+        length($"p_name").as("len"),
+        size(split($"p_name", " ")).as("n_words"),
+        regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        ($"p_name".contains("widget")).as("is_widget"))
+    }),
+
+    "q18_date_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          date_trunc("month", $"o_orderdate").as("month_start"))
+        .agg(count(lit(1)).as("n"), sumD2($"o_totalprice").as("total"))
+    }),
+
+    "q19_json_events" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count($"k").as("n_k"),
+          max($"k").as("max_k"))
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         $REV AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(3,2)) * CAST(1+l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_top_orders" ->
+      s"""SELECT o_orderkey, o_orderdate, $REV AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q03_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $REV AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q04_exists_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority""",
+    "q05_region_revenue" ->
+      s"""SELECT n_name, $REV AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name""",
+    "q06_revenue_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
+    "q07_rollup_acctbal" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "q08_cube_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q09_topk_per_brand" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+           FROM part) WHERE rn <= 3""",
+    "q10_order_deltas" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         date_diff('day',
+           CAST(lag(o_orderdate, 1) OVER w AS DATE),
+           CAST(o_orderdate AS DATE)) AS gap_days
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+    "q11_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+         FROM lineitem""",
+    "q12_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q13_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+         FROM lineitem GROUP BY l_returnflag""",
+    "q14_intersect_except" ->
+      """SELECT 'both' AS tag, o_custkey FROM
+           (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+         UNION ALL
+         SELECT 'only96' AS tag, o_custkey FROM
+           (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""",
+    "q15_union_distinct" ->
+      """SELECT DISTINCT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+           UNION ALL
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""",
+    "q16_antijoin_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 250000)""",
+    "q17_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+         substr(p_name, 1, 4) AS prefix,
+         length(p_name) AS len,
+         CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         contains(p_name, 'widget') AS is_widget
+         FROM part""",
+    "q18_date_funcs" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2, 3""",
+    "q19_json_events" ->
+      """SELECT event_type,
+         CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         count(CASE WHEN regexp_extract(props, '"k": (\d+)', 1) <> '' THEN 1 END) AS n_k,
+         CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type""",
+    "q20_having" ->
+      """SELECT l_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_suppkey
+         HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 6000""",
+    "q21_conditional_agg" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS big_total,
+         count(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+    "q22_asof_click_purchase" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+         c.ts AS last_click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q23_correlated_avg" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'BRAND_1'
+           AND l_quantity < 0.5 * (
+             SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""",
+    "q25_stats" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_extendedprice), 4) AS sd_price,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(var_samp(l_discount), 8) AS var_disc
+         FROM lineitem GROUP BY l_returnflag"""
+  )
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness check.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Loads each SparkEntry query result (parquet written by graft.Verify), runs
+the matching oracle SQL in DuckDB over the same sf tables, canonicalizes
+both sides (columns sorted by name, rows sorted, floats compared with small
+tolerance AND exact-bit reporting), and prints a per-query verdict.
+"""
+import sys, json, math, glob
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(rows, cols):
+    # sort columns by name, then rows by stringified tuple
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v): v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    return sorted(out, key=key), [cols[i] for i in order]
+
+def eq(a, b):
+    if a is None and b is None: return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        if a == b: return True
+        return abs(a-b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    # duckdb may give Decimal vs float
+    try:
+        fa, fb = float(a), float(b)
+        if isinstance(a, (int, float)) or isinstance(b, (int, float)):
+            if fa == fb: return True
+            return abs(fa-fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    npass = nfail = nskip = 0
+    allq = sorted(set(list(oracle.keys()) +
+        [g.split('/')[-1] for g in glob.glob(f"{outdir}/q*")]))
+    for name in allq:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"SPARKFAIL {name}: no spark output"); nfail += 1; continue
+        tbl = pq.read_table(files[0])
+        scols = tbl.column_names
+        srows = [tuple(d[c] for c in scols) for d in tbl.to_pylist()]
+        if name not in oracle:
+            print(f"ROWSONLY  {name}: {len(srows)} rows"); nskip += 1; continue
+        try:
+            cur = con.execute(oracle[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"ORAFAIL   {name}: {e}"); nfail += 1; continue
+        if sorted(scols) != sorted(dcols):
+            print(f"SCHEMA    {name}: spark={sorted(scols)} duck={sorted(dcols)}")
+            nfail += 1; continue
+        sc, _ = canon(srows, scols)
+        dc, _ = canon(drows, dcols)
+        if len(sc) != len(dc):
+            print(f"ROWCOUNT  {name}: spark={len(sc)} duck={len(dc)}")
+            nfail += 1; continue
+        bad = None
+        exact = True
+        for i, (sr, dr) in enumerate(zip(sc, dc)):
+            for a, b in zip(sr, dr):
+                if not eq(a, b):
+                    bad = (i, sr, dr); break
+                if isinstance(a, float) and isinstance(b, float) and a != b \
+                   and not (math.isnan(a) and math.isnan(b)):
+                    exact = False
+            if bad: break
+        if bad:
+            print(f"MISMATCH  {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            nfail += 1
+        else:
+            tag = "PASS     " if exact else "PASS~tol "
+            print(f"{tag} {name}: {len(sc)} rows")
+            npass += 1
+    print(f"\n{npass} pass, {nfail} fail, {nskip} rows-only")
+    sys.exit(1 if nfail else 0)
+
+if __name__ == "__main__":
+    main()
