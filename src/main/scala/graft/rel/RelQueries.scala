@@ -93,11 +93,32 @@ object RelQueries extends QueryPack {
 
     "q13_percentiles" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem").groupBy($"l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      // Exact linear-interpolation percentiles computed by hand (rank the
+      // values, pick the two bracketing ranks, interpolate in double with
+      // the SAME formula the oracle SQL spells out) — engine-native
+      // `percentile` interpolation is not guaranteed bit-identical across
+      // engines (ADVICE r1). Values go through decimal(12,2) so the
+      // double conversion is exact on both sides.
+      //
+      // Scale note (100 TB): exact percentiles need a per-group global sort
+      // — fine for low-cardinality groups; the scale path is
+      // approx_percentile (see [[percentilesApprox]]), which is a mergeable
+      // sketch with no global sort.
+      val w = Window.partitionBy($"l_returnflag").orderBy($"v")
+      val wc = Window.partitionBy($"l_returnflag")
+      val ranked = t(s, dir, "lineitem")
+        .select($"l_returnflag",
+          d2($"l_extendedprice").cast("double").as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+      def pct(q: Double, alias: String) = {
+        val h = lit(q) * ($"n" - 1).cast("double")
+        val lo = min(when($"rn" === floor(h) + 1, $"v"))
+        val hi = min(when($"rn" === ceil(h) + 1, $"v"))
+        (lo + (min(h) - floor(min(h))) * (hi - lo)).as(alias)
+      }
+      ranked.groupBy($"l_returnflag")
+        .agg(pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"))
     }),
 
     "q20_having" -> ((s, dir) => {
@@ -120,11 +141,31 @@ object RelQueries extends QueryPack {
 
     "q25_stats" -> ((s, dir) => {
       import s.implicits._
+      // stddev/corr/var derived from DECIMAL-exact moment sums (Σx, Σx²,
+      // Σxy are exact; only the final closed-form formula runs in double,
+      // spelled identically in the oracle SQL) — engine-native stddev/corr
+      // accumulate doubles in engine-specific order, which is a rounding-
+      // boundary hash risk (ADVICE r1). Moment sums are also the mergeable
+      // / partial-aggregable form, so this IS the 100 TB-friendly plan.
+      val q = $"l_quantity".cast("decimal(12,2)")
+      val p = d2($"l_extendedprice")
+      val d = $"l_discount".cast("decimal(3,2)")
       t(s, dir, "lineitem").groupBy($"l_returnflag")
         .agg(
-          round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
-          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
-          round(var_samp($"l_discount"), 8).as("var_disc"))
+          count(lit(1)).cast("double").as("n"),
+          sum(p).cast("double").as("sp"),
+          sum(p * p).cast("double").as("spp"),
+          sum(q).cast("double").as("sq"),
+          sum(q * q).cast("double").as("sqq"),
+          sum(q * p).cast("double").as("sqp"),
+          sum(d).cast("double").as("sd"),
+          sum(d * d).cast("double").as("sdd"))
+        .select($"l_returnflag",
+          sqrt(($"spp" - $"sp" * $"sp" / $"n") / ($"n" - 1)).as("sd_price"),
+          (($"n" * $"sqp" - $"sq" * $"sp") /
+            (sqrt($"n" * $"sqq" - $"sq" * $"sq") *
+              sqrt($"n" * $"spp" - $"sp" * $"sp"))).as("corr_qty_price"),
+          (($"sdd" - $"sd" * $"sd" / $"n") / ($"n" - 1)).as("var_disc"))
     }),
 
     // ---- joins ---------------------------------------------------------
@@ -192,14 +233,17 @@ object RelQueries extends QueryPack {
     "q23_correlated_avg" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
-      val p = t(s, dir, "part").filter($"p_brand" === "BRAND_1")
-      // scalable form of the correlated subquery: per-part avg via groupBy,
-      // broadcast-joined back (part side is small after the brand filter)
-      val avgQty = li.groupBy($"l_partkey".as("ak"))
+      val p = t(s, dir, "part").filter($"p_brand" === "Brand#1")
+      // scalable form of the correlated subquery: semi-join lineitem down to
+      // the ~4% of partkeys that survive the brand filter BEFORE the
+      // per-part avg — the aggregate shuffles only matching rows, not the
+      // whole table (round-1 verdict: full-table pre-agg was a scale-killer)
+      val liB = li.join(broadcast(p.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi")
+      val avgQty = liB.groupBy($"l_partkey".as("ak"))
         .agg((sum(d2($"l_quantity")).cast("double") /
           count(lit(1)).cast("double")).as("avg_qty"))
-      li.join(broadcast(p), $"l_partkey" === $"p_partkey")
-        .join(avgQty, $"l_partkey" === $"ak")
+      liB.join(avgQty, $"l_partkey" === $"ak")
         .filter($"l_quantity" < lit(0.5) * $"avg_qty")
         .agg((sumD2($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
     }),
@@ -207,11 +251,39 @@ object RelQueries extends QueryPack {
     // ---- windows --------------------------------------------------------
     "q09_topk_per_brand" -> ((s, dir) => {
       import s.implicits._
+      // Two-phase bounded top-k (round-1 verdict: a single
+      // Window.partitionBy(p_brand) funnels the whole table into ~25
+      // reducers that each sort everything — a parallelism cap at scale).
+      // Phase 1: per input partition, keep at most k rows per brand with a
+      // bounded heap — no shuffle, O(k·brands) memory. Phase 2: the exact
+      // ranking window runs over the ≤ k·brands·partitions survivors only.
+      // Identical output: any global top-k row is in its partition's top-k
+      // under the same total order (price desc, partkey asc).
+      val k = 3
+      val src = t(s, dir, "part")
+        .select($"p_brand", $"p_partkey", $"p_retailprice")
+        .as[(String, Long, Double)]
+      // heap ordering: head = WORST kept row (lowest price, then highest
+      // partkey) so dequeue evicts it when a better row arrives
+      val worstFirst = Ordering.by[(String, Long, Double), (Double, Long)] {
+        case (_, pk, price) => (-price, pk)
+      }
+      val survivors = src.mapPartitions { it =>
+        val best = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(String, Long, Double)]]
+        it.foreach { row =>
+          val q = best.getOrElseUpdate(row._1,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          q.enqueue(row)
+          if (q.size > k) q.dequeue()
+        }
+        best.valuesIterator.flatMap(_.iterator)
+      }.toDF("p_brand", "p_partkey", "p_retailprice")
       val w = Window.partitionBy($"p_brand")
         .orderBy($"p_retailprice".desc, $"p_partkey".asc)
-      t(s, dir, "part")
+      survivors
         .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
+        .filter($"rn" <= k)
         .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn")
     }),
 
@@ -244,7 +316,14 @@ object RelQueries extends QueryPack {
       // user_id + ordered window — no range-join explosion at scale.
       val ev = t(s, dir, "events")
         .filter($"event_type".isin("click", "purchase"))
-      val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
+      // Deterministic tie-break (ADVICE r1): at equal ts, clicks sort before
+      // purchases — so a same-microsecond click is visible to the purchase,
+      // matching the oracle's ASOF `p.ts >= c.ts` (inclusive) semantics —
+      // and event_id makes the total order unique across runs/scales.
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc,
+          when($"event_type" === "click", 0).otherwise(1).asc,
+          $"event_id".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("last_click_ts",
           last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
@@ -256,8 +335,13 @@ object RelQueries extends QueryPack {
     "q14_intersect_except" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders")
-      val y96 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
-      val y97 = o.filter(year($"o_orderdate") === 1997).select($"o_custkey")
+      // year-range as raw timestamp bounds (not year(col)=N) so the parquet
+      // scan gets a pushable min/max predicate — row-group skipping at scale.
+      def inYear(y: Int) =
+        $"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp")
+      val y96 = o.filter(inYear(1996)).select($"o_custkey")
+      val y97 = o.filter(inYear(1997)).select($"o_custkey")
       y96.intersect(y97).withColumn("tag", lit("both"))
         .union(y96.except(y97).withColumn("tag", lit("only96")))
         .select($"tag", $"o_custkey")
@@ -294,6 +378,30 @@ object RelQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sumD2($"o_totalprice").as("total"))
     }),
 
+    "q24_scalar_lib" -> ((s, dir) => {
+      import s.implicits._
+      // scalar-library sweep (SURVEY §2.9): conditional (coalesce/nullif),
+      // string (trim/like), generator (posexplode), higher-order array
+      // (transform/aggregate/element_at), and map construction+access —
+      // all codegen'd built-ins, no UDFs.
+      val p0 = t(s, dir, "part").withColumn("toks", split($"p_name", " "))
+      p0.select($"p_partkey", $"p_brand", $"p_type", $"p_name", $"toks",
+          posexplode($"toks").as(Seq("pos", "tok")))
+        .select(
+          $"p_partkey", $"pos", $"tok",
+          coalesce(nullif($"p_brand", lit("Brand#1")), lit("(b1)"))
+            .as("brand_or"),
+          trim(concat(lit("  "), $"p_type", lit(" "))).as("type_trim"),
+          $"p_name".like("%er%").as("has_er"),
+          size($"toks").as("n_tok"),
+          element_at(transform($"toks", x => upper(x)), 1).as("first_up"),
+          aggregate($"toks", lit(0), (acc, x) => acc + length(x))
+            .cast("long").as("chars_tot"),
+          element_at(map_from_arrays(
+            array(lit("brand"), lit("type")),
+            array($"p_brand", $"p_type")), lit("brand")).as("m_brand"))
+    }),
+
     "q19_json_events" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
@@ -303,6 +411,21 @@ object RelQueries extends QueryPack {
           max($"k").as("max_k"))
     })
   )
+
+  /** 100 TB scale path for q13: `approx_percentile` is a mergeable KLL-style
+    * sketch — partial-aggregable, no per-group global sort, bounded memory —
+    * exactly what the exact interpolation above is not. Not oracle-checked
+    * (sketch internals differ across engines); covered by a unit spec
+    * asserting the approx answer brackets the exact one.
+    */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice", lit(0.25), lit(10000)).as("p25"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50"),
+        percentile_approx($"l_extendedprice", lit(0.75), lit(10000)).as("p75"))
+  }
 
   override val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -392,12 +515,25 @@ object RelQueries extends QueryPack {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
-    "q13_percentiles" ->
-      """SELECT l_returnflag,
-         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-         FROM lineitem GROUP BY l_returnflag""",
+    "q13_percentiles" -> {
+      // mirror of the Spark-side manual interpolation, term for term
+      def pct(q: String, alias: String): String = {
+        val h = s"CAST($q AS DOUBLE) * CAST(n - 1 AS DOUBLE)"
+        val lo = s"min(CASE WHEN rn = floor($h) + 1 THEN v END)"
+        val hi = s"min(CASE WHEN rn = ceil($h) + 1 THEN v END)"
+        s"$lo + (min($h) - floor(min($h))) * ($hi - $lo) AS $alias"
+      }
+      s"""WITH ranked AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, ${pct("0.25", "p25")}, ${pct("0.5", "p50")},
+           ${pct("0.75", "p75")}
+         FROM ranked GROUP BY l_returnflag"""
+    },
     "q14_intersect_except" ->
       """SELECT 'both' AS tag, o_custkey FROM
            (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
@@ -432,6 +568,18 @@ object RelQueries extends QueryPack {
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1, 2, 3""",
+    "q24_scalar_lib" ->
+      """WITH p0 AS (SELECT *, string_split(p_name, ' ') AS toks FROM part)
+         SELECT p_partkey,
+           CAST(x.i - 1 AS INT) AS pos, toks[x.i] AS tok,
+           coalesce(nullif(p_brand, 'Brand#1'), '(b1)') AS brand_or,
+           trim(concat('  ', p_type, ' ')) AS type_trim,
+           p_name LIKE '%er%' AS has_er,
+           CAST(len(toks) AS INT) AS n_tok,
+           list_transform(toks, t -> upper(t))[1] AS first_up,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS chars_tot,
+           map(['brand','type'], [p_brand, p_type])['brand'][1] AS m_brand
+         FROM p0, unnest(generate_series(1, len(toks))) AS x(i)""",
     "q19_json_events" ->
       """SELECT event_type,
          CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
@@ -460,15 +608,27 @@ object RelQueries extends QueryPack {
     "q23_correlated_avg" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE p_brand = 'BRAND_1'
+         WHERE p_brand = 'Brand#1'
            AND l_quantity < 0.5 * (
              SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""",
     "q25_stats" ->
-      """SELECT l_returnflag,
-         round(stddev_samp(l_extendedprice), 4) AS sd_price,
-         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-         round(var_samp(l_discount), 8) AS var_disc
-         FROM lineitem GROUP BY l_returnflag"""
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+             CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_discount AS DECIMAL(3,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sdd
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           sqrt((spp - sp * sp / n) / (n - 1)) AS sd_price,
+           (n * sqp - sq * sp) /
+             (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qty_price,
+           (sdd - sd * sd / n) / (n - 1) AS var_disc
+         FROM m"""
   )
 }

@@ -92,6 +92,11 @@ def main():
         if bad:
             print(f"MISMATCH  {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
             nfail += 1
+        elif not exact and "--tol" not in sys.argv:
+            # the real driver hash-compares exact bits: tolerance-close is
+            # NOT good enough, so fail unless --tol explicitly requested
+            print(f"INEXACT   {name}: {len(sc)} rows (within tol, not bit-exact)")
+            nfail += 1
         else:
             tag = "PASS     " if exact else "PASS~tol "
             print(f"{tag} {name}: {len(sc)} rows")
