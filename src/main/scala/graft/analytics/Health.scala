@@ -1,0 +1,313 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Health-analytics pipeline (SURVEY §2.5 A1-A18), re-expressing
+  * `/root/reference/src/analytics.rs:35-507` + the category sub-scores of
+  * `/root/reference/src/components.rs:1881-1946` as ONE partial-aggregable
+  * hash aggregation per table key followed by pure column arithmetic.
+  *
+  * Scale design (100 TB of snapshot history across millions of tables):
+  *   - [[tableMetrics]] is a single `groupBy(catalog, namespace, name)`
+  *     over the normalized snapshot frame — one shuffle, map-side partial
+  *     aggregation, no window/sort; "latest snapshot" state is `max_by`
+  *     (SURVEY W1/A5), not a per-table ordered window.
+  *   - alerts (A14) and recommendations (A15) are joins against broadcast
+  *     RULE TABLES, not per-row conditional ladders — new rules are data.
+  *   - every fold (A12 score, A13 sub-scores) runs on the one-row-per-table
+  *     aggregate, so the expensive stage is exactly one pass over the fact
+  *     table.
+  *
+  * Determinism: the reference reads `Utc::now()` mid-computation
+  * (`analytics.rs:129,261,356`); here `asOfMs` is an explicit parameter.
+  * Duration math reproduces chrono's truncating `num_hours`/`num_days`
+  * via `floor(ms / 3_600_000)` / `floor(ms / 86_400_000)`.
+  */
+object Health {
+
+  /** `/root/reference/src/analytics.rs:10-29` */
+  object Thresholds {
+    val TinyFileMb = 16.0
+    val SmallFileMb = 64.0
+    val OptimalFileMaxMb = 512.0
+    val SmallRatioWarning = 0.3
+    val SmallRatioCritical = 0.5
+    val HighFreqHourWarning = 10L
+    val HighFreqHourCritical = 20L
+    val CompactionWarningDays = 7.0
+    val CompactionCriticalDays = 14.0
+    val GrowthWarningGbDay = 100.0
+    val GrowthCriticalGbDay = 500.0
+  }
+  import Thresholds._
+
+  private val key = Seq("catalog", "namespace", "name")
+  private val GB = 1073741824.0
+  private val MB = 1048576.0
+  private val HOUR_MS = 3600000L
+  private val DAY_MS = 86400000L
+
+  /** F5 — compaction detector (`analytics.rs:157`). */
+  def isCompaction(op: Column): Column =
+    op.contains("rewrite") || op.contains("compact")
+
+  /** The one-pass per-table metric aggregation. Input: normalized
+    * snapshots ([[graft.meta.Normalize.snapshots]]) + table_meta (so
+    * tables with empty history still get a row, with the reference's
+    * empty-state defaults). Output: one row per table carrying every
+    * scalar the A-series metrics need.
+    */
+  def tableMetrics(snapshots: DataFrame, tableMeta: DataFrame,
+      asOfMs: Long): DataFrame = {
+    val opLc = lower(col("op"))
+    val sizeGb = coalesce(col("total_size_bytes"), lit(0.0)) / GB
+    val sizeTs = when(col("has_total_size"), col("ts_ms"))
+    val comp = isCompaction(col("op"))
+    val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
+
+    val agg = snapshots.groupBy(key.map(col): _*).agg(
+      count(lit(1)).as("n_snapshots"),
+      min(col("ts_ms")).as("min_ts"),
+      max(col("ts_ms")).as("max_ts"),
+      // A2 windowed activity — strict > bounds (analytics.rs:143-151)
+      one(col("ts_ms") > asOfMs - HOUR_MS).as("last_hour"),
+      one(col("ts_ms") > asOfMs - DAY_MS).as("last_day"),
+      one(col("ts_ms") > asOfMs - 7 * DAY_MS).as("last_week"),
+      // A5 latest-snapshot state (value may be null at the latest row)
+      max_by(col("added_files"), col("ts_ms")).as("latest_files"),
+      max_by(col("total_size_bytes"), col("ts_ms")).as("latest_size_bytes"),
+      // A8 compaction series (F5)
+      one(comp).as("comp_n"),
+      min(when(comp, col("ts_ms"))).as("comp_first_ts"),
+      max(when(comp, col("ts_ms"))).as("comp_last_ts"),
+      // A6 size history endpoints (rows carrying total-size only;
+      // unparseable values count as 0.0 — analytics.rs:219)
+      one(col("has_total_size")).as("n_size"),
+      min(sizeTs).as("first_size_ts"),
+      max(sizeTs).as("last_size_ts"),
+      min_by(sizeGb, sizeTs).as("first_size_gb"),
+      max_by(sizeGb, sizeTs).as("last_size_gb"),
+      // A7 op classification over snapshots WITH a summary; delete wins
+      // over update (else-if precedence, analytics.rs:227-231)
+      one(col("has_summary")).as("n_with_summary"),
+      one(col("has_summary") && opLc.contains("delete")).as("n_delete"),
+      one(col("has_summary") && !opLc.contains("delete") &&
+        (opLc.contains("update") || opLc.contains("overwrite"))).as("n_update"))
+
+    val m = tableMeta.select(key.map(col): _*)
+      .join(agg, key, "left")
+
+    // empty-history defaults mirror the reference's zero-inits
+    def z(c: String): Column = coalesce(col(c), lit(0L))
+    val totalFiles = coalesce(col("latest_files"), lit(0L))
+    val totalSize = coalesce(col("latest_size_bytes"), lit(0.0))
+    val avgMb = when(totalFiles > 0, (totalSize / totalFiles) / MB)
+      .otherwise(0.0)
+    // A10 heuristic bucket split (analytics.rs:92-104); `as u64` = floor
+    val tiny = when(avgMb < TinyFileMb, floor(totalFiles * 0.7))
+      .when(avgMb < SmallFileMb, floor(totalFiles * 0.2)).otherwise(0L)
+    val small = when(avgMb < TinyFileMb, floor(totalFiles * 0.3))
+      .when(avgMb < SmallFileMb, floor(totalFiles * 0.6)).otherwise(0L)
+    val optimal = when(avgMb < TinyFileMb, 0L)
+      .when(avgMb < SmallFileMb, floor(totalFiles * 0.2))
+      .when(avgMb <= OptimalFileMaxMb, totalFiles)
+      .otherwise(floor(totalFiles * 0.7))
+    val large = when(avgMb > OptimalFileMaxMb, floor(totalFiles * 0.3))
+      .otherwise(0L)
+    val ratio = when(totalFiles > 0, (tiny + small) / totalFiles)
+      .otherwise(0.0)
+    val daysSince = when(col("comp_last_ts").isNotNull,
+      floor((lit(asOfMs) - col("comp_last_ts")) / HOUR_MS).cast("double") / 24.0)
+    val avgFreq = when(col("comp_n") > 1,
+      floor((col("comp_last_ts") - col("comp_first_ts")) / DAY_MS)
+        .cast("double") / (col("comp_n") - 1).cast("double")).otherwise(0.0)
+    val sizeDays = floor((col("last_size_ts") - col("first_size_ts")) / DAY_MS)
+    val growth = when(col("n_size") > 1 && sizeDays > 0,
+      (col("last_size_gb") - col("first_size_gb")) / sizeDays.cast("double"))
+      .otherwise(0.0)
+    val freshness = when(col("max_ts").isNotNull,
+      floor((lit(asOfMs) - col("max_ts")) / HOUR_MS).cast("double"))
+      .otherwise(0.0)
+
+    m.select(
+      key.map(col) ++ Seq(
+        z("n_snapshots").as("n_snapshots"), col("min_ts"), col("max_ts"),
+        z("last_hour").as("last_hour"), z("last_day").as("last_day"),
+        z("last_week").as("last_week"),
+        totalFiles.as("total_files"), totalSize.as("total_size_bytes"),
+        avgMb.as("avg_file_size_mb"),
+        tiny.as("tiny_files"), small.as("small_files"),
+        optimal.as("optimal_files"), large.as("large_files"),
+        (tiny + small).as("small_files_count"),
+        ratio.as("small_file_ratio"),
+        z("comp_n").as("compactions"), daysSince.as("days_since_compaction"),
+        avgFreq.as("avg_compaction_frequency_days"),
+        lit(0.8).as("compaction_effectiveness"), // analytics.rs:191
+        coalesce(col("last_size_gb"), lit(0.0)).as("total_size_gb"),
+        growth.as("storage_growth_rate_gb_per_day"),
+        when(z("n_with_summary") > 0, z("n_delete") / z("n_with_summary"))
+          .otherwise(0.0).as("delete_ratio"),
+        when(z("n_with_summary") > 0, z("n_update") / z("n_with_summary"))
+          .otherwise(0.0).as("update_ratio"),
+        freshness.as("data_freshness_hours"),
+        lit(0.85).as("partition_efficiency"), // analytics.rs:274
+        (z("last_week") / 168.0).as("avg_snapshots_per_hour"),
+        greatest(z("last_hour"), floor(z("last_day") / 24))
+          .as("peak_snapshots_per_hour")): _*)
+  }
+
+  // ---- A12 overall score fold (analytics.rs:290-348) -------------------
+
+  private def smallFilePenalty = when(col("small_file_ratio") > SmallRatioCritical, 30.0)
+    .when(col("small_file_ratio") > SmallRatioWarning, 15.0).otherwise(0.0)
+  private def freqPenalty = when(col("last_hour") > HighFreqHourCritical, 20.0)
+    .when(col("last_hour") > HighFreqHourWarning, 10.0).otherwise(0.0)
+  private def compactionPenalty = when(col("days_since_compaction").isNull, 10.0)
+    .when(col("days_since_compaction") > CompactionCriticalDays, 25.0)
+    .when(col("days_since_compaction") > CompactionWarningDays, 12.0)
+    .otherwise(0.0)
+  private def growthPenalty =
+    when(col("storage_growth_rate_gb_per_day") > GrowthCriticalGbDay, 15.0)
+      .when(col("storage_growth_rate_gb_per_day") > GrowthWarningGbDay, 8.0)
+      .otherwise(0.0)
+
+  /** A12 + A16: overall score (file_count_trend is the reference's Stable
+    * stub → ±0 trend adjustment, `analytics.rs:278-288,341-345`) plus the
+    * four constant trend directions.
+    */
+  def healthScore(metrics: DataFrame): DataFrame = {
+    val raw = lit(100.0) - smallFilePenalty - freqPenalty -
+      compactionPenalty - growthPenalty
+    metrics.select(
+      key.map(col) ++ Seq(
+        greatest(lit(0.0), least(lit(100.0), raw)).as("health_score"),
+        lit("stable").as("file_count_trend"),
+        lit("improving").as("avg_file_size_trend"),
+        lit("stable").as("snapshot_frequency_trend"),
+        lit("degrading").as("storage_growth_trend")): _*)
+  }
+
+  /** A13 — category sub-scores + status labels
+    * (`components.rs:1881-1946`; failed_operations is the reference's
+    * hardwired 0).
+    */
+  def subScores(metrics: DataFrame): DataFrame = {
+    val file = greatest(lit(0.0), lit(100.0) - smallFilePenalty -
+      when(col("avg_file_size_mb") < TinyFileMb, 10.0).otherwise(0.0))
+    val oper = greatest(lit(0.0), lit(100.0) - freqPenalty)
+    val storage = greatest(lit(0.0), lit(100.0) - growthPenalty -
+      when(col("data_freshness_hours") > 48.0, 10.0)
+        .when(col("data_freshness_hours") > 24.0, 5.0).otherwise(0.0))
+    val compact = greatest(lit(0.0), lit(100.0) - compactionPenalty)
+    def status(s: Column) = when(s >= 90.0, "Good")
+      .when(s >= 70.0, "Warning").otherwise(lit("Critical"))
+    metrics.select(
+      key.map(col) ++ Seq(
+        file.as("file_score"), status(file).as("file_status"),
+        oper.as("operational_score"), status(oper).as("operational_status"),
+        storage.as("storage_score"), status(storage).as("storage_status"),
+        compact.as("compaction_score"),
+        status(compact).as("compaction_status")): _*)
+  }
+
+  // ---- A14 alerts as a broadcast rule table (analytics.rs:350-440) -----
+
+  /** (category, severity, rank, threshold, fmt, template) — severity rank
+    * picks the highest firing rule per category (the reference's
+    * critical-suppresses-warning else-if).
+    */
+  private def alertRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("small_files", "critical", 2, SmallRatioCritical, "pct1",
+        "Critical small file ratio: {}% of files are smaller than 64MB"),
+      ("small_files", "warning", 1, SmallRatioWarning, "pct1",
+        "High small file ratio: {}% of files are smaller than 64MB"),
+      ("high_snapshot_frequency", "critical", 2, HighFreqHourCritical.toDouble,
+        "int", "Extremely high snapshot frequency: {} snapshots in the last hour"),
+      ("compaction_needed", "critical", 2, CompactionCriticalDays, "f1",
+        "Table needs compaction: {} days since last compaction"),
+      // the reference labels the storage-growth breach Warning even at the
+      // critical threshold (analytics.rs:423-437)
+      ("storage_growth", "warning", 1, GrowthCriticalGbDay, "f1",
+        "High storage growth rate: {} GB per day"))
+      .toDF("category", "severity", "rank", "threshold", "fmt", "template")
+  }
+
+  /** A14/F13 — alerts: unpivot the metric row into (category, value), join
+    * the broadcast rule table, keep breaches, highest severity per
+    * category. detected_at is the pinned asOf (the reference stamps
+    * wall-clock, `analytics.rs:356`).
+    */
+  def alerts(metrics: DataFrame, asOfMs: Long): DataFrame = {
+    val spark = metrics.sparkSession
+    val long = metrics.selectExpr(key ++ Seq(
+      """stack(4,
+         'small_files', small_file_ratio,
+         'high_snapshot_frequency', CAST(last_hour AS DOUBLE),
+         'compaction_needed', days_since_compaction,
+         'storage_growth', storage_growth_rate_gb_per_day)
+         AS (category, metric_value)"""): _*)
+    val fired = long
+      .join(broadcast(alertRules(spark)), Seq("category"))
+      .filter(col("metric_value") > col("threshold"))
+    val top = org.apache.spark.sql.expressions.Window
+      .partitionBy((key :+ "category").map(col): _*)
+      .orderBy(col("rank").desc)
+    val fmtVal = when(col("fmt") === "pct1",
+        format_string("%.1f", col("metric_value") * 100))
+      .when(col("fmt") === "int",
+        col("metric_value").cast("long").cast("string"))
+      .otherwise(format_string("%.1f", col("metric_value")))
+    fired.withColumn("rn", row_number().over(top)).filter(col("rn") === 1)
+      .withColumn("fmt_val", fmtVal)
+      .withColumn("message", expr("replace(template, '{}', fmt_val)"))
+      .select(key.map(col) ++ Seq(col("category"), col("severity"),
+        col("metric_value"), col("threshold"), col("message"),
+        timestamp_millis(lit(asOfMs)).as("detected_at")): _*)
+  }
+
+  // ---- A15 recommendations (analytics.rs:442-507) ----------------------
+
+  private def recRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("small_files", "high", "medium", "compaction",
+        "Run table compaction to merge small files into larger, more efficient files",
+        "Improved query performance and reduced metadata overhead", "medium"),
+      ("compaction_needed", "high", "high", "compaction",
+        "Schedule regular compaction job for this table",
+        "Better file organisation and query performance", "medium"),
+      ("high_snapshot_frequency", "medium", "medium", "optimization",
+        "Review write patterns and consider batching smaller writes",
+        "Reduced metadata overhead and improved table performance", "low"))
+      .toDF("category", "p_critical", "p_else", "action_type", "description",
+        "estimated_benefit", "effort_level")
+  }
+
+  /** A15 — alert-driven recommendations (rule join; StorageGrowth has no
+    * rule, matching the reference's `_ => {}`) plus the per-table retention
+    * recommendation the Degrading storage-growth trend stub always appends
+    * (`analytics.rs:490-504`).
+    */
+  def recommendations(alerts: DataFrame, tableMeta: DataFrame): DataFrame = {
+    val spark = alerts.sparkSession
+    val fromAlerts = alerts
+      .join(broadcast(recRules(spark)), Seq("category"))
+      .select(key.map(col) ++ Seq(
+        when(col("severity") === "critical", col("p_critical"))
+          .otherwise(col("p_else")).as("priority"),
+        col("action_type"), col("description"), col("estimated_benefit"),
+        col("effort_level")): _*)
+    val retention = tableMeta.select(key.map(col): _*)
+      .withColumn("priority", lit("low"))
+      .withColumn("action_type", lit("retention_policy"))
+      .withColumn("description",
+        lit("Consider implementing data retention policies to manage storage growth"))
+      .withColumn("estimated_benefit",
+        lit("Controlled storage costs and improved performance"))
+      .withColumn("effort_level", lit("high"))
+    fromAlerts.unionByName(retention)
+  }
+}
