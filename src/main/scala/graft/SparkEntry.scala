@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     rel.RelQueries,
-    meta.MetaQueries
+    meta.MetaQueries,
+    llm.LlmQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.11 X5): exact, MinHash+LSH banded
+  * near-dup, n-gram Jaccard verification, and SimHash — every candidate
+  * generation is BUCKETED (hash-groupBy or band-bucket equi-join); there
+  * is no all-pairs crossJoin anywhere, so the shuffles stay proportional
+  * to data + candidate volume at 100 TB.
+  *
+  * All hashing is md5-based so the DuckDB oracle computes bit-identical
+  * signatures: a MinHash "hash function" h_i is the md5 hex string of
+  * `"{i}:{shingle}"`, and the signature element is the lexicographic MIN
+  * of those hex strings — total order identical across engines, no
+  * integer-hash compatibility problem.
+  */
+object Dedup {
+
+  val NumHashes = 12
+  val BandSize = 3 // 4 bands of 3 → candidate iff J³ collides in any band
+
+  /** exact dedup groups: one row per distinct text fingerprint with the
+    * kept representative (min doc_id) and the duplicate count. A plain
+    * hash aggregation — the 100 TB shape (shuffle on fp only).
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    TextOps.fingerprint(docs)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** distinct word 3-gram shingles per doc, built with window `lead` over
+    * token position (partitioned by doc — high-cardinality key).
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    TextOps.tokens(docs)
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signature: NumHashes md5-min columns per doc — one hash
+    * aggregation over the shingle set.
+    */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val aggs = (1 to NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    shingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets in long form (doc_id, band, bucket_hash). */
+  def bands(sig: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      val hs = (1 to BandSize).map(j => col(s"h${b * BandSize + j}"))
+      struct(lit(b + 1).as("band"), md5(concat_ws("|", hs: _*)).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** candidate near-dup pairs: docs sharing any band bucket — an equi-join
+    * keyed on (band, bucket), i.e. the LSH-bucketed pair generation, then
+    * distinct. Never all-pairs.
+    */
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val b = bands(minhashSignature(docs))
+    val l = b.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band").as("band_r"), col("bh").as("bh_r"),
+      col("doc_id").as("doc_b"))
+    l.join(r, col("band") === col("band_r") && col("bh") === col("bh_r") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** exact token-set Jaccard for the candidate pairs (the verify step of
+    * MinHash dedup): shared-token counts via token-keyed joins — again
+    * proportional to candidates, not n².
+    */
+  def jaccardOnCandidates(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(docs).select(col("doc_id"), col("tok")).distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val cand = candidatePairs(docs)
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("inter"), lit(0L)) /
+          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  /** 16-bit SimHash over the distinct token set: bit j is the sign of the
+    * ±1 vote sum from md5 hex digit j of each token. One agg per doc;
+    * identical fingerprints = near-dup bucket key.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = TextOps.tokens(docs).select(col("doc_id"), col("tok")).distinct()
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1).isin(hexHi: _*), 1L).otherwise(-1L))
+        .as(s"b$j"))
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = concat((1 to 16).map(j =>
+      when(col(s"b$j") >= 0, "1").otherwise("0")): _*)
+    sums.select(col("doc_id"), fp.as("simhash16"))
+  }
+}

@@ -1,0 +1,263 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+
+/** LLM-data-pipeline query surface (SURVEY §2.11 X3-X6 + multimodal):
+  * dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search
+  * (brute-force baseline, sign-bucket LSH, IVF-style probe), text
+  * analysis (token stats, lang-ID, quality, fingerprints), and multimodal
+  * binary handling — each with a DuckDB oracle computing bit-identical
+  * results (md5-based hashing, left-to-right double accumulation).
+  */
+object LlmQueries extends QueryPack {
+
+  private val MEDIA = "/root/repo/fixtures/media"
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+  private def media(s: SparkSession): DataFrame =
+    s.read.parquet(s"$MEDIA/media.parquet")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_exact_dedup" -> ((s, dir) => Dedup.exactGroups(docs(s, dir))),
+    "x02_minhash_pairs" -> ((s, dir) => Dedup.candidatePairs(docs(s, dir))),
+    "x03_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardOnCandidates(docs(s, dir))),
+    "x04_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "x05_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embs(s, dir), nQueries = 10, k = 5)),
+    "x06_lsh_neardup" -> ((s, dir) =>
+      Similarity.lshNearDup(embs(s, dir), minCos = 0.3)),
+    "x07_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), nQueries = 10, k = 3)),
+    "x08_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
+    "x09_lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "x10_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
+    "x11_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "x12_media_meta" -> ((s, _) => Multimodal.mediaMeta(media(s))),
+    "x13_frame_sample" -> ((s, _) => Multimodal.frameSample(media(s)))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val hexHi = "('8','9','a','b','c','d','e','f')"
+
+  /** tokens with position (mirror of TextOps.tokens) */
+  private val TOKS_CTE =
+    """toks AS (
+       SELECT doc_id, x.i AS pos, tk[x.i] AS tok
+       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
+            unnest(generate_series(1, len(tk))) AS x(i))"""
+
+  /** minhash signature + bands (mirror of Dedup) */
+  private val SIG_CTE = {
+    val mins = (1 to Dedup.NumHashes)
+      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bandRows = (0 until Dedup.NumHashes / Dedup.BandSize).map { b =>
+      val hs = (1 to Dedup.BandSize).map(j => s"h${b * Dedup.BandSize + j}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, ${b + 1} AS band, md5($hs) AS bh FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""$TOKS_CTE,
+       sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
+             lead(tok, 2) OVER w AS t2
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         WHERE t2 IS NOT NULL),
+       sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       bands AS ($bandRows),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bands l JOIN bands r
+           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)"""
+  }
+
+  /** double-widened embeddings + cosine (mirror of Similarity: list_reduce
+    * accumulates left-to-right like Spark's `aggregate`)
+    */
+  private val COS =
+    """list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i]*v[i]), (x,y) -> x+y)
+       / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)))"""
+
+  private val signBucket = (1 to 8)
+    .map(i => s"(CASE WHEN v[$i] >= 0.0 THEN '1' ELSE '0' END)")
+    .mkString(" || ")
+
+  override val oracles: Map[String, String] = Map(
+    "x01_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "x02_minhash_pairs" ->
+      s"""WITH $SIG_CTE
+          SELECT doc_a, doc_b FROM cand""",
+
+    "x03_ngram_jaccard" ->
+      s"""WITH $SIG_CTE,
+          dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM dtoks GROUP BY 1),
+          inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN dtoks a ON a.doc_id = c.doc_a
+            JOIN dtoks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+            GROUP BY 1, 2)
+          SELECT c.doc_a, c.doc_b,
+            coalesce(i.n_inter, 0) /
+              (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS jaccard
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes sa ON sa.doc_id = c.doc_a
+          JOIN sizes sb ON sb.doc_id = c.doc_b""",
+
+    "x04_simhash" -> {
+      val sums = (1 to 16).map(j =>
+        s"sum(CASE WHEN substr(h, $j, 1) IN $hexHi THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val fp = (1 to 16).map(j => s"(CASE WHEN b$j >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH $TOKS_CTE,
+          dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+          h AS (SELECT doc_id, md5(tok) AS h FROM dtoks),
+          b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+          SELECT doc_id, $fp AS simhash16 FROM b"""
+    },
+
+    "x05_cosine_topk" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
+          scored AS (
+            SELECT q.q_id, e.vec_id, $COS AS cos
+            FROM ev e JOIN q ON e.vec_id != q.q_id)
+          SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM scored)
+          WHERE rank <= 5""",
+
+    "x06_lsh_neardup" ->
+      s"""WITH ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              $signBucket AS bucket
+            FROM embeddings)
+          SELECT * FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+              list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+              / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+               * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS cos
+            FROM ev a JOIN ev b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          WHERE cos > 0.3""",
+
+    "x07_ivf_topk" ->
+      s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM ev WHERE vec_id < 10),
+          scored AS (
+            SELECT q.q_id, e.vec_id, $COS AS cos
+            FROM ev e JOIN q ON e.label = q.q_label AND e.vec_id != q.q_id)
+          SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM scored)
+          WHERE rank <= 3""",
+
+    "x08_token_stats" ->
+      """SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_ish,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_c4
+         FROM documents""",
+
+    "x09_lang_id" -> {
+      val vals = TextOpsOracle.stopwordValues
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          sw(lang_cand, stopword) AS (VALUES $vals),
+          hits AS (
+            SELECT doc_id, lang_cand, count(*) AS hits
+            FROM toks JOIN sw ON tok = stopword GROUP BY 1, 2),
+          top AS (
+            SELECT doc_id, lang_cand, hits FROM hits
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY hits DESC, lang_cand) = 1)
+          SELECT d.doc_id, coalesce(t.lang_cand, 'unknown') AS pred_lang,
+            coalesce(t.hits, 0) AS stopword_hits, d.lang AS labeled_lang
+          FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id"""
+    },
+
+    "x10_quality" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) AS alnum,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CASE WHEN n > 0 THEN (n - alnum) / n ELSE 0.0 END AS punct_ratio,
+             CASE WHEN ntok > 0 THEN (n - (ntok - 1)) / ntok ELSE 0.0 END AS mean_tok_len
+           FROM q)
+         SELECT doc_id, punct_ratio, mean_tok_len,
+           greatest(0.0, least(1.0,
+             1.0 - punct_ratio - abs(mean_tok_len - 5.0) / 10.0)) AS quality_score
+         FROM c""",
+
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+         substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 8) AS fp8
+         FROM documents""",
+
+    "x12_media_meta" ->
+      s"""WITH m AS (
+            SELECT *, lower(hex(payload)) AS hx
+            FROM read_parquet('$MEDIA/media.parquet/*.parquet'))
+          SELECT media_id, kind,
+            CAST(octet_length(payload) AS INT) AS n_bytes,
+            substr(hx, 1, 8) AS magic_hex,
+            CASE WHEN substr(hx, 1, 8) = '89504e47' THEN 'png'
+                 WHEN substr(hx, 1, 6) = 'ffd8ff' THEN 'jpeg'
+                 WHEN substr(hx, 1, 8) = '52494646' THEN 'wav'
+                 WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+                 ELSE 'unknown' END AS container,
+            md5(hx) AS content_md5,
+            CAST((strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) AS DOUBLE)
+              / 255.0 AS brightness_stub,
+            width, height, duration_ms, sample_rate
+          FROM m""",
+
+    "x13_frame_sample" ->
+      s"""WITH m AS (
+            SELECT media_id, kind, md5(lower(hex(payload))) AS pmd5,
+              unnest(generate_series(0, duration_ms, 1000)) AS frame_ts
+            FROM read_parquet('$MEDIA/media.parquet/*.parquet')
+            WHERE duration_ms IS NOT NULL)
+          SELECT media_id, kind, frame_ts,
+            md5(pmd5 || '-' || CAST(frame_ts AS VARCHAR)) AS frame_fp
+          FROM m"""
+  )
+}
+
+/** oracle-side rendering of the stopword dimension (kept adjacent to
+  * [[TextOps.stopwords]] so the two stay in sync)
+  */
+object TextOpsOracle {
+  def stopwordValues: String = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+    .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }
+    .mkString(", ")
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling (north star: images/audio/video ride along
+  * a 100 TB pipeline as opaque binary columns + typed metadata).
+  *
+  * The Spark-side plumbing is real: binary payloads with magic-sniffing,
+  * typed metadata struct, batch-wise decode via `mapPartitions` over a
+  * typed Dataset (the JVM analogue of an Arrow-batched decode UDF). The
+  * DECODE ITSELF is a clearly-marked deterministic STUB — no image/audio
+  * codec exists in this container — so the schema/partitioning/batch
+  * contract is exercised end-to-end while the pixel math is fake.
+  */
+object Multimodal {
+
+  case class MediaFx(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Option[Int], height: Option[Int],
+      duration_ms: Option[Long], sample_rate: Option[Int])
+
+  /** deterministic payload: 4-byte magic + pseudo-random-but-fixed body */
+  private def body(id: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((id * 31 + i * 7 + 13) % 256).toByte)
+
+  private val PNG = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+  private val JPG = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+  private val WAV = "RIFF".getBytes("UTF-8")
+  private val MP4 = Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("UTF-8")
+
+  def mediaRows: Seq[MediaFx] =
+    (0L until 4L).map(i => MediaFx(i, "image", PNG ++ body(i, 64 + i.toInt),
+      Some(640), Some(480), None, None)) ++
+      (4L until 7L).map(i => MediaFx(i, "image", JPG ++ body(i, 80),
+        Some(1024), Some(768), None, None)) ++
+      (7L until 10L).map(i => MediaFx(i, "audio", WAV ++ body(i, 96),
+        None, None, Some(3000L + i * 500), Some(16000))) ++
+      (10L until 12L).map(i => MediaFx(i, "video", MP4 ++ body(i, 128),
+        Some(1920), Some(1080), Some(4000L + i * 1000), None))
+
+  /** fixture writer (committed parquet, like the metadata fixtures) */
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/fixtures/media")
+    val spark = graft.core.GraftSession.builder("graft-media", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    mediaRows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/media.parquet")
+    spark.stop()
+  }
+
+  /** metadata extraction — pure expressions over the binary column:
+    * magic-based container sniffing, byte size, content hash, and a fake
+    * brightness derived from payload byte 5 (decode STUB).
+    */
+  def mediaMeta(media: DataFrame): DataFrame = {
+    val hexDigits = "0123456789abcdef"
+    def hexVal(c: org.apache.spark.sql.Column) = instr(lit(hexDigits), c) - 1
+    // all byte inspection runs over the lowercase hex rendering — the one
+    // binary representation both the engine and the oracle agree on
+    // (DuckDB has no md5/substring over BLOB)
+    val hx = lower(hex(col("payload")))
+    val magic = substring(hx, 1, 8)
+    val detected = when(magic === "89504e47", "png")
+      .when(magic.startsWith("ffd8ff"), "jpeg")
+      .when(magic === "52494646", "wav")
+      .when(substring(hx, 9, 8) === "66747970", "mp4")
+      .otherwise(lit("unknown"))
+    // decode STUB: "brightness" = payload byte 5 scaled — a placeholder
+    // for real pixel statistics; deterministic and cross-engine checkable
+    val b5 = (hexVal(substring(hx, 9, 1)) * 16 + hexVal(substring(hx, 10, 1)))
+    media.select(col("media_id"), col("kind"),
+      length(col("payload")).as("n_bytes"),
+      magic.as("magic_hex"), detected.as("container"),
+      md5(hx).as("content_md5"),
+      b5.cast("double")./(255.0).as("brightness_stub"),
+      col("width"), col("height"), col("duration_ms"), col("sample_rate"))
+  }
+
+  /** frame sampling for timed media: one row per 1000 ms tick within
+    * duration (generator expression — no shuffle), with a deterministic
+    * per-frame fingerprint (decode STUB for "extract frame & hash it").
+    */
+  def frameSample(media: DataFrame): DataFrame =
+    media.filter(col("duration_ms").isNotNull)
+      .select(col("media_id"), col("kind"),
+        md5(lower(hex(col("payload")))).as("pmd5"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(1000L)))
+          .as("frame_ts"))
+      .select(col("media_id"), col("kind"), col("frame_ts"),
+        md5(concat(col("pmd5"), lit("-"), col("frame_ts"))).as("frame_fp"))
+
+  /** decoded feature record (what a real decoder would emit) */
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      mean_byte: Double, max_byte: Int)
+
+  /** batch-wise decode over a typed Dataset — the `mapPartitions` seam
+    * where a real codec (JNI/FFI or Arrow hand-off) would run per batch.
+    * STUB: statistics over raw bytes stand in for decoded content.
+    * Partitioning contract: embarrassingly parallel, no shuffle.
+    */
+  def decodeFeatures(media: Dataset[MediaFx]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // real decoders amortize per-partition init here (codec contexts)
+      batch.map { m =>
+        val bs = m.payload.map(_ & 0xff)
+        MediaFeatures(m.media_id, m.kind, m.payload.length,
+          if (bs.isEmpty) 0.0 else bs.sum.toDouble / bs.length,
+          if (bs.isEmpty) 0 else bs.max)
+      }
+    }
+  }
+}

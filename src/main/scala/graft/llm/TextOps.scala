@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2.11 X6):
+  * tokenization, token statistics, language-ID heuristic, quality scoring,
+  * and document fingerprinting — all built-in column expressions (codegen,
+  * no UDFs), each a single scan + at most one hash aggregation, so each
+  * scales linearly over a 100 TB corpus.
+  */
+object TextOps {
+
+  /** whitespace tokens, one row per (doc_id, pos, tok); the canonical
+    * exploded form used by dedup/lang-id. At scale this is a generate
+    * (no shuffle) — downstream aggs shuffle on doc_id only.
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  /** per-doc token statistics: counts, distinct counts, char stats, and a
+    * BPE-ish token estimate (word-or-punct regex matches + the chars/4
+    * rule of thumb).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+        .as("n_bpe_ish"),
+      ceil(length(col("text")) / 4.0).as("n_tokens_c4"))
+
+  /** tiny per-language stopword table for the lang-ID heuristic — joined
+    * as a broadcast dimension, never a per-row closure.
+    */
+  def stopwords(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+      "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("lang_cand", "stopword")
+  }
+
+  /** language-ID heuristic: stopword-hit voting per language; the winner
+    * is (most hits, then lexicographically first language); docs with zero
+    * stopword hits come out "unknown". Broadcast-join + one agg.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val hits = tokens(docs)
+      .join(broadcast(stopwords(spark)), col("tok") === col("stopword"))
+      .groupBy(col("doc_id"), col("lang_cand"))
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("lang_cand").asc)
+    val top = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang_cand"), col("hits"))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_cand"), lit("unknown")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("stopword_hits"),
+        col("labeled_lang"))
+  }
+
+  /** quality scoring: punctuation ratio, whitespace ratio, mean token
+    * length, stopword ratio — folded into a [0,1] score with a fixed
+    * formula (identical double-arithmetic order in the oracle).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast("double")
+    val alnum =
+      length(regexp_replace(col("text"), "[^a-z0-9A-Z ]", "")).cast("double")
+    val punctRatio = when(n > 0, (n - alnum) / n).otherwise(0.0)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val meanLen = when(nTok > 0,
+      (n - (nTok - 1)) / nTok).otherwise(0.0) // chars minus separators
+    val lenTerm = abs(meanLen - 5.0) / 10.0
+    val score = greatest(lit(0.0),
+      least(lit(1.0), lit(1.0) - punctRatio - lenTerm))
+    docs.select(col("doc_id"), punctRatio.as("punct_ratio"),
+      meanLen.as("mean_tok_len"), score.as("quality_score"))
+  }
+
+  /** document fingerprint: md5 of the normalized text (lowercased,
+    * whitespace collapsed) + an 8-hex prefix bucket — the exact-dedup key
+    * and a cheap shard key for a 100 TB dedup shuffle.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), " +", " ")
+    docs.select(col("doc_id"), md5(norm).as("fp"),
+      substring(md5(norm), 1, 8).as("fp8"))
+  }
+}
