@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     rel.RelQueries,
     meta.MetaQueries,
-    llm.LlmQueries
+    llm.LlmQueries,
+    stream.StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,104 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** Structured-Streaming slice (SURVEY §2.10 T3-T6) over the `events`
+  * table: event-time tumbling windows with a watermark, session windows,
+  * and stateful dedup-within-watermark.
+  *
+  * Execution model: `readStream` over the parquet file source with
+  * `Trigger.AvailableNow` — processes everything currently available in
+  * micro-batches, runs the trailing no-data batch so the watermark
+  * advances and stateful operators flush, then terminates. That makes the
+  * runs deterministic and driver-checkable while exercising the exact
+  * code path an unbounded deployment uses (swap the trigger and the same
+  * query runs forever; state lives in the checkpoint, keyed and scaled by
+  * the grouping key).
+  *
+  * The nanosecond `ts` ingests exactly like the batch path
+  * ([[graft.core.Tables.load]]): long nanos → truncated micros.
+  */
+object StreamOps {
+
+  /** streaming view of events with event-time `ts` (micros).
+    *
+    * The file-stream source requires a DIRECTORY to monitor; the fixture
+    * is a single parquet file, so it is staged once into a per-sf temp
+    * directory via symlink (a real deployment points this at the landing
+    * directory new files arrive in).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val staged = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val link = staged.resolve("events.parquet")
+    java.nio.file.Files.createDirectories(staged)
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(staged.toString)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** run a streaming frame to completion into a memory sink, return the
+    * materialized result (driver-side table of the sink — small aggregate
+    * output only; the heavy lifting stays distributed)
+    */
+  def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** T3+T4 — tumbling 1-hour event-time windows with a 1-hour watermark,
+    * counts per (window, event_type). Complete mode: every window in the
+    * result (the batch-equivalent answer), late data beyond the watermark
+    * would be dropped in an unbounded run.
+    */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+    runToTable(agg, "st_tumbling", "complete")
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("count").as("n"))
+  }
+
+  /** T5 — 30-minute session windows per user (append mode: only sessions
+    * FINALIZED by the advancing watermark are emitted — sessions still
+    * open at end-of-input stay in state; the oracle applies the same
+    * closure rule).
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    runToTable(agg, "st_sessions", "append")
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("count").as("n"))
+  }
+
+  /** T6 — stateful dedup within the watermark on (user_id, event_type):
+    * emits each distinct key once; output is the distinct key set, which
+    * is deterministic regardless of arrival order.
+    */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable(deduped, "st_dedup", "append")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryPack
+
+/** Streaming query surface (T3-T6) with batch-SQL oracles: each streaming
+  * run with `Trigger.AvailableNow` is deterministic, so its output equals
+  * a batch computation DuckDB can replicate — including the append-mode
+  * session query, whose oracle applies the same watermark-closure rule
+  * the streaming engine does.
+  */
+object StreamQueries extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_tumbling_counts" -> ((s, dir) => StreamOps.tumblingCounts(s, dir)),
+    "st02_session_windows" -> ((s, dir) => StreamOps.sessionCounts(s, dir)),
+    "st03_stream_dedup" -> ((s, dir) => StreamOps.dedupKeys(s, dir))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "st01_tumbling_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+         event_type, count(*) AS n
+         FROM events GROUP BY 1, 2, 3""",
+
+    // sessions: gaps-and-islands with the streaming boundary rule (a new
+    // session starts when the gap is >= 30 min — session windows are
+    // [start, end)), emitted only once CLOSED by the final watermark
+    // (end <= max event time), mirroring append-mode semantics
+    "st02_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         b AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+               FROM b),
+         sess AS (SELECT user_id, min(ts) AS session_start,
+                    max(ts) + INTERVAL 30 MINUTE AS session_end,
+                    count(*) AS n
+                  FROM g GROUP BY user_id, sid)
+         SELECT session_start, session_end, user_id, n FROM sess
+         WHERE session_end <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""",
+
+    "st03_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
+  )
+}
