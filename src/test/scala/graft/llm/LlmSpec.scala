@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docsDf(texts: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup groups whitespace-normalized case-insensitive copies") {
+    val df = docsDf(Seq("the quick fox", "The  Quick  FOX", "other doc"))
+    val groups = Dedup.exactGroups(df).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"))).toSet
+    assert(groups == Set((0L, 2L), (2L, 1L)))
+  }
+
+  test("minhash: identical docs share full signatures; candidates find them") {
+    val base = "a b c d e f g h i j k l m n o p"
+    val df = docsDf(Seq(base, base, "z y x w v u t s r q p o n m l k"))
+    val pairs = Dedup.candidatePairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    val j = Dedup.jaccardOnCandidates(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val df = docsDf(Seq("alpha beta gamma delta epsilon zeta"))
+    val s1 = Dedup.minhashSignature(df).collect()(0).toSeq
+    val s2 = Dedup.minhashSignature(df).collect()(0).toSeq
+    assert(s1 == s2)
+  }
+
+  test("simhash: identical token sets → identical fingerprints; 16 bits") {
+    val df = docsDf(Seq("a b c", "c b a", "totally different words here"))
+    val fp = Dedup.simhash(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L)) // order-insensitive (set-based)
+    assert(fp(0L).length == 16 && fp(0L).forall(c => c == '0' || c == '1'))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embDf(vs: Seq[(Long, Seq[Float], Int)]) = {
+    val s = spark
+    import s.implicits._
+    vs.toDF("vec_id", "embedding", "label")
+  }
+
+  test("cosine: self-similarity 1.0, opposite -1.0, orthogonal 0.0") {
+    val df = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(-1f, 0f, 0f, 0f), 0), (3L, Seq(0f, 1f, 0f, 0f), 0)))
+    val top = Similarity.bruteForceTopK(df, nQueries = 1, k = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    assert(top(1L) == 1.0 && top(2L) == -1.0 && top(3L) == 0.0)
+  }
+
+  test("topk ranks by cosine desc with vec_id tie-break, k rows per query") {
+    val df = embDf((0L until 20L).map(i =>
+      (i, Seq(1f, i.toFloat / 20f, 0f, 0f), (i % 3).toInt)))
+    val rows = Similarity.bruteForceTopK(df, nQueries = 2, k = 5).collect()
+    assert(rows.count(_.getAs[Long]("q_id") == 0L) == 5)
+    val ranks = rows.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+    assert(ranks.sameElements(ranks.sorted(Ordering[Double].reverse)))
+  }
+
+  test("sign-bucket LSH pairs only form within a bucket") {
+    val df = embDf(Seq(
+      (0L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), 0),
+      (1L, Seq(2f, 2f, 2f, 2f, 2f, 2f, 2f, 2f), 0), // same signs → same bucket
+      (2L, Seq(-1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), 0))) // differs in dim 1
+    val pairs = Similarity.lshNearDup(df, minCos = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("IVF probe restricts candidates to the query's cluster") {
+    val df = embDf(Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.1f), 0),
+      (2L, Seq(1f, 0f), 1))) // identical direction but other cluster
+    val rows = Similarity.ivfTopK(df, nQueries = 1, k = 5).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(1L))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (i, t, l) => (i, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("token stats count whitespace and BPE-ish tokens") {
+    val df = docsDf(Seq((0L, "hello world, hello again", "en")))
+    val r = TextOps.tokenStats(df).collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_distinct_tokens") == 3) // "hello" repeats
+    assert(r.getAs[Int]("n_bpe_ish") == 5) // comma is its own token
+  }
+
+  test("lang-ID votes stopwords; zero hits → unknown") {
+    val df = docsDf(Seq(
+      (0L, "the cat of the house", "en"),
+      (1L, "el gato de la casa", "es"),
+      (2L, "xyzzy plugh", "fr")))
+    val out = TextOps.langId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out == Map(0L -> "en", 1L -> "es", 2L -> "unknown"))
+  }
+
+  test("quality score is clamped to [0,1]") {
+    val df = docsDf(Seq((0L, "!!! ??? ;;; :::", "en"),
+      (1L, "plain clean words here", "en")))
+    val out = TextOps.qualityScore(df).collect()
+      .map(r => r.getAs[Double]("quality_score"))
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("magic sniffing classifies every fixture container correctly") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val out = Multimodal.mediaMeta(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("container")).toMap
+    assert(out(0L) == "png" && out(4L) == "jpeg" && out(7L) == "wav" &&
+      out(10L) == "mp4")
+  }
+
+  test("decode stub is deterministic and batch-shaped") {
+    val s = spark
+    import s.implicits._
+    val ds = Multimodal.mediaRows.toDS()
+    val f1 = Multimodal.decodeFeatures(ds).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(ds).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(f => f.n_bytes > 4 && f.mean_byte >= 0 && f.max_byte <= 255))
+  }
+
+  test("frame sampling yields duration/1000 + 1 rows per timed media") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val n = Multimodal.frameSample(df).groupBy("media_id").count().collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("count")).toMap
+    // audio 7: 3000+7*500=6500ms → 0..6500 step 1000 → 7 frames
+    assert(n(7L) == 7L)
+    assert(!n.contains(0L)) // images have no duration
+  }
+}
