@@ -30,8 +30,12 @@ object Bench {
     val spark = core.GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional regex filter for local experiments: SPARK_GRAFT_ONLY=q01|q25
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val benched = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => name.startsWith("m") }
+      .filter { case (name, _) =>
+        only.forall(_.findFirstIn(name).isDefined) }
       .sortBy(_._1)
 
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

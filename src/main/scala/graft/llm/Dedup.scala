@@ -30,18 +30,26 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** distinct word 3-gram shingles per doc, built with window `lead` over
-    * token position (partitioned by doc — high-cardinality key).
+  /** distinct word 3-gram shingles per doc, built entirely with array
+    * expressions inside the row (transform over an index sequence +
+    * array_distinct) — NO shuffle and no per-doc sort; at 100 TB the
+    * shingle stage is a pure map. (An earlier window-`lead` formulation
+    * cost a full shuffle+sort by doc before any hashing began.)
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    TextOps.tokens(docs)
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
+    // tk is projected into a bound column FIRST: expressions inside
+    // higher-order lambdas get no common-subexpression elimination, so
+    // referencing split() directly there would re-tokenize the text for
+    // every element access
+    val tk = col("tk")
+    val n = size(tk)
+    val sh = when(n >= 3,
+      array_distinct(transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
   }
 
   /** MinHash signature: NumHashes md5-min columns per doc — one hash
@@ -64,18 +72,25 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** candidate near-dup pairs: docs sharing any band bucket — an equi-join
-    * keyed on (band, bucket), i.e. the LSH-bucketed pair generation, then
-    * distinct. Never all-pairs.
+  /** candidate near-dup pairs: docs sharing any band bucket. Pair
+    * generation happens INSIDE each bucket (groupBy(band, bucket) +
+    * within-bucket pair expansion) — one shuffle, the signature pipeline
+    * evaluates once, and work is proportional to Σ bucket², which LSH
+    * keeps small by construction (a degenerate bucket — e.g. a corpus of
+    * identical docs — is the caller's dedup payoff, not a planning
+    * failure). Never an all-pairs join.
     */
   def candidatePairs(docs: DataFrame): DataFrame = {
-    val b = bands(minhashSignature(docs))
-    val l = b.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band").as("band_r"), col("bh").as("bh_r"),
-      col("doc_id").as("doc_b"))
-    l.join(r, col("band") === col("band_r") && col("bh") === col("bh_r") &&
-        col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val buckets = bands(minhashSignature(docs))
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    // all (i<j) pairs of the sorted bucket members, as array expressions
+    val pairs = flatten(transform(col("ds"), (a, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
   /** exact token-set Jaccard for the candidate pairs (the verify step of
@@ -83,7 +98,10 @@ object Dedup {
     * proportional to candidates, not n².
     */
   def jaccardOnCandidates(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(docs).select(col("doc_id"), col("tok")).distinct()
+    // per-doc distinct via array_distinct BEFORE the explode: local work,
+    // no distinct-shuffle over the exploded token rows
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cand = candidatePairs(docs)
     val inter = cand
@@ -108,7 +126,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val hexHi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val toks = TextOps.tokens(docs).select(col("doc_id"), col("tok")).distinct()
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitSums = (1 to 16).map(j =>
       sum(when(substring(col("h"), j, 1).isin(hexHi: _*), 1L).otherwise(-1L))

@@ -65,12 +65,11 @@ object LlmQueries extends QueryPack {
     }.mkString("\nUNION ALL\n")
     s"""$TOKS_CTE,
        sh AS (
-         SELECT DISTINCT doc_id, shingle FROM (
-           SELECT doc_id,
-             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle,
-             lead(tok, 2) OVER w AS t2
-           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-         WHERE t2 IS NOT NULL),
+         SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(tk) - 2),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+         WHERE len(tk) >= 3),
        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        bands AS ($bandRows),
        cand AS (

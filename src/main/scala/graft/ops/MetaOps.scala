@@ -25,6 +25,16 @@ object MetaOps {
       dateStart: Option[String] = None, // "YYYY-MM-DD"
       dateEnd: Option[String] = None)
 
+  /** A17 — number of active filter groups, ≤ 4 (`components.rs:681-696`;
+    * the op-type group counts as active when narrowed below the default 3)
+    */
+  def activeFilterCount(p: SnapshotFilterParams): Int =
+    Seq(
+      p.operationTypes.size < 3,
+      p.filesAddedMin.isDefined || p.filesAddedMax.isDefined,
+      p.recordsAddedMin.isDefined || p.recordsAddedMax.isDefined,
+      p.dateStart.isDefined || p.dateEnd.isDefined).count(identity)
+
   /** "YYYY-MM-DD" → epoch millis at 00:00:00 (or 23:59:59) UTC; None on a
     * malformed date — which DISABLES the bound (`components.rs:755-779`).
     */

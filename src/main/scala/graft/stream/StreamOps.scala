@@ -52,9 +52,17 @@ object StreamOps {
     */
   def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // stateful operators allocate one state store per shuffle partition;
+    // size that to the KEY cardinality (hundreds of users/tables here),
+    // not the batch parallelism default — at deployment scale this is the
+    // statefulOperator partitioning knob, set per stream
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 

@@ -15,7 +15,9 @@ object StreamQueries extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_tumbling_counts" -> ((s, dir) => StreamOps.tumblingCounts(s, dir)),
     "st02_session_windows" -> ((s, dir) => StreamOps.sessionCounts(s, dir)),
-    "st03_stream_dedup" -> ((s, dir) => StreamOps.dedupKeys(s, dir))
+    "st03_stream_dedup" -> ((s, dir) => StreamOps.dedupKeys(s, dir)),
+    "st04_incremental_health" -> ((s, _) =>
+      IncrementalHealth.run(s, graft.meta.FixtureCatalog.DefaultDir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -48,6 +50,27 @@ object StreamQueries extends QueryPack {
          WHERE session_end <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""",
 
     "st03_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // final state of the incremental fold == batch aggregation over the
+    // same metadata fixture (op inference mirrors Normalize)
+    "st04_incremental_health" ->
+      s"""WITH s AS (
+           SELECT catalog, namespace, name, ts_ms,
+             CASE WHEN summary IS NULL THEN 'unknown' ELSE coalesce(
+               summary['operation'][1],
+               CASE WHEN len(summary['spark.app.id'])>0 THEN 'append' END,
+               CASE WHEN len(summary['added-data-files'])>0 OR len(summary['added-records'])>0 THEN 'append' END,
+               CASE WHEN len(summary['deleted-data-files'])>0 OR len(summary['deleted-records'])>0 THEN 'delete' END,
+               CASE WHEN len(summary['total-data-files'])>0 THEN 'overwrite' END,
+               'append') END AS op
+           FROM read_parquet('${graft.meta.FixtureCatalog.DefaultDir}/snapshots.parquet/*.parquet'))
+         SELECT catalog, namespace, name, count(*) AS n_snapshots,
+           CAST(sum(CASE WHEN op = 'append' THEN 1 ELSE 0 END) AS BIGINT) AS n_append,
+           CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+           CAST(sum(CASE WHEN op = 'overwrite' THEN 1 ELSE 0 END) AS BIGINT) AS n_overwrite,
+           CAST(sum(CASE WHEN op LIKE '%rewrite%' OR op LIKE '%compact%' THEN 1 ELSE 0 END) AS BIGINT) AS n_compaction,
+           max(ts_ms) AS max_ts_ms
+         FROM s GROUP BY 1, 2, 3"""
   )
 }
