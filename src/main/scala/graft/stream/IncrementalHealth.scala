@@ -74,6 +74,7 @@ object IncrementalHealth {
         GroupStateTimeout.NoTimeout)(update)
     val q = updated.toDF().writeStream.format("memory")
       .queryName("st_incr_health").outputMode("update")
+      .option("checkpointLocation", StreamOps.checkpointDir("incr_health"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     // one batch → at most one emission per table; later batches would

@@ -50,6 +50,19 @@ object StreamOps {
     * materialized result (driver-side table of the sink — small aggregate
     * output only; the heavy lifting stays distributed)
     */
+  /** fast checkpoint root: state-store commits and offset logs fsync every
+    * micro-batch, so checkpoint placement is a first-order streaming cost —
+    * tmpfs locally; on a cluster this is the fast-DFS checkpoint volume
+    */
+  def checkpointDir(name: String): String = {
+    val root = if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(root), s"graft-ckpt-$name-")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     // stateful operators allocate one state store per shuffle partition;
@@ -60,6 +73,7 @@ object StreamOps {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpointDir(name))
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
