@@ -1,0 +1,81 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin matches the plain join result under a hot key") {
+    val s = spark
+    import s.implicits._
+    // 10k rows on ONE key + a tail — the classic hot-key shape
+    val big = ((1 to 10000).map(_ => ("hot", 1)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k50", "B")).toDF("key", "label")
+    val plain = big.join(small, "key").groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedJoin(big, small, "key", saltFactor = 8)
+      .groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("H") == 10000L)
+  }
+
+  test("salted big side spreads the hot key across salt buckets") {
+    val s = spark
+    import s.implicits._
+    val big = (1 to 1000).map(_ => ("hot", 1)).toDF("key", "v")
+    val buckets = big.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      .groupBy("__salt").count().collect()
+    assert(buckets.length == 8) // every bucket gets a share
+    assert(buckets.map(_.getLong(1)).max < 1000) // no bucket holds it all
+  }
+
+  test("approxDistinct is within rsd of exact on the test data") {
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Scale.approxDistinct(li, Seq("l_returnflag"), "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05)
+    }
+  }
+}
+
+/** bucketed tables co-locate join keys at WRITE time, so the join plan
+  * needs no shuffle at READ time — the 100 TB repeated-join pattern
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-key tables join with zero shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    graft.core.Tables.load(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    graft.core.Tables.load(spark, dir, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // the join itself is shuffle-free; only the final tiny groupBy
+      // aggregation may exchange
+      assert(shuffles.size <= 1,
+        s"expected bucketing to remove the join shuffle, got: $shuffles")
+      assert(joined.count() >= 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
