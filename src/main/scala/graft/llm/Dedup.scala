@@ -103,7 +103,11 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = candidatePairs(docs)
+    // the candidate set feeds two branches (intersection join + the final
+    // left join); DataFrame branches get no subplan reuse, so materialize
+    // it once — at corpus scale you persist candidates anyway before the
+    // verify pass
+    val cand = candidatePairs(docs).localCheckpoint()
     val inter = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
