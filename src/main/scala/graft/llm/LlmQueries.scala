@@ -40,8 +40,14 @@ object LlmQueries extends QueryPack {
     "x10_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
     "x11_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
     "x12_media_meta" -> ((s, _) => Multimodal.mediaMeta(media(s))),
-    "x13_frame_sample" -> ((s, _) => Multimodal.frameSample(media(s)))
+    "x13_frame_sample" -> ((s, _) => Multimodal.frameSample(media(s))),
+    "x14_ivf_centroid_topk" -> ((s, dir) =>
+      Similarity.ivfCentroidTopK(embs(s, dir), CentroidIds, nQueries = 10,
+        k = 3))
   )
+
+  /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
+  private val CentroidIds = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -234,6 +240,35 @@ object LlmQueries extends QueryPack {
               / 255.0 AS brightness_stub,
             width, height, duration_ms, sample_rate
           FROM m""",
+
+    "x14_ivf_centroid_topk" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM ev
+                    WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          assigned AS (
+            SELECT vec_id, v, cid AS cell FROM (
+              SELECT vec_id, v, cid,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cid ASC) AS rn
+              FROM (SELECT e.vec_id, e.v, c.cid,
+                      ${cos("e.v", "c.cv")} AS ccos
+                    FROM ev e, cents c))
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell
+                FROM assigned WHERE vec_id < 10),
+          scored AS (
+            SELECT q.q_id, a.vec_id, ${cos("q.qv", "a.v")} AS cos
+            FROM assigned a JOIN q
+              ON a.cell = q.q_cell AND a.vec_id != q.q_id)
+          SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM scored)
+          WHERE rank <= 3"""
+    },
 
     "x13_frame_sample" ->
       s"""WITH m AS (

@@ -76,6 +76,36 @@ object Similarity {
       .filter(col("cos") > minCos)
   }
 
+  /** IVF with a real coarse quantizer: `centroidIds` picks the centroid
+    * vectors (the deterministic stand-in for a k-means "train" step);
+    * every vector is assigned to its nearest centroid (broadcast of the
+    * tiny centroid set, one scan), and a query probes ONLY its own
+    * cell — candidate work drops from N to ~N/cells per query. nprobe>1
+    * is the same join on a top-n assignment set.
+    */
+  def ivfCentroidTopK(embeddings: DataFrame, centroidIds: Seq[Long],
+      nQueries: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // assignment = argmax cosine over the centroid set (ties → lowest cid)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cell").as("q_cell"))
+    val scored = assigned.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+  }
+
   /** IVF-style probed top-k: the coarse quantizer here is the `label`
     * column (cluster id); each query scores ONLY its own cluster's
     * vectors (1-probe). Equi-join on the cluster key — the sub-linear
