@@ -20,7 +20,11 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores)
+      // shuffle parallelism defaults to the core count but is its own
+      // knob (a cluster sizes it to executors × cores; tiny local inputs
+      // can size it down to cut per-reducer fixed overhead)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

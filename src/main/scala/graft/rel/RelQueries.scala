@@ -383,6 +383,33 @@ object RelQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sumD2($"o_totalprice").as("total"))
     }),
 
+    "q26_range_join_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      // range join done the scalable way: pairs of events by the same user
+      // within 10 minutes of each other. Naive form is an inequality-only
+      // join (BNLJ, quadratic); here each event lands in a 600 s time
+      // bucket and candidates come from an EQUI-join on (user, bucket)
+      // with the probe side expanded to its adjacent buckets — any pair
+      // within 600 s shares or neighbors a bucket, so the equi-join is
+      // exhaustive and the final range predicate is exact.
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("us"))
+      val bucket = expr("us div 600000000") // integer division: exact buckets
+      val l = ev.withColumn("b", explode(array(bucket - 1, bucket, bucket + 1)))
+        .select($"user_id", $"b", $"event_id".as("id_a"), $"us".as("us_a"),
+          $"event_type".as("type_a"))
+      val r = ev.withColumn("b", bucket)
+        .select($"user_id", $"b", $"event_id".as("id_b"), $"us".as("us_b"),
+          $"event_type".as("type_b"))
+      l.join(r, Seq("user_id", "b"))
+        .filter($"id_a" < $"id_b" &&
+          abs($"us_a" - $"us_b") <= 600000000L)
+        .select($"user_id", $"id_a", $"id_b", $"type_a", $"type_b",
+          (abs($"us_a" - $"us_b") / lit(1000000L)).cast("long").as("gap_s"))
+        .distinct()
+    }),
+
     "q24_scalar_lib" -> ((s, dir) => {
       import s.implicits._
       // scalar-library sweep (SURVEY §2.9): conditional (coalesce/nullif),
@@ -573,6 +600,17 @@ object RelQueries extends QueryPack {
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1, 2, 3""",
+    "q26_range_join_bucketed" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events)
+         SELECT DISTINCT a.user_id AS user_id, a.event_id AS id_a,
+           b.event_id AS id_b, a.event_type AS type_a,
+           b.event_type AS type_b,
+           CAST(floor(abs(a.us - b.us) / 1000000) AS BIGINT) AS gap_s
+         FROM ev a JOIN ev b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(a.us - b.us) <= 600000000""",
     "q24_scalar_lib" ->
       """WITH p0 AS (SELECT *, string_split(p_name, ' ') AS toks FROM part)
          SELECT p_partkey,
