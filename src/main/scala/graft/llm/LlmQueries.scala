@@ -43,7 +43,9 @@ object LlmQueries extends QueryPack {
     "x13_frame_sample" -> ((s, _) => Multimodal.frameSample(media(s))),
     "x14_ivf_centroid_topk" -> ((s, dir) =>
       Similarity.ivfCentroidTopK(embs(s, dir), CentroidIds, nQueries = 10,
-        k = 3))
+        k = 3)),
+    "x15_native_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopKNative(embs(s, dir), nQueries = 10, k = 5))
   )
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
@@ -136,6 +138,19 @@ object LlmQueries extends QueryPack {
           b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
           SELECT doc_id, $fp AS simhash16 FROM b"""
     },
+
+    // identical oracle as x05: the native expression must reproduce the
+    // higher-order composition bit-for-bit
+    "x15_native_cosine_topk" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
+          scored AS (
+            SELECT q.q_id, e.vec_id, $COS AS cos
+            FROM ev e JOIN q ON e.vec_id != q.q_id)
+          SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM scored)
+          WHERE rank <= 5""",
 
     "x05_cosine_topk" ->
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -52,6 +52,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[bruteForceTopK]] driven by the native codegen'd
+    * [[graft.functions.CosineSim]] expression instead of the higher-order
+    * composition — bit-identical results (same accumulation order), one
+    * fused loop inside whole-stage codegen.
+    */
+  def bruteForceTopKNative(embeddings: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(qv, v)").as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** 8-bit sign bucket: the sign pattern of the first 8 dimensions — a
     * degenerate-but-deterministic random-hyperplane LSH (axis-aligned
     * hyperplanes), shared by construction between engines.
