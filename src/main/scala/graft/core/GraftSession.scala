@@ -29,6 +29,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native expression registration for every session (SURVEY §4)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;
       // read as long nanos and convert once at ingest (Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

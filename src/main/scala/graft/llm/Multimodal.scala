@@ -96,6 +96,38 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       mean_byte: Double, max_byte: Int)
 
+  /** resized-media record: payload replaced by the re-encoded bytes,
+    * metadata updated to the target geometry
+    */
+  case class ResizedMedia(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Option[Int], height: Option[Int])
+
+  /** batch-wise resize for image media — the same `mapPartitions` decode
+    * seam as [[decodeFeatures]]. STUB: a real implementation decodes,
+    * scales, and re-encodes per batch; here the "resized" payload keeps
+    * the container magic and deterministically downsamples the body to
+    * the area ratio, so downstream schema/size expectations are
+    * exercised without a codec.
+    */
+  def resizeStub(media: Dataset[MediaFx], targetW: Int,
+      targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { batch =>
+      batch.map { m =>
+        val ratio = (targetW.toLong * targetH).toDouble /
+          (m.width.getOrElse(1).toLong * m.height.getOrElse(1)).toDouble
+        val body = m.payload.drop(4)
+        val keep = math.max(1, math.min(body.length,
+          math.round(body.length * ratio).toInt))
+        val sampled = Array.tabulate(keep)(i =>
+          body((i.toLong * body.length / keep).toInt))
+        ResizedMedia(m.media_id, m.kind, m.payload.take(4) ++ sampled,
+          Some(targetW), Some(targetH))
+      }
+    }
+  }
+
   /** batch-wise decode over a typed Dataset — the `mapPartitions` seam
     * where a real codec (JNI/FFI or Arrow hand-off) would run per batch.
     * STUB: statistics over raw bytes stand in for decoded content.

@@ -151,6 +151,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.n_bytes > 4 && f.mean_byte >= 0 && f.max_byte <= 255))
   }
 
+  test("resize stub preserves magic, scales body by area ratio, retags dims") {
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.resizeStub(Multimodal.mediaRows.toDS(), 320, 240)
+      .collect().sortBy(_.media_id)
+    assert(out.forall(_.kind == "image")) // timed media not resized
+    assert(out.forall(r => r.width.contains(320) && r.height.contains(240)))
+    val orig = Multimodal.mediaRows.map(m => m.media_id -> m).toMap
+    out.foreach { r =>
+      assert(r.payload.take(4).sameElements(orig(r.media_id).payload.take(4)))
+      assert(r.payload.length < orig(r.media_id).payload.length) // downscale
+    }
+    // deterministic
+    val again = Multimodal.resizeStub(Multimodal.mediaRows.toDS(), 320, 240)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
   test("frame sampling yields duration/1000 + 1 rows per timed media") {
     val s = spark
     import s.implicits._
