@@ -147,24 +147,28 @@ object RelQueries extends QueryPack {
       // accumulate doubles in engine-specific order, which is a rounding-
       // boundary hash risk (ADVICE r1). Moment sums are also the mergeable
       // / partial-aggregable form, so this IS the 100 TB-friendly plan.
+      //
+      // Moments are computed over the SMALL-magnitude columns (quantity,
+      // discount): their scaled decimal sums stay below 2^53, so the
+      // decimal→double cast is exactly representable in both engines —
+      // large sums like Σ price² land in the range where DuckDB's
+      // decimal→double conversion can differ from the JVM's by one ulp
+      // (caught at sf0.001).
       val q = $"l_quantity".cast("decimal(12,2)")
-      val p = d2($"l_extendedprice")
       val d = $"l_discount".cast("decimal(3,2)")
       t(s, dir, "lineitem").groupBy($"l_returnflag")
         .agg(
           count(lit(1)).cast("double").as("n"),
-          sum(p).cast("double").as("sp"),
-          sum(p * p).cast("double").as("spp"),
           sum(q).cast("double").as("sq"),
           sum(q * q).cast("double").as("sqq"),
-          sum(q * p).cast("double").as("sqp"),
+          sum(q * d).cast("double").as("sqd"),
           sum(d).cast("double").as("sd"),
           sum(d * d).cast("double").as("sdd"))
         .select($"l_returnflag",
-          sqrt(($"spp" - $"sp" * $"sp" / $"n") / ($"n" - 1)).as("sd_price"),
-          (($"n" * $"sqp" - $"sq" * $"sp") /
+          sqrt(($"sqq" - $"sq" * $"sq" / $"n") / ($"n" - 1)).as("sd_qty"),
+          (($"n" * $"sqd" - $"sq" * $"sd") /
             (sqrt($"n" * $"sqq" - $"sq" * $"sq") *
-              sqrt($"n" * $"spp" - $"sp" * $"sp"))).as("corr_qty_price"),
+              sqrt($"n" * $"sdd" - $"sd" * $"sd"))).as("corr_qty_disc"),
           (($"sdd" - $"sd" * $"sd" / $"n") / ($"n" - 1)).as("var_disc"))
     }),
 
@@ -306,8 +310,13 @@ object RelQueries extends QueryPack {
 
     "q11_running_revenue" -> ((s, dir) => {
       import s.implicits._
+      // (l_orderkey, l_linenumber) is NOT unique in this data — ties must
+      // also order by the accumulated value (l_quantity) or the running
+      // sums at tied rows are engine-order-dependent (caught at sf0.1);
+      // rows tied on all four columns are interchangeable for this output
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+          $"l_quantity".asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .withColumn("running_qty", sum(d2($"l_quantity")).over(w).cast("double"))
@@ -540,7 +549,8 @@ object RelQueries extends QueryPack {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
            PARTITION BY l_suppkey
-           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                    l_quantity ASC
            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
          FROM lineitem""",
     "q12_distinct_counts" ->
@@ -659,18 +669,16 @@ object RelQueries extends QueryPack {
       """WITH m AS (
            SELECT l_returnflag,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
              CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sqd,
              CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sd,
              CAST(sum(CAST(l_discount AS DECIMAL(3,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sdd
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag,
-           sqrt((spp - sp * sp / n) / (n - 1)) AS sd_price,
-           (n * sqp - sq * sp) /
-             (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qty_price,
+           sqrt((sqq - sq * sq / n) / (n - 1)) AS sd_qty,
+           (n * sqd - sq * sd) /
+             (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)) AS corr_qty_disc,
            (sdd - sd * sd / n) / (n - 1) AS var_disc
          FROM m"""
   )
