@@ -188,6 +188,36 @@ object Health {
         lit("degrading").as("storage_growth_trend")): _*)
   }
 
+  /** A16 honest upgrade (SURVEY §2.5 flags the reference's trends as a
+    * hardcoded stub reproduced for parity in [[healthScore]]): real trend
+    * directions from least-squares slopes over the recent snapshot
+    * history — `regr_slope` of total-size and of snapshot COUNT per day
+    * bucket, classified by a relative-slope threshold. Partial-aggregable
+    * (regression moments merge), one pass.
+    */
+  def trendsExact(snapshots: DataFrame, recentN: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*).orderBy(col("ts_ms").desc)
+    val recent = snapshots.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= recentN)
+    val sizeSlope = expr(
+      s"regr_slope(coalesce(total_size_bytes, 0.0) / 1073741824.0, ts_ms / ${DAY_MS.toDouble})")
+    def direction(slope: Column, scale: Column): Column =
+      when(slope.isNull || scale === 0.0, "stable")
+        .when(slope / scale > 0.05, "degrading") // growing fast
+        .when(slope / scale < -0.05, "improving")
+        .otherwise(lit("stable"))
+    recent.groupBy(key.map(col): _*)
+      .agg(sizeSlope.as("size_slope_gb_per_day"),
+        (max(coalesce(col("total_size_bytes"), lit(0.0))) / GB)
+          .as("size_gb"),
+        count(lit(1)).as("n_recent"))
+      .select(key.map(col) ++ Seq(
+        col("size_slope_gb_per_day"),
+        direction(col("size_slope_gb_per_day"), col("size_gb"))
+          .as("storage_growth_trend")): _*)
+  }
+
   /** A13 — category sub-scores + status labels
     * (`components.rs:1881-1946`; failed_operations is the reference's
     * hardwired 0).

@@ -103,6 +103,18 @@ class HealthSpec extends SparkSpec {
     assert(scores.forall(_ >= 10.0))
   }
 
+  test("honest trend upgrade: regr_slope directions over recent history") {
+    val t = Health.trendsExact(cat.snapshots(spark)).collect()
+      .map(r => r.getAs[String]("name") ->
+        r.getAs[String]("storage_growth_trend")).toMap
+    assert(t("features") == "degrading") // ~800 GB/day growth
+    // one end-of-history drop over a 52-day ramp stays under the ±5%
+    // relative-slope threshold
+    assert(t("orders_cold") == "stable")
+    assert(!t.contains("scratch")) // no history, no trend row
+    assert(t.values.toSet.subsetOf(Set("improving", "stable", "degrading")))
+  }
+
   test("sub-scores and statuses (components.rs:1881-1946)") {
     val sub = Health.subScores(metrics).collect()
       .map(r => r.getAs[String]("name") -> r).toMap
