@@ -392,6 +392,40 @@ object RelQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sumD2($"o_totalprice").as("total"))
     }),
 
+    "q27_grouping_sets" -> ((s, dir) => {
+      // A20's third shape (rollup/cube covered by q07/q08): explicit
+      // GROUPING SETS through the SQL entry point, with grouping_id to
+      // disambiguate the null super-aggregate rows
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())""")
+    }),
+
+    "q28_sql_decorrelated" -> ((s, dir) => {
+      // correlated subqueries through the SQL surface — Catalyst
+      // decorrelates the EXISTS and the correlated scalar subquery into
+      // joins (SURVEY §4's optimizer-coverage row); the DataFrame-API
+      // equivalents are q04/q16/q23
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v2")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM orders_v2 o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_v c
+        WHERE c_acctbal > 9000
+          AND EXISTS (SELECT 1 FROM orders_v2 o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)""")
+    }),
+
     "q26_range_join_bucketed" -> ((s, dir) => {
       import s.implicits._
       // range join done the scalable way: pairs of events by the same user
@@ -610,6 +644,24 @@ object RelQueries extends QueryPack {
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1, 2, 3""",
+    "q27_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority), ())""",
+    "q28_sql_decorrelated" ->
+      """SELECT c_custkey, c_name,
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE c_acctbal > 9000
+           AND EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 200000)""",
     "q26_range_join_bucketed" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS us
