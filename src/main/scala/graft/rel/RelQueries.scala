@@ -392,6 +392,24 @@ object RelQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sumD2($"o_totalprice").as("total"))
     }),
 
+    "q29_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      // wide→long reshape via the native unpivot operator (a generate,
+      // no shuffle) followed by a per-measure decimal-exact aggregate
+      val m = t(s, dir, "lineitem").select(
+        $"l_orderkey",
+        d2($"l_quantity").cast("double").as("quantity"),
+        d2($"l_extendedprice").cast("double").as("extendedprice"),
+        $"l_discount".cast("decimal(3,2)").cast("double").as("discount"))
+      m.unpivot(Array($"l_orderkey"),
+          Array($"quantity", $"extendedprice", $"discount"),
+          "measure", "value")
+        .groupBy($"measure")
+        .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("total"),
+          count(lit(1)).as("n"),
+          min($"value").as("vmin"), max($"value").as("vmax"))
+    }),
+
     "q27_grouping_sets" -> ((s, dir) => {
       // A20's third shape (rollup/cube covered by q07/q08): explicit
       // GROUPING SETS through the SQL entry point, with grouping_id to
@@ -644,6 +662,23 @@ object RelQueries extends QueryPack {
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1, 2, 3""",
+    "q29_unpivot" ->
+      """WITH long AS (
+           SELECT 'quantity' AS measure,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS value
+           FROM lineitem
+           UNION ALL
+           SELECT 'extendedprice',
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'discount',
+             CAST(CAST(l_discount AS DECIMAL(3,2)) AS DOUBLE)
+           FROM lineitem)
+         SELECT measure,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           count(*) AS n, min(value) AS vmin, max(value) AS vmax
+         FROM long GROUP BY measure""",
     "q27_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
          CAST(grouping(o_orderstatus) AS INT) AS g_status,
