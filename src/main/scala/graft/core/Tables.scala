@@ -18,16 +18,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    name match {
-      case "events" if df.schema("ts").dataType == LongType =>
-        // long nanos since epoch -> timestamp (micros, truncating).
-        // Integer DIV: a double division would lose precision at 1e18 nanos.
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => df
-    }
-  }
+  // resolved-relation memo: every spark.read.parquet pays a fresh file
+  // listing + footer/schema read on the driver; the fixture tables are
+  // immutable, so the analyzed DataFrame (and its FileIndex) is reused
+  // across queries — the local analogue of a shared catalog relation
+  // cache on a cluster
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      name match {
+        case "events" if df.schema("ts").dataType == LongType =>
+          // long nanos since epoch -> timestamp (micros, truncating).
+          // Integer DIV: double division would lose precision at 1e18 ns.
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ => df
+      }
+    })
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =
