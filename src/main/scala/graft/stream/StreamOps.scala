@@ -96,6 +96,21 @@ object StreamOps {
         col("count").as("n"))
   }
 
+  /** T3 sliding variant — 1-hour windows sliding every 15 minutes
+    * (each event contributes to 4 overlapping windows), counts per
+    * (window, event_type) with watermarked event time.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .count()
+    runToTable(agg, "st_sliding", "complete")
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("count").as("n"))
+  }
+
   /** T5 — 30-minute session windows per user (append mode: only sessions
     * FINALIZED by the advancing watermark are emitted — sessions still
     * open at end-of-input stay in state; the oracle applies the same

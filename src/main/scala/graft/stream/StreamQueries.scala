@@ -17,7 +17,8 @@ object StreamQueries extends QueryPack {
     "st02_session_windows" -> ((s, dir) => StreamOps.sessionCounts(s, dir)),
     "st03_stream_dedup" -> ((s, dir) => StreamOps.dedupKeys(s, dir)),
     "st04_incremental_health" -> ((s, _) =>
-      IncrementalHealth.run(s, graft.meta.FixtureCatalog.DefaultDir))
+      IncrementalHealth.run(s, graft.meta.FixtureCatalog.DefaultDir)),
+    "st05_sliding_counts" -> ((s, dir) => StreamOps.slidingCounts(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -51,6 +52,19 @@ object StreamQueries extends QueryPack {
 
     "st03_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // sliding windows: every event lands in the 4 hour-long windows whose
+    // starts are the 15-min buckets at offsets 0..3 behind it
+    "st05_sliding_counts" ->
+      """WITH w AS (
+           SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+                    - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
+                  event_type
+           FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+         SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n
+         FROM w GROUP BY 1, 2, 3""",
 
     // final state of the incremental fold == batch aggregation over the
     // same metadata fixture (op inference mirrors Normalize)
