@@ -51,6 +51,31 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def alerts: DataFrame = Health.alerts(metricsDf, asOfMs)
   def recommendations: DataFrame =
     Health.recommendations(alerts, meta)
+  def trends: DataFrame = Health.trendsExact(snaps)
+
+  // ---- training-data pipeline (X3-X6) over caller-supplied frames ----
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.exactGroups(docs)
+  def nearDupCandidates(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.candidatePairs(docs)
+  def nearDupVerified(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.jaccardOnCandidates(docs)
+  def similarTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+    graft.llm.Similarity.bruteForceTopKNative(embeddings, nQueries, k)
+  def tokenStats(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.tokenStats(docs)
+  def languageId(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.langId(docs)
+  def qualityScores(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.qualityScore(docs)
+
+  // ---- streaming (T3-T7) ---------------------------------------------
+  def streamingTumblingCounts(eventsDir: String): DataFrame =
+    graft.stream.StreamOps.tumblingCounts(spark, eventsDir)
+  def streamingSessions(eventsDir: String): DataFrame =
+    graft.stream.StreamOps.sessionCounts(spark, eventsDir)
+  def incrementalHealth(fixtureDir: String): DataFrame =
+    graft.stream.IncrementalHealth.run(spark, fixtureDir)
 }
 
 object Engine {

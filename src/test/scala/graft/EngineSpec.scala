@@ -24,5 +24,16 @@ class EngineSpec extends SparkSpec {
     assert(eng.healthScores.count() == 6)
     assert(eng.alerts.count() == 4)
     assert(eng.recommendations.count() == 9)
+    assert(eng.trends.count() == 5) // scratch has no history
+  }
+
+  test("pipeline extensions through the facade") {
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val embs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(eng.exactDupGroups(docs).count() == 500)
+    assert(eng.tokenStats(docs).count() == 500)
+    assert(eng.similarTopK(embs, nQueries = 2, k = 3).count() == 6)
   }
 }
