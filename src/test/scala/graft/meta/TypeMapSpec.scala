@@ -96,3 +96,12 @@ class TypeMapSpec extends AnyFunSuite {
       Seq((0, "a"), (0, "b"), (1, "c"), (1, "d"), (2, "e")))
   }
 }
+
+class TypeMapNegativeSpec extends AnyFunSuite {
+  test("malformed type strings raise instead of mis-parsing") {
+    Seq("decimal(10)", "list<", "map<string>", "struct<a int>", "wibble",
+      "int extra").foreach { bad =>
+      assertThrows[IllegalArgumentException](TypeMap.parse(bad))
+    }
+  }
+}

@@ -91,3 +91,19 @@ class FilterSpec extends SparkSpec {
     }
   }
 }
+
+class FilterAlgebraSpec extends graft.SparkSpec {
+  test("snapshot filter is idempotent and monotone in its bounds") {
+    val cat = graft.meta.FixtureCatalog.default
+    val snaps = cat.snapshots(spark)
+    val p = MetaOps.SnapshotFilterParams(
+      filesAddedMin = Some(10), recordsAddedMax = Some(6000))
+    val once = snaps.filter(MetaOps.snapshotFilter(p))
+    assert(once.filter(MetaOps.snapshotFilter(p)).count() == once.count())
+    val looser = p.copy(filesAddedMin = Some(5))
+    assert(snaps.filter(MetaOps.snapshotFilter(looser)).count() >= once.count())
+    val all = snaps.filter(MetaOps.snapshotFilter(
+      MetaOps.SnapshotFilterParams(operationTypes = Seq.empty))).count()
+    assert(all == snaps.count()) // no active bounds ⇒ pass-through
+  }
+}
