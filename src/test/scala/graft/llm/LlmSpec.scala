@@ -103,14 +103,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.sameElements(ranks.sorted(Ordering[Double].reverse)))
   }
 
-  test("sign-bucket LSH pairs only form within a bucket") {
+  test("hyperplane seeds are deterministic, ±1, and band-distinct") {
+    val a = Similarity.hyperplanes(4, 16, 64)
+    val b = Similarity.hyperplanes(4, 16, 64)
+    assert(a.map(_.map(_.toSeq)) == b.map(_.map(_.toSeq)))
+    assert(a.flatten.flatten.forall(w => w == 1 || w == -1))
+    // bands use distinct hyperplanes (md5 seed includes the band index)
+    assert(a(0).map(_.toSeq).toSet != a(1).map(_.toSeq).toSet)
+    // roughly balanced signs (md5 top bit ~ fair coin over 4096 draws)
+    val pos = a.flatten.flatten.count(_ == 1).toDouble / (4 * 16 * 64)
+    assert(pos > 0.4 && pos < 0.6)
+  }
+
+  test("hyperplane LSH: scaled copy always pairs, negation never does") {
+    // powers of two → no ±1-weighted projection can be exactly zero, so
+    // the negated vector flips EVERY bit in EVERY band
+    val v = Seq(1f, 2f, 4f, 8f, 16f, 32f, 64f, 128f)
     val df = embDf(Seq(
-      (0L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), 0),
-      (1L, Seq(2f, 2f, 2f, 2f, 2f, 2f, 2f, 2f), 0), // same signs → same bucket
-      (2L, Seq(-1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), 0))) // differs in dim 1
-    val pairs = Similarity.lshNearDup(df, minCos = 0.5).collect()
+      (0L, v, 0),
+      (1L, v.map(_ * 2f), 0), // positive scale: identical projections' signs
+      (2L, v.map(-_), 0)))
+    val pairs = Similarity.lshNearDup(df, minCos = 0.5, nBands = 4,
+        bitsPerBand = 8, dim = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("more bands can only add candidate pairs (recall is monotone)") {
+    val vs = (0L until 30L).map(i =>
+      (i, (1 to 16).map(d => math.sin(i * 31 + d * 7).toFloat), 0))
+    def pairsWith(bands: Int) = Similarity.lshNearDup(embDf(vs),
+        minCos = -2.0, nBands = bands, bitsPerBand = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairsWith(1); val four = pairsWith(4)
+    assert(one.subsetOf(four))
   }
 
   test("IVF probe restricts candidates to the query's cluster") {
