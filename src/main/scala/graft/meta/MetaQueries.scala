@@ -134,7 +134,12 @@ object MetaQueries extends QueryPack {
           explode(col("config")).as(Seq("key", "value")))
         .select(col("name"), col("catalog_type"), col("key"),
           Normalize.maskSecret(col("key"), col("value")).as("value"))
-    })
+    }),
+
+    // A16 honest-trend scale path: regr_slope moments are engine-internal
+    // double folds, so no bit-exact oracle — driver records a rows-only
+    // check (r2 verdict task 6); HealthSpec pins the classification.
+    "m22_trends_exact" -> ((s, _) => Health.trendsExact(cat.snapshots(s)))
   )
 
   private def metrics(s: SparkSession): DataFrame =

@@ -481,7 +481,13 @@ object RelQueries extends QueryPack {
         .groupBy($"event_type")
         .agg(sum($"k").as("sum_k"), count($"k").as("n_k"),
           max($"k").as("max_k"))
-    })
+    }),
+
+    // A21 scale path: approx_percentile sketches are engine-internal, so
+    // no bit-exact oracle — driver records a rows-only check (r2 verdict
+    // task 6); MetaOpsSpec asserts the approx answers bracket q13's exact
+    // interpolation.
+    "q30_percentiles_approx" -> ((s, dir) => percentilesApprox(s, dir))
   )
 
   /** 100 TB scale path for q13: `approx_percentile` is a mergeable KLL-style

@@ -55,7 +55,8 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = nskip = 0
     allq = sorted(set(list(oracle.keys()) +
-        [g.split('/')[-1] for g in glob.glob(f"{outdir}/q*")]))
+        [g.split('/')[-1] for g in glob.glob(f"{outdir}/[qmxs]*")
+         if not g.endswith('.json')]))
     for name in allq:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
