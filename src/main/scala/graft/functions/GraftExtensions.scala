@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children.head, children(1))
       }))
+    ext.injectFunction(IcebergHash.info)
   }
 }

@@ -139,7 +139,24 @@ object MetaQueries extends QueryPack {
     // A16 honest-trend scale path: regr_slope moments are engine-internal
     // double folds, so no bit-exact oracle — driver records a rows-only
     // check (r2 verdict task 6); HealthSpec pins the classification.
-    "m22_trends_exact" -> ((s, _) => Health.trendsExact(cat.snapshots(s)))
+    "m22_trends_exact" -> ((s, _) => Health.trendsExact(cat.snapshots(s))),
+
+    // P6 companion — partition-transform EVALUATION (r2 verdict task 4):
+    // every Iceberg transform applied to live rows, incl. the spec'd
+    // 32-bit murmur3 bucket via the native iceberg_hash expression
+    "m21_transform_eval" -> ((s, dir) => {
+      val ev = graft.core.Tables.load(s, dir, "events")
+      ev.select(col("event_id"),
+        Transforms.bucket(col("user_id"), 16).as("uid_bucket16"),
+        Transforms.bucket(col("event_id"), 32).as("eid_bucket32"),
+        Transforms.truncString(col("event_type"), 3).as("etype_trunc3"),
+        Transforms.truncLong(col("user_id"), 100).as("uid_trunc100"),
+        Transforms.yearT(col("ts")).as("ts_year"),
+        Transforms.monthT(col("ts")).as("ts_month"),
+        Transforms.dayT(col("ts")).as("ts_day"),
+        Transforms.hourT(col("ts")).as("ts_hour"),
+        Transforms.voidT.as("ts_void"))
+    })
   )
 
   private def metrics(s: SparkSession): DataFrame =
@@ -519,6 +536,73 @@ object MetaQueries extends QueryPack {
             CASE WHEN e.key = 'auth_token' AND e.value != ''
                  THEN '***HIDDEN***' ELSE e.value END AS value
           FROM (SELECT name, catalog_type, unnest(map_entries(config)) AS e
-                FROM read_parquet('$F/app_config.parquet/*.parquet'))"""
+                FROM read_parquet('$F/app_config.parquet/*.parquet'))""",
+
+    "m21_transform_eval" -> m21Sql
   )
+
+  // ------------------------------------------------------------------
+  // m21 oracle: Iceberg 32-bit murmur3 unrolled as 32-bit-masked UBIGINT
+  // arithmetic (an INDEPENDENT implementation of the spec'd hash — the
+  // Spark side runs the native IcebergHash expression). Validated against
+  // the Iceberg spec vector hash(34) = 2017239379.
+  // ------------------------------------------------------------------
+
+  /** one murmur3_x86_32(le_bytes(long), seed 0) step chain under name
+    * prefix `p`; inputs `p_k1`/`p_k2` are the low/high 32-bit words
+    */
+  private def murmurSteps(p: String): Seq[(String, String)] = {
+    val M = "4294967295"
+    // (x * c) mod 2^32 without UBIGINT overflow: split x into 16-bit halves
+    def mul32(x: String, c: Long) =
+      s"((($x & 65535) * $c + (((($x >> 16) * $c) & 65535) << 16)) & $M)"
+    def rotl(x: String, r: Int) =
+      s"((($x << $r) | ($x >> ${32 - r})) & $M)"
+    Seq(
+      s"${p}_t1" -> mul32(s"${p}_k1", 3432918353L), // k1 * c1
+      s"${p}_t2" -> rotl(s"${p}_t1", 15),
+      s"${p}_t3" -> mul32(s"${p}_t2", 461845907L), // k1 * c2; h = 0 ^ k1
+      s"${p}_h2" -> rotl(s"${p}_t3", 13),
+      s"${p}_h3" -> s"((${p}_h2 * 5 + 3864292196) & $M)",
+      s"${p}_u1" -> mul32(s"${p}_k2", 3432918353L), // second block
+      s"${p}_u2" -> rotl(s"${p}_u1", 15),
+      s"${p}_u3" -> mul32(s"${p}_u2", 461845907L),
+      s"${p}_h4" -> s"xor(${p}_h3, ${p}_u3)",
+      s"${p}_h5" -> rotl(s"${p}_h4", 13),
+      s"${p}_h6" -> s"((${p}_h5 * 5 + 3864292196) & $M)",
+      s"${p}_f1" -> s"xor(${p}_h6, 8)", // finalize: h ^= len(8 bytes)
+      s"${p}_f2" -> s"xor(${p}_f1, ${p}_f1 >> 16)",
+      s"${p}_f3" -> mul32(s"${p}_f2", 2246822507L),
+      s"${p}_f4" -> s"xor(${p}_f3, ${p}_f3 >> 13)",
+      s"${p}_f5" -> mul32(s"${p}_f4", 3266489909L),
+      s"${p}_f6" -> s"xor(${p}_f5, ${p}_f5 >> 16)")
+  }
+
+  private def m21Sql: String = {
+    val a = murmurSteps("a") // user_id chain
+    val b = murmurSteps("b") // event_id chain
+    val layers = a.zip(b).zipWithIndex.map { case (((an, ae), (bn, be)), i) =>
+      s"s${i + 1} AS (SELECT *, $ae AS $an, $be AS $bn FROM s$i)"
+    }
+    val last = s"s${a.size}"
+    s"""WITH s0 AS (
+          SELECT event_id, user_id, event_type, ts,
+            CAST(user_id AS UBIGINT) & 4294967295 AS a_k1,
+            (CAST(user_id AS UBIGINT) >> 32) & 4294967295 AS a_k2,
+            CAST(event_id AS UBIGINT) & 4294967295 AS b_k1,
+            (CAST(event_id AS UBIGINT) >> 32) & 4294967295 AS b_k2
+          FROM events),
+        ${layers.mkString(",\n        ")}
+        SELECT event_id,
+          CAST((a_f6 & 2147483647) % 16 AS INT) AS uid_bucket16,
+          CAST((b_f6 & 2147483647) % 32 AS INT) AS eid_bucket32,
+          substr(event_type, 1, 3) AS etype_trunc3,
+          user_id - ((user_id % 100 + 100) % 100) AS uid_trunc100,
+          CAST(year(ts) - 1970 AS INT) AS ts_year,
+          CAST((year(ts) - 1970) * 12 + (month(ts) - 1) AS INT) AS ts_month,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS ts_day,
+          date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_hour,
+          CAST(NULL AS INT) AS ts_void
+        FROM $last"""
+  }
 }
