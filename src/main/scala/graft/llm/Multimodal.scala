@@ -8,36 +8,49 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real: binary payloads with magic-sniffing,
   * typed metadata struct, batch-wise decode via `mapPartitions` over a
-  * typed Dataset (the JVM analogue of an Arrow-batched decode UDF). The
-  * DECODE ITSELF is a clearly-marked deterministic STUB — no image/audio
-  * codec exists in this container — so the schema/partitioning/batch
-  * contract is exercised end-to-end while the pixel math is fake.
+  * typed Dataset (the JVM analogue of an Arrow-batched decode UDF). PNG
+  * rows are REAL images decoded with the JDK's `javax.imageio`
+  * ([[PngCodec]], r2 verdict task 5) — width/height/brightness come from
+  * actual pixels. JPEG/WAV/MP4 decode remains a clearly-marked
+  * deterministic STUB (no codec for those in this container), so their
+  * schema/partitioning/batch contract is exercised while the pixel math
+  * is fake.
   */
 object Multimodal {
 
+  /** fixture row; `px_brightness` is the EXPECTED pixel statistic for PNG
+    * rows, computed from the source image at fixture-authoring time (the
+    * oracle reads it; the engine must re-derive it from the bytes)
+    */
   case class MediaFx(
       media_id: Long, kind: String, payload: Array[Byte],
       width: Option[Int], height: Option[Int],
-      duration_ms: Option[Long], sample_rate: Option[Int])
+      duration_ms: Option[Long], sample_rate: Option[Int],
+      px_brightness: Option[Double])
 
   /** deterministic payload: 4-byte magic + pseudo-random-but-fixed body */
   private def body(id: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((id * 31 + i * 7 + 13) % 256).toByte)
 
-  private val PNG = Array(0x89, 'P', 'N', 'G').map(_.toByte)
   private val JPG = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
   private val WAV = "RIFF".getBytes("UTF-8")
   private val MP4 = Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("UTF-8")
 
   def mediaRows: Seq[MediaFx] =
-    (0L until 4L).map(i => MediaFx(i, "image", PNG ++ body(i, 64 + i.toInt),
-      Some(640), Some(480), None, None)) ++
+    (0L until 4L).map { i =>
+      // real PNGs: deterministic pixel pattern, varying dimensions;
+      // metadata width/height = actual encoded dimensions
+      val (w, h) = (16 + 4 * i.toInt, 12 + 3 * i.toInt)
+      val img = PngCodec.testImage(i, w, h)
+      MediaFx(i, "image", PngCodec.encode(img), Some(w), Some(h), None,
+        None, Some(PngCodec.brightness(img)))
+    } ++
       (4L until 7L).map(i => MediaFx(i, "image", JPG ++ body(i, 80),
-        Some(1024), Some(768), None, None)) ++
+        Some(1024), Some(768), None, None, None)) ++
       (7L until 10L).map(i => MediaFx(i, "audio", WAV ++ body(i, 96),
-        None, None, Some(3000L + i * 500), Some(16000))) ++
+        None, None, Some(3000L + i * 500), Some(16000), None)) ++
       (10L until 12L).map(i => MediaFx(i, "video", MP4 ++ body(i, 128),
-        Some(1920), Some(1080), Some(4000L + i * 1000), None))
+        Some(1920), Some(1080), Some(4000L + i * 1000), None, None))
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
   def main(args: Array[String]): Unit = {
@@ -50,13 +63,45 @@ object Multimodal {
     spark.stop()
   }
 
-  /** metadata extraction — pure expressions over the binary column:
-    * magic-based container sniffing, byte size, content hash, and a fake
-    * brightness derived from payload byte 5 (decode STUB).
+  /** input row for the decode pass (fixture schema MINUS the expected
+    * columns — the engine must not peek at px_brightness)
+    */
+  case class MediaIn(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Option[Int], height: Option[Int],
+      duration_ms: Option[Long], sample_rate: Option[Int])
+
+  /** [[MediaIn]] + decoded pixel stats (None for non-PNG payloads) */
+  case class MediaDec(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Option[Int], height: Option[Int],
+      duration_ms: Option[Long], sample_rate: Option[Int],
+      dec_width: Option[Int], dec_height: Option[Int],
+      dec_brightness: Option[Double])
+
+  /** single embarrassingly-parallel decode pass: one `mapPartitions`, no
+    * shuffle, no join — the row rides through with its decoded stats
+    * attached. PNG decodes for real ([[PngCodec]]); other containers
+    * yield None and keep the stub seam in [[decodeFeatures]].
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val d = PngCodec.decode(m.payload)
+        MediaDec(m.media_id, m.kind, m.payload, m.width, m.height,
+          m.duration_ms, m.sample_rate, d.map(_._1), d.map(_._2),
+          d.map(_._3))
+      }).toDF()
+  }
+
+  /** metadata extraction: magic-based container sniffing, byte size, and
+    * content hash as pure expressions over the binary column; REAL
+    * decoded width/height/brightness for PNG rows (null elsewhere).
     */
   def mediaMeta(media: DataFrame): DataFrame = {
-    val hexDigits = "0123456789abcdef"
-    def hexVal(c: org.apache.spark.sql.Column) = instr(lit(hexDigits), c) - 1
     // all byte inspection runs over the lowercase hex rendering — the one
     // binary representation both the engine and the oracle agree on
     // (DuckDB has no md5/substring over BLOB)
@@ -67,14 +112,11 @@ object Multimodal {
       .when(magic === "52494646", "wav")
       .when(substring(hx, 9, 8) === "66747970", "mp4")
       .otherwise(lit("unknown"))
-    // decode STUB: "brightness" = payload byte 5 scaled — a placeholder
-    // for real pixel statistics; deterministic and cross-engine checkable
-    val b5 = (hexVal(substring(hx, 9, 1)) * 16 + hexVal(substring(hx, 10, 1)))
-    media.select(col("media_id"), col("kind"),
+    decodeImages(media).select(col("media_id"), col("kind"),
       length(col("payload")).as("n_bytes"),
       magic.as("magic_hex"), detected.as("container"),
       md5(hx).as("content_md5"),
-      b5.cast("double")./(255.0).as("brightness_stub"),
+      col("dec_width"), col("dec_height"), col("dec_brightness"),
       col("width"), col("height"), col("duration_ms"), col("sample_rate"))
   }
 

@@ -1,0 +1,71 @@
+package graft.llm
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Real PNG decode for the multimodal path (r2 verdict task 5) using the
+  * JDK's built-in `javax.imageio` — no new dependency. PNG is lossless,
+  * so pixel statistics computed here equal the statistics of the image
+  * that was encoded, which is what the fixture's expected columns carry.
+  * JPEG/WAV/MP4 have no JDK codec and stay behind the documented stub
+  * seam ([[Multimodal.decodeFeatures]]).
+  */
+object PngCodec {
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
+  /** mean RGB luminance in [0,1]: integer channel sum first, ONE double
+    * division at the end — no float-accumulation order to disagree about
+    */
+  def brightness(img: BufferedImage): Double = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (3.0 * 255.0 * img.getWidth * img.getHeight)
+  }
+
+  /** decode a PNG payload to (width, height, brightness); None for
+    * non-PNG bytes or undecodable payloads
+    */
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    if (!isPng(bytes)) None
+    else try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight, brightness(img)))
+    } catch { case _: Exception => None }
+
+  def encode(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** deterministic fixture image: per-(id, x, y) channel pattern */
+  def testImage(id: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 37 + x * 11 + y * 7) % 256).toInt
+        val g = ((id * 59 + x * 5 + y * 13) % 256).toInt
+        val b = ((id * 83 + x * 3 + y * 17) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+}

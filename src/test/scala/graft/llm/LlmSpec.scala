@@ -196,6 +196,40 @@ class MultimodalSpec extends SparkSpec {
       out(10L) == "mp4")
   }
 
+  test("PNG decode: hand-computed pixel stats on a 2x2 image are exact") {
+    // black, white, red, blue → channel sum 0 + 765 + 255 + 255 = 1275
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val bytes = PngCodec.encode(img)
+    val Some((w, h, bright)) = PngCodec.decode(bytes)
+    assert(w == 2 && h == 2)
+    assert(bright == 1275.0 / (3.0 * 255.0 * 4))
+    // non-PNG bytes → None, not a crash
+    assert(PngCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PngCodec.decode("RIFFxxxxxxxxxxxx".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mediaMeta decodes real stats for PNG rows, null for the rest") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val rows = Multimodal.mediaMeta(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val expected = Multimodal.mediaRows.map(m => m.media_id -> m).toMap
+    (0L until 4L).foreach { i =>
+      assert(rows(i).getAs[Int]("dec_width") == expected(i).width.get)
+      assert(rows(i).getAs[Int]("dec_height") == expected(i).height.get)
+      // decode-after-encode equals the pre-encode statistic (lossless)
+      assert(rows(i).getAs[Double]("dec_brightness") ==
+        expected(i).px_brightness.get)
+    }
+    (4L until 12L).foreach { i =>
+      assert(rows(i).isNullAt(rows(i).fieldIndex("dec_brightness")))
+    }
+  }
+
   test("decode stub is deterministic and batch-shaped") {
     val s = spark
     import s.implicits._
@@ -216,7 +250,12 @@ class MultimodalSpec extends SparkSpec {
     val orig = Multimodal.mediaRows.map(m => m.media_id -> m).toMap
     out.foreach { r =>
       assert(r.payload.take(4).sameElements(orig(r.media_id).payload.take(4)))
-      assert(r.payload.length < orig(r.media_id).payload.length) // downscale
+      // jpeg fixtures (1024x768) downscale to a shorter body; the small
+      // real PNGs (≤28x21) upscale, where the stub caps at original size
+      if (orig(r.media_id).width.get > 320)
+        assert(r.payload.length < orig(r.media_id).payload.length)
+      else
+        assert(r.payload.length <= orig(r.media_id).payload.length)
     }
     // deterministic
     val again = Multimodal.resizeStub(Multimodal.mediaRows.toDS(), 320, 240)
