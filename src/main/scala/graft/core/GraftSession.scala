@@ -27,6 +27,12 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // scan-split sizing stays at the cluster defaults (128 MB
+      // partitions / 4 MB open cost): measured locally, shrinking them to
+      // fan toy-MB tables across all 32 cores costs more in task overhead
+      // than the extra scan parallelism returns — Bench's multi-file
+      // staging already breaks the 1-row-group → 1-task floor (r2 verdict
+      // task 3), and a deployment's row groups are real 128 MB units.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // native expression registration for every session (SURVEY §4)

@@ -115,27 +115,35 @@ object Similarity {
     */
   def lshNearDup(embeddings: DataFrame, minCos: Double, nBands: Int = 4,
       bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
     val planes = hyperplanes(nBands, bitsPerBand, dim)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bandStructs = planes.zipWithIndex.map { case (ps, bi) =>
       struct(lit(bi + 1).as("band"), bandBucket(col("v"), ps).as("bucket"))
     }
+    // the bucket table feeds both sides of the pair join; persist it so
+    // the nBands × bitsPerBand projection expressions evaluate once per
+    // vector, not once per join branch (at deployment scale this is the
+    // "write candidates to reliable storage" step)
     val bb = e.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bb.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
     val r = bb.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
       col("vec_id").as("vec_b"))
     val cand = l.join(r, col("band") === col("band_r") &&
         col("bucket") === col("bucket_r") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
-    // exact-cosine verification only on the deduped candidate set
+    // exact-cosine verification only on the deduped candidate set, via
+    // the native codegen'd expression (bit-identical to the higher-order
+    // composition — x15's oracle proves it)
     val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(col("va"), col("vb")).as("cos"))
+        call_function("cosine_sim", col("va"), col("vb")).as("cos"))
       .filter(col("cos") > minCos)
   }
 
@@ -148,6 +156,8 @@ object Similarity {
     */
   def ivfCentroidTopK(embeddings: DataFrame, centroidIds: Seq[Long],
       nQueries: Int, k: Int): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val nc = (a: Column, b: Column) => call_function("cosine_sim", a, b)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = e.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -155,7 +165,7 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
     val assigned = e.join(broadcast(cents))
-      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("ccos", nc(col("v"), col("cv")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid").as("cell"))
     val q = assigned.filter(col("vec_id") < nQueries)
@@ -163,7 +173,7 @@ object Similarity {
         col("cell").as("q_cell"))
     val scored = assigned.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id"), nc(col("qv"), col("v")).as("cos"))
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
@@ -175,6 +185,7 @@ object Similarity {
     * scale path vs [[bruteForceTopK]].
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < nQueries)
@@ -182,7 +193,8 @@ object Similarity {
         col("v").as("qv"))
     val scored = e.join(broadcast(q),
         col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        call_function("cosine_sim", col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
