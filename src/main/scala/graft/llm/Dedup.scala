@@ -130,6 +130,49 @@ object Dedup {
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
 
+  /** duplicate-cluster resolution: connected components over the
+    * candidate-pair graph, labeling every document with the MIN doc_id of
+    * its component (the canonical representative a dedup pipeline keeps)
+    * plus the component size. Iterative min-label propagation — each round
+    * is one equi-join + one aggregation, state persisted and convergence
+    * checked with a count, exactly the loop shape large-graph CC uses
+    * (large-star/small-star refines the same idea when diameters are
+    * huge; near-dup graphs are shallow, so plain propagation converges in
+    * a handful of rounds).
+    */
+  def dupClusters(docs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val pairs = candidatePairs(docs)
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(DISK_ONLY)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(DISK_ONLY)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .persist(DISK_ONLY)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** exact token-set Jaccard for the candidate pairs (the verify step of
     * MinHash dedup): shared-token counts via token-keyed joins — again
     * proportional to candidates, not n².

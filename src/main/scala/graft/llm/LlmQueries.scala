@@ -48,7 +48,9 @@ object LlmQueries extends QueryPack {
       Similarity.ivfCentroidTopK(embs(s, dir), CentroidIds, nQueries = 10,
         k = 3)),
     "x15_native_cosine_topk" -> ((s, dir) =>
-      Similarity.bruteForceTopKNative(embs(s, dir), nQueries = 10, k = 5))
+      Similarity.bruteForceTopKNative(embs(s, dir), nQueries = 10, k = 5)),
+    "x16_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
+    "x17_hash_split" -> ((s, dir) => Sampling.splitAndSample(docs(s, dir)))
   )
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
@@ -321,7 +323,41 @@ object LlmQueries extends QueryPack {
             WHERE duration_ms IS NOT NULL)
           SELECT media_id, kind, frame_ts,
             md5(pmd5 || '-' || CAST(frame_ts AS VARCHAR)) AS frame_fp
-          FROM m"""
+          FROM m""",
+
+    // connected components via recursive min-label closure (independent
+    // of the engine's iterative propagation loop)
+    "x16_dup_clusters" ->
+      s"""WITH RECURSIVE $SIG_CTE,
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+          comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+          sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM comp GROUP BY 1)
+          SELECT c.doc_id, c.cluster_id, s.cluster_size
+          FROM comp c JOIN sizes s USING (cluster_id)""",
+
+    "x17_hash_split" -> {
+      // per-digit positional hex→u32, mirroring Sampling.hashU32 verbatim
+      def u32(expr: String) = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      val uSplit = u32("'split' || ':' || CAST(doc_id AS VARCHAR)")
+      val uSample =
+        u32("'sample' || ':' || lang || '/' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang,
+            $uSplit AS u32,
+            CASE WHEN $uSplit < ${math.floor(0.8 * 4294967296.0).toLong} THEN 'train'
+                 WHEN $uSplit < ${math.floor(0.9 * 4294967296.0).toLong} THEN 'val'
+                 ELSE 'test' END AS split,
+            $uSample < ${math.floor(0.2 * 4294967296.0).toLong} AS in_sample
+          FROM documents"""
+    }
   )
 }
 

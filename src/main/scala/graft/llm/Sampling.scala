@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting — the
+  * training-data-pipeline staples a 100 TB corpus needs to be
+  * REPRODUCIBLE: a document's split/sample membership depends only on
+  * its key and the seed, so it is stable across runs, cluster sizes, and
+  * corpus growth (new docs never move old docs between splits — the
+  * property random sampling lacks).
+  *
+  * The hash is the first 8 hex digits of md5(seed ':' key) read as a
+  * uniform 32-bit integer — built from per-digit arithmetic so any
+  * engine reproduces it bit-for-bit (no engine-specific hash or RNG).
+  * Everything is a pure map: no shuffle, embarrassingly parallel.
+  */
+object Sampling {
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** uniform u32 in [0, 2^32) from md5(seed ':' key) — per-digit
+    * positional arithmetic, mirrored verbatim in oracle SQL
+    */
+  def hashU32(key: Column, seed: String): Column = {
+    val h = md5(concat(lit(seed), lit(":"), key))
+    (1 to 8).map { i =>
+      (instr(lit(HexDigits), substring(h, i, 1)) - 1).cast("long") *
+        (1L << (4 * (8 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** train/val/test assignment by hash range: fractions are exact 32-bit
+    * thresholds, e.g. 0.8/0.1/0.1 → train < floor(0.8·2^32) ≤ val <
+    * floor(0.9·2^32) ≤ test
+    */
+  def hashSplit(key: Column, seed: String, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): Column = {
+    val u = hashU32(key, seed)
+    val trainMax = math.floor(trainFrac * 4294967296.0).toLong
+    val valMax = math.floor((trainFrac + valFrac) * 4294967296.0).toLong
+    when(u < trainMax, "train").when(u < valMax, "val").otherwise(lit("test"))
+  }
+
+  /** deterministic per-stratum sample predicate: keep iff the
+    * stratum-seeded hash falls under frac·2^32. Independent of the split
+    * hash (different seed string).
+    */
+  def stratifiedKeep(key: Column, stratum: Column, seed: String,
+      frac: Double): Column =
+    hashU32(concat(stratum, lit("/"), key), seed) <
+      math.floor(frac * 4294967296.0).toLong
+
+  /** the x17 query surface: every document with its reproducible
+    * train/val/test split and a 20%-per-language sample flag
+    */
+  def splitAndSample(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      hashU32(col("doc_id"), "split").as("u32"),
+      hashSplit(col("doc_id"), "split").as("split"),
+      stratifiedKeep(col("doc_id"), col("lang"), "sample", 0.2)
+        .as("in_sample"))
+}

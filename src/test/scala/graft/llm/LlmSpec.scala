@@ -67,6 +67,39 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(Dedup.MaxBucket) == pairSet(1000000))
   }
 
+  test("dup clusters: components get min-id labels, singletons size 1") {
+    val a = "a b c d e f g h i j k l m n o p"
+    val b = "z y x w v u t s r q p o n m l k"
+    val df = docsDf(Seq(a, a, a, b, b, "totally unrelated words entirely"))
+    val out = Dedup.dupClusters(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (0L, 3L) && out(1L) == (0L, 3L) && out(2L) == (0L, 3L))
+    assert(out(3L) == (3L, 2L) && out(4L) == (3L, 2L))
+    assert(out(5L) == (5L, 1L)) // singleton keeps its own id
+  }
+
+  test("hash split is deterministic, seed-derived, and fraction-shaped") {
+    val s = spark
+    import s.implicits._
+    val df = docsDf((0 until 500).map(i => s"doc body number $i"))
+    val r1 = Sampling.splitAndSample(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getBoolean(4)))
+    val r2 = Sampling.splitAndSample(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getBoolean(4)))
+    assert(r1.toMap == r2.toMap) // reproducible
+    val splits = r1.map(_._2._2).groupBy(identity).view.mapValues(_.size).toMap
+    assert(splits("train") > 350 && splits("train") < 450) // ~0.8 of 500
+    assert(splits.values.sum == 500)
+    // driver-side reference: same md5-digit arithmetic
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def refU32(key: String): Long = {
+      val h = mdig.digest(s"split:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16)
+    }
+    r1.take(20).foreach { case (id, (u, _, _)) => assert(u == refU32(s"$id")) }
+  }
+
   test("simhash: identical token sets → identical fingerprints; 16 bits") {
     val df = docsDf(Seq("a b c", "c b a", "totally different words here"))
     val fp = Dedup.simhash(df).collect()
