@@ -37,12 +37,19 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def timeTravel(tsMs: Long): DataFrame =
     MetaOps.timeTravel(snaps, meta, tsMs)
 
-  // ---- schema / partition metadata (J1-J3) ---------------------------
+  // ---- schema / partition metadata (J1-J3, P6 evaluation) -------------
   def schemaEvolution(cat: String, ns: String, table: String): DataFrame =
     MetaOps.schemaEvolution(catalog.schemaVersions(spark), cat, ns, table)
   def partitionFields: DataFrame =
     MetaOps.partitionResolve(catalog.partitionSpecs(spark),
       catalog.schemaVersions(spark))
+  /** which partition value does a row get under a rendered transform tag
+    * ("bucket[16]", "day", …) — Iceberg-spec semantics incl. murmur3
+    * bucketing
+    */
+  def partitionValue(transform: String, c: org.apache.spark.sql.Column,
+      sourceIsString: Boolean = false): org.apache.spark.sql.Column =
+    graft.meta.Transforms.eval(transform, c, sourceIsString)
 
   // ---- health dashboard (A1-A18) -------------------------------------
   def metrics: DataFrame = metricsDf
@@ -60,6 +67,10 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Dedup.candidatePairs(docs)
   def nearDupVerified(docs: DataFrame): DataFrame =
     graft.llm.Dedup.jaccardOnCandidates(docs)
+  def dupClusters(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.dupClusters(docs)
+  def trainValTestSplit(docs: DataFrame): DataFrame =
+    graft.llm.Sampling.splitAndSample(docs)
   def similarTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
     graft.llm.Similarity.bruteForceTopKNative(embeddings, nQueries, k)
   def tokenStats(docs: DataFrame): DataFrame =

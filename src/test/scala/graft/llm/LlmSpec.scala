@@ -100,6 +100,18 @@ class DedupSpec extends SparkSpec {
     r1.take(20).foreach { case (id, (u, _, _)) => assert(u == refU32(s"$id")) }
   }
 
+  test("hash split is stable under corpus growth (no reshuffling)") {
+    // the property random splits lack: adding documents must never move
+    // an existing document between train/val/test
+    val small = docsDf((0 until 100).map(i => s"document body $i"))
+    val grown = docsDf((0 until 300).map(i => s"document body $i"))
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.splitAndSample(df).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val s1 = splits(small); val s2 = splits(grown)
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+  }
+
   test("simhash: identical token sets → identical fingerprints; 16 bits") {
     val df = docsDf(Seq("a b c", "c b a", "totally different words here"))
     val fp = Dedup.simhash(df).collect()
