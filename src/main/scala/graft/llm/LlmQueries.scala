@@ -50,7 +50,9 @@ object LlmQueries extends QueryPack {
     "x15_native_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopKNative(embs(s, dir), nQueries = 10, k = 5)),
     "x16_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
-    "x17_hash_split" -> ((s, dir) => Sampling.splitAndSample(docs(s, dir)))
+    "x17_hash_split" -> ((s, dir) => Sampling.splitAndSample(docs(s, dir))),
+    "x18_winnow_fingerprint" -> ((s, dir) =>
+      TextOps.winnowFingerprints(docs(s, dir)))
   )
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
@@ -341,6 +343,28 @@ object LlmQueries extends QueryPack {
                     FROM comp GROUP BY 1)
           SELECT c.doc_id, c.cluster_id, s.cluster_size
           FROM comp c JOIN sizes s USING (cluster_id)""",
+
+    // winnowing: same k-gram hashes, same windowed running-min — pos is
+    // 1-based here vs 0-based posexplode, hence the shifted bounds
+    "x18_winnow_fingerprint" -> {
+      val u32 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH gs AS (
+            SELECT doc_id, x.i AS pos, substr(text, x.i, 5) AS g
+            FROM documents, unnest(generate_series(1, length(text) - 4)) AS x(i)
+            WHERE length(text) >= 5),
+          hx AS (SELECT doc_id, pos, substr(md5(g), 1, 8) AS hx FROM gs),
+          h AS (SELECT doc_id, pos, $u32 AS h FROM hx),
+          wm AS (
+            SELECT doc_id, pos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+              count(*) OVER (PARTITION BY doc_id) AS n
+            FROM h)
+          SELECT DISTINCT doc_id, wmin AS fp FROM wm
+          WHERE pos <= n - 15 OR (n < 16 AND pos = 1)"""
+    },
 
     "x17_hash_split" -> {
       // per-digit positional hex→u32, mirroring Sampling.hashU32 verbatim

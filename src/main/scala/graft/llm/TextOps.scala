@@ -101,4 +101,51 @@ object TextOps {
     docs.select(col("doc_id"), md5(norm).as("fp"),
       substring(md5(norm), 1, 8).as("fp8"))
   }
+
+  /** winnowing fingerprints (the rolling-hash local-fingerprint scheme of
+    * MOSS): hash every char k-gram to a u32, slide a window of w hashes,
+    * keep each window's MIN, emit the distinct mins per doc. Guarantees a
+    * shared fingerprint for any common substring of length ≥ k + w - 1 —
+    * the local near-dup signal whole-doc hashing (x11) can't give.
+    *
+    * Shape — tuned against the measured traps (11× end-to-end):
+    *   - EXPLICIT `repartition(parallelism, doc_id)` BEFORE the k-gram
+    *     explode: the input bytes are tiny relative to the ~len×
+    *     amplification that follows, so AQE (sizing by shuffle bytes)
+    *     would coalesce the exchange to one task and serialize the whole
+    *     pipeline; pinning the count keeps the heavy map distributed, and
+    *     the window reuses the same partitioning — ONE exchange total.
+    *   - grams via codegen'd `substr(text, pos, k)` over an exploded
+    *     position sequence, not a `transform` lambda (interpreted HOF
+    *     eval measured 3× slower than codegen here).
+    *   - u32 = `conv(md5-prefix)` (one codegen call); the oracle parses
+    *     the same digits positionally — same value, engine-idiomatic
+    *     implementations.
+    *   - sliding min as a window function: each hash evaluated once (an
+    *     array transform-over-slice would re-evaluate the hash array per
+    *     window inside the HOF lambda — the round-2 x02 lesson).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 16): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    docs
+      .filter(expr(s"char_length(text) >= $k"))
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"),
+        expr(s"char_length(text) - ${k - 1}").as("n"), col("text"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("pos"), col("text"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        conv(substring(md5(expr(s"substr(text, pos, $k)")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("wmin", min(col("h")).over(win))
+      // valid window starts only (1-based pos); a doc shorter than w
+      // grams keeps its single all-grams window
+      .filter(col("pos") <= col("n") - (w - 1) ||
+        (col("n") < w && col("pos") === 1))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
 }

@@ -210,6 +210,29 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_bpe_ish") == 5) // comma is its own token
   }
 
+  test("winnowing: shared >= k+w-1 substring implies a shared fingerprint") {
+    val shared = "this exact twenty-plus character passage is common"
+    val a = s"unique prefix aaa $shared and unique suffix bbb"
+    val b = s"other start zzz $shared with different ending qqq"
+    val df = docsDf(Seq((0L, a, "en"), (1L, b, "en"),
+      (2L, "completely unrelated text with nothing in common at all", "en")))
+    val fps = TextOps.winnowFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty, "docs sharing a long substring")
+    // determinism
+    val again = TextOps.winnowFingerprints(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSeq.flatMap { case (d, s) => s.map(d -> _) }.toSet)
+    // short doc: single window, >= 1 fingerprint
+    val tiny = TextOps.winnowFingerprints(docsDf(Seq((9L, "abcdefgh", "en"))))
+      .collect()
+    assert(tiny.length == 1)
+    // sub-k doc: no grams, no fingerprints, no crash
+    assert(TextOps.winnowFingerprints(docsDf(Seq((9L, "abc", "en"))))
+      .collect().isEmpty)
+  }
+
   test("lang-ID votes stopwords; zero hits → unknown") {
     val df = docsDf(Seq(
       (0L, "the cat of the house", "en"),
