@@ -141,14 +141,16 @@ object Dedup {
     * a handful of rounds).
     */
   def dupClusters(docs: DataFrame, maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.DISK_ONLY
+    import org.apache.spark.storage.StorageLevel.{DISK_ONLY, MEMORY_AND_DISK}
     val pairs = candidatePairs(docs)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(DISK_ONLY)
+    // label state is one row per doc (ids only) — MEMORY_AND_DISK: tiny,
+    // re-read every iteration
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-      .persist(DISK_ONLY)
+      .persist(MEMORY_AND_DISK)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -160,7 +162,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-        .persist(DISK_ONLY)
+        .persist(MEMORY_AND_DISK)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") < col("old")).count()
       labels.unpersist()
