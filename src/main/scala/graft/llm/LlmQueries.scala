@@ -52,7 +52,9 @@ object LlmQueries extends QueryPack {
     "x16_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
     "x17_hash_split" -> ((s, dir) => Sampling.splitAndSample(docs(s, dir))),
     "x18_winnow_fingerprint" -> ((s, dir) =>
-      TextOps.winnowFingerprints(docs(s, dir)))
+      TextOps.winnowFingerprints(docs(s, dir))),
+    "x19_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(embs(s, dir), nQueries = 10, k = 5))
   )
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
@@ -364,6 +366,34 @@ object LlmQueries extends QueryPack {
             FROM h)
           SELECT DISTINCT doc_id, wmin AS fp FROM wm
           WHERE pos <= n - 15 OR (n < 16 AND pos = 1)"""
+    },
+
+    // int8-quantized ANN: integer dots are exact, so only the final double
+    // division must (and does) agree; exact float cosine rides along to
+    // expose the quantization error
+    "x19_quantized_topk" -> {
+      def idot(a: String, b: String) =
+        s"CAST(list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS BIGINT) * $b[i]), (x,y) -> x+y) AS DOUBLE)"
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          qz AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS ma FROM ev),
+          cz AS (SELECT vec_id, v,
+                   list_transform(v, x -> CASE WHEN ma > 0
+                     THEN CAST(round(x * 127 / ma) AS INTEGER)
+                     ELSE 0 END) AS c
+                 FROM qz),
+          q AS (SELECT vec_id AS q_id, v AS qv, c AS qc FROM cz
+                WHERE vec_id < 10),
+          scored AS (
+            SELECT q.q_id, e.vec_id,
+              ${idot("q.qc", "e.c")} / (sqrt(${idot("q.qc", "q.qc")})
+                * sqrt(${idot("e.c", "e.c")})) AS qcos,
+              $COS AS cos
+            FROM cz e JOIN q ON e.vec_id != q.q_id)
+          SELECT q_id, vec_id, qcos, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY qcos DESC, vec_id) AS rank FROM scored)
+          WHERE rank <= 5"""
     },
 
     "x17_hash_split" -> {

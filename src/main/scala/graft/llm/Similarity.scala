@@ -147,6 +147,54 @@ object Similarity {
       .filter(col("cos") > minCos)
   }
 
+  /** int8 scalar quantization: per-vector affine code
+    * `round(v * 127 / max|v|)` — the 4×-smaller representation a 100 TB
+    * vector corpus scans instead of float32. Cosine over the CODES is
+    * scale-invariant (the per-vector factor cancels), so scoring needs
+    * only exact integer dot products — no float-order concerns at all.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxabs = array_max(transform(v, x => abs(x)))
+    // zero vectors quantize to zero codes (cos undefined → NaN, as with
+    // the float path)
+    transform(v, x =>
+      when(maxabs > 0.0, round(x * 127.0 / maxabs).cast("int"))
+        .otherwise(lit(0)))
+  }
+
+  /** cosine from int8 codes: integer dot/norms (exact, ≤ 127²·dim ≪ 2^53)
+    * divided in double — bit-identical in any engine
+    */
+  def cosineQ(a: Column, b: Column): Column = {
+    def idot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("long") * q.cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    idot(a, b).cast("double") /
+      (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double")))
+  }
+
+  /** brute-force top-k over QUANTIZED vectors, with the exact float
+    * cosine alongside for the returned rows (the visible quantization
+    * error). Same broadcast-queries single-scan shape as
+    * [[bruteForceTopK]], but the corpus-side arithmetic is int8.
+    */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("c", quantizeInt8(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c").as("qc"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineQ(col("qc"), col("c")).as("qcos"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF with a real coarse quantizer: `centroidIds` picks the centroid
     * vectors (the deterministic stand-in for a k-means "train" step);
     * every vector is assigned to its nearest centroid (broadcast of the

@@ -184,6 +184,32 @@ class SimilaritySpec extends SparkSpec {
     assert(one.subsetOf(four))
   }
 
+  test("int8 quantization: codes in [-127,127], cosine ranking near-exact") {
+    val s = spark
+    import s.implicits._
+    val df = embDf((0L until 30L).map(i =>
+      (i, (1 to 16).map(d => math.sin(i * 13 + d * 3).toFloat), 0)))
+    val codes = df.select(col("vec_id"),
+        Similarity.quantizeInt8(Similarity.asDouble(col("embedding")))
+          .as("c")).collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.forall(c => c >= -127 && c <= 127))
+      assert(cs.exists(c => math.abs(c) == 127)) // max component saturates
+    }
+    val rows = Similarity.quantizedTopK(df, nQueries = 3, k = 5).collect()
+    assert(rows.count(_.getAs[Long]("q_id") == 0L) == 5)
+    // int8 over 16 dims: quantized cosine within ~2% of the exact one
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qcos") - r.getAs[Double]("cos")) < 0.02)
+    }
+    // zero vector quantizes to zero codes without crashing
+    val z = embDf(Seq((0L, Seq(0f, 0f), 0)))
+      .select(Similarity.quantizeInt8(Similarity.asDouble(col("embedding"))))
+      .head().getSeq[Int](0)
+    assert(z == Seq(0, 0))
+  }
+
   test("IVF probe restricts candidates to the query's cluster") {
     val df = embDf(Seq(
       (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.1f), 0),
