@@ -180,6 +180,7 @@ object Similarity {
     */
   def quantizedTopK(embeddings: DataFrame, nQueries: Int,
       k: Int): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
       .withColumn("c", quantizeInt8(col("v")))
@@ -189,7 +190,7 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineQ(col("qc"), col("c")).as("qcos"),
-        cosine(col("qv"), col("v")).as("cos"))
+        call_function("cosine_sim", col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("qcos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
