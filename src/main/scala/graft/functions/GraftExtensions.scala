@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim_i8"),
+      new ExpressionInfo(classOf[CosineSimI8].getName, "cosine_sim_i8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim_i8 takes exactly 2 arguments")
+        CosineSimI8(children.head, children(1))
+      }))
     ext.injectFunction(IcebergHash.info)
   }
 }

