@@ -11,6 +11,8 @@ import java.nio.file.{Files, Paths}
   *     projections/windows the way `.count()` allowed;
   *   - every query gets one warm-up run + 3 timed runs, reporting the
   *     median (cold-start no longer lands on whichever query runs first);
+  *     the timed runs are interleaved as whole-suite sweeps and each
+  *     query's min is reported alongside (round-4 variance hardening);
   *   - failures are reported per-query (`"failed"` list + null-free
   *     timings) instead of being swallowed as fake timings, and the
   *     process exits nonzero if anything failed;
@@ -82,25 +84,45 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ListBuffer[(String, String)]()
+    // Round-4 variance hardening (r3 verdict task 2): the three timed runs
+    // of each query are INTERLEAVED as full sweeps over the whole suite
+    // (sweep 1 runs every query once, then sweep 2, then sweep 3) instead
+    // of back-to-back per query, so a transient host-load spike inflates
+    // at most one temporally-separated sample per query rather than all
+    // three; the per-query MIN rides along (`queries_min`) as the
+    // load-insensitive floor. r3's q12 5.0s/q13 3.4s/q25 2.3s/st04 2.8s
+    // driver numbers do not reproduce locally (0.52/1.33/0.26/1.21 —
+    // same commit, same staged layout): external load, not plan change.
     def timeAll(qs: Seq[(String, QueryFn)]):
-        scala.collection.mutable.LinkedHashMap[String, Double] = {
-      val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+        (scala.collection.mutable.LinkedHashMap[String, Double],
+         scala.collection.mutable.LinkedHashMap[String, Double]) = {
+      val samples = scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.ListBuffer[Double]]()
       qs.foreach { case (name, fn) =>
-        try {
-          runOnce(fn) // warm-up: JIT + parquet footer cache + codegen cache
-          val runs = Seq.fill(3)(runOnce(fn)).sorted
-          timings(name) = runs(1) // median of 3
-        } catch {
+        // warm-up: JIT + parquet footer cache + codegen cache
+        try { runOnce(fn); samples(name) = scala.collection.mutable.ListBuffer() }
+        catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             failed += name -> msg.linesIterator.take(1).mkString.take(200)
         }
       }
-      timings
+      val ok = qs.filter { case (n, _) => samples.contains(n) }
+      (1 to 3).foreach { _ =>
+        ok.foreach { case (name, fn) => samples(name) += runOnce(fn) }
+      }
+      val med = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val mn = scala.collection.mutable.LinkedHashMap[String, Double]()
+      samples.foreach { case (name, runs) =>
+        val s = runs.sorted
+        med(name) = s(s.size / 2)
+        mn(name) = s.head
+      }
+      (med, mn)
     }
 
-    val sfTimings = timeAll(selected { case (n, _) => !n.startsWith("m") })
-    val mTimings = timeAll(selected { case (n, _) => n.startsWith("m") })
+    val (sfTimings, sfMins) = timeAll(selected { case (n, _) => !n.startsWith("m") })
+    val (mTimings, mMins) = timeAll(selected { case (n, _) => n.startsWith("m") })
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -114,7 +136,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = sfTimings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"m_queries":${jmap(mTimings)},"m_total":${mTimings.values.sum},"staged":$doStage,"failed":$fails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"total_min":${sfMins.values.sum},"staged":$doStage,"failed":$fails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
 
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)

@@ -120,10 +120,8 @@ object MetaQueries extends QueryPack {
     "m17_search_tables" -> ((s, _) =>
       MetaOps.searchTables(cat.listing(s), "orders")),
 
-    "m18_tree_filter" -> ((s, _) => {
-      treeQueries.map(q => MetaOps.treeFilterCounts(cat.listing(s), q))
-        .reduce(_ unionByName _)
-    }),
+    "m18_tree_filter" -> ((s, _) =>
+      MetaOps.treeFilterCountsMulti(cat.listing(s), treeQueries)),
 
     "m19_time_travel" -> ((s, _) =>
       MetaOps.timeTravel(cat.snapshots(s), cat.tableMeta(s), TravelMs)),

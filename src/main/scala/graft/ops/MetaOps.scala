@@ -120,6 +120,38 @@ object MetaOps {
         col("n_tables"))
   }
 
+  /** [[treeFilterCounts]] for a BATCH of filter queries in one pass: the
+    * listing is scanned once against the exploded query set and the match
+    * bits aggregate bottom-up (table → namespace → catalog → query) with
+    * three hash aggregations total — vs one whole plan-tree (≈6 scans,
+    * 2 joins, 3 single-row aggregates) per query for the single-query
+    * form, which made m18 pure job-overhead (r3 verdict task 8). At scale
+    * N concurrent filter queries cost one scan, not N.
+    */
+  def treeFilterCountsMulti(listing: DataFrame,
+      queries: Seq[String]): DataFrame = {
+    val base = listing
+      .select(col("catalog_name"), col("namespace"), col("table_name"),
+        explode(array(queries.map(lit): _*)).as("query"))
+      .withColumn("q", lower(col("query")))
+      .withColumn("tbl_match", lower(col("table_name")).contains(col("q")))
+    val ns = base
+      .groupBy(col("query"), col("q"), col("catalog_name"), col("namespace"))
+      .agg(sum(when(col("tbl_match"), 1L).otherwise(0L)).as("n_tbl"))
+      .withColumn("ns_shown",
+        lower(col("namespace")).contains(col("q")) || col("n_tbl") > 0)
+    val cat = ns
+      .groupBy(col("query"), col("q"), col("catalog_name"))
+      .agg(sum(col("n_tbl")).as("n_tbl"),
+        sum(when(col("ns_shown"), 1L).otherwise(0L)).as("n_ns"))
+      .withColumn("cat_shown",
+        lower(col("catalog_name")).contains(col("q")) || col("n_ns") > 0)
+    cat.groupBy(col("query"))
+      .agg(sum(when(col("cat_shown"), 1L).otherwise(0L)).as("n_catalogs"),
+        sum(col("n_ns")).as("n_namespaces"),
+        sum(col("n_tbl")).as("n_tables"))
+  }
+
   /** J2 + J3 + U1 — schema-evolution matrix (`components.rs:533-605`):
     * explode every schema version's fields, pivot field-id × schema-version
     * presence with the rendered cell "type[ REQ]"; the row label is the
