@@ -107,9 +107,23 @@ object Bench {
             failed += name -> msg.linesIterator.take(1).mkString.take(200)
         }
       }
-      val ok = qs.filter { case (n, _) => samples.contains(n) }
+      // sweep runs are guarded too (r4 advice): a query that passed
+      // warm-up but throws transiently mid-sweep is reported in `failed`
+      // and dropped, instead of crashing the bench before bench_out.json
+      val alive = scala.collection.mutable.LinkedHashSet[String]() ++ samples.keys
       (1 to 3).foreach { _ =>
-        ok.foreach { case (name, fn) => samples(name) += runOnce(fn) }
+        qs.foreach { case (name, fn) =>
+          if (alive(name)) {
+            try samples(name) += runOnce(fn)
+            catch {
+              case e: Throwable =>
+                val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                failed += name -> msg.linesIterator.take(1).mkString.take(200)
+                alive -= name
+                samples.remove(name)
+            }
+          }
+        }
       }
       val med = scala.collection.mutable.LinkedHashMap[String, Double]()
       val mn = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * this stays inside whole-stage codegen with a single fused loop and no
   * per-element lambda invocation or intermediate arrays.
   *
-  * Null in, null out; arrays must have equal length (analysis-time types
+  * Null in, null out — including null ELEMENTS: an input array containing
+  * a null element yields a null score (r4 advice; previously getDouble
+  * silently read 0.0). Arrays must have equal length (analysis-time types
   * are enforced, runtime length mismatch raises).
   */
 case class CosineSim(left: Expression, right: Expression)
@@ -44,6 +46,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -60,6 +63,7 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullElem = ctx.freshName("nullElem")
       s"""
         final int $n = $a.numElements();
         if ($b.numElements() != $n) {
@@ -67,12 +71,18 @@ case class CosineSim(left: Expression, right: Expression)
             "cosine_sim: length mismatch " + $b.numElements() + " vs " + $n);
         }
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        boolean $nullElem = false;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullElem = true; break; }
           final double $xi = $a.getDouble($i);
           final double $yi = $b.getDouble($i);
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        if ($nullElem) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
       """
     })
 

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * "What's wrong #1") — here the whole score is one fused loop inside
   * whole-stage codegen, like [[CosineSim]].
   *
-  * Null in, null out; zero codes give 0/0 = NaN (cos undefined), matching
-  * the float path and the DuckDB oracle.
+  * Null in, null out — including null ELEMENTS (a quantized code array
+  * carries a null element whenever the source embedding element was null;
+  * r4 advice: previously getInt silently read it as 0, producing a
+  * silently-wrong score). Zero codes give 0/0 = NaN (cos undefined),
+  * matching the float path and the DuckDB oracle.
   */
 case class CosineSimI8(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,6 +47,7 @@ case class CosineSimI8(left: Expression, right: Expression)
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getInt(i).toLong; val yi = y.getInt(i).toLong
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -60,6 +64,7 @@ case class CosineSimI8(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullElem = ctx.freshName("nullElem")
       s"""
         final int $n = $a.numElements();
         if ($b.numElements() != $n) {
@@ -67,13 +72,19 @@ case class CosineSimI8(left: Expression, right: Expression)
             "cosine_sim_i8: length mismatch " + $b.numElements() + " vs " + $n);
         }
         long $dot = 0L; long $na = 0L; long $nb = 0L;
+        boolean $nullElem = false;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullElem = true; break; }
           final long $xi = (long) $a.getInt($i);
           final long $yi = (long) $b.getInt($i);
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        ${ev.value} = ((double) $dot)
-          / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+        if ($nullElem) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ((double) $dot)
+            / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+        }
       """
     })
 

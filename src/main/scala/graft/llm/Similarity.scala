@@ -112,6 +112,9 @@ object Similarity {
     * linear candidate cost. The toy 500-vector corpus (near-random
     * embeddings, max cos ≈ 0.51) uses 8-bit bands in x06 so the demo
     * still surfaces pairs; the DEFAULT is the scale setting.
+    *
+    * Cache contract (r4 advice): the bucket table stays persisted until
+    * the caller runs `spark.catalog.clearCache()` — see [[quantizedTopK]].
     */
   def lshNearDup(embeddings: DataFrame, minCos: Double, nBands: Int = 4,
       bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
@@ -197,6 +200,13 @@ object Similarity {
     * pair), and scoring is the fused codegen [[graft.functions
     * .CosineSimI8]] loop instead of three interpreted `aggregate`s.
     * r3: 7.44 s → target ≤1 s on the same input.
+    *
+    * Cache contract (r4 advice): the returned plan references a persisted
+    * intermediate (the quantized index) that lives until the caller runs
+    * `spark.catalog.clearCache()` — intentional for an index that is
+    * typically queried repeatedly; a caller that is done with it must
+    * clear the cache (the bench does, per run). Same contract as
+    * [[lshNearDup]]'s bucket table.
     */
   def quantizedTopK(embeddings: DataFrame, nQueries: Int,
       k: Int): DataFrame = {

@@ -42,6 +42,27 @@ class CosineSimSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("null ELEMENT in, null out — double and int8 kernels, eval + codegen") {
+    CosineSim.register(spark)
+    CosineSimI8.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](3.0, 4.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val out = df.selectExpr("cosine_sim(a, b) AS c").collect()
+    assert(out(0).isNullAt(0))
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    val dfi = Seq(
+      (Seq[Integer](1, null), Seq[Integer](1, 2)),
+      (Seq[Integer](3, 4), Seq[Integer](3, 4)))
+      .toDF("a", "b")
+    val outI = dfi.selectExpr("cosine_sim_i8(a, b) AS c").collect()
+    assert(outI(0).isNullAt(0))
+    assert(math.abs(outI(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("native path is codegen-compatible (no interpreted fallback errors)") {
     CosineSim.register(spark)
     val e = graft.core.Tables
