@@ -133,40 +133,71 @@ object Dedup {
   /** duplicate-cluster resolution: connected components over the
     * candidate-pair graph, labeling every document with the MIN doc_id of
     * its component (the canonical representative a dedup pipeline keeps)
-    * plus the component size. Iterative min-label propagation — each round
-    * is one equi-join + one aggregation, state persisted and convergence
-    * checked with a count, exactly the loop shape large-graph CC uses
-    * (large-star/small-star refines the same idea when diameters are
-    * huge; near-dup graphs are shallow, so plain propagation converges in
-    * a handful of rounds).
+    * plus the component size. See [[clustersFromPairs]] for the loop.
     */
-  def dupClusters(docs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def dupClusters(docs: DataFrame, maxIter: Int = 25): DataFrame =
+    clustersFromPairs(docs.select(col("doc_id")), candidatePairs(docs),
+      maxIter)
+
+  /** connected components over an explicit (doc_a, doc_b) pair set:
+    * iterative min-label propagation WITH SHORTCUTTING — each round takes
+    * the min over {own label, neighbors' labels, label(label)} (the
+    * pointer-doubling step), so label chains halve per round and a path
+    * graph of diameter D converges in O(log D) rounds instead of O(D).
+    * Each round is two equi-joins + one aggregation over id-only rows,
+    * state persisted, convergence checked with a count — the standard
+    * large-graph CC loop (large-star/small-star is the same idea with
+    * re-rooted edges). Every 5th round the label state is CHECKPOINTED
+    * (r3 verdict task 4): persist alone keeps the whole join lineage
+    * growing linearly with rounds — driver-side analysis cost and full
+    * recompute depth on block loss — while a checkpoint truncates it to
+    * a scan of the materialized state.
+    */
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.{DISK_ONLY, MEMORY_AND_DISK}
-    val pairs = candidatePairs(docs)
+    val spark = ids.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        graft.stream.StreamOps.checkpointDir("dup-clusters"))
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(DISK_ONLY)
     // label state is one row per doc (ids only) — MEMORY_AND_DISK: tiny,
-    // re-read every iteration
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // re-read every iteration. The state carries BOTH the previous and
+    // the new label, so the convergence count filters the persisted rows
+    // directly instead of re-joining new-vs-old — one join per round
+    // saved.
+    var state = ids.select(col("doc_id"), col("doc_id").as("label"))
       .persist(MEMORY_AND_DISK)
+    def labels = state.select(col("doc_id"), col("label"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .persist(MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+        .withColumnRenamed("src", "doc_id")
+      // shortcut = label(label): every label value is itself a doc_id, so
+      // this is a self-join of the label state on (label = doc_id). Round
+      // 1 skips it (identity labels make it a no-op), so a shallow
+      // clique-shaped dup graph — the common near-dup case, which
+      // converges in 2 rounds — pays nothing for the shortcut machinery.
+      val base = labels.join(nbrMin, Seq("doc_id"), "left")
+      val withS =
+        if (iter == 0) base.withColumn("slabel", col("label"))
+        else base.join(labels.select(col("doc_id").as("label"),
+          col("label").as("slabel")), Seq("label"), "left")
+      val next0 = withS.select(col("doc_id"), col("label").as("prev"),
+        least(col("label"), coalesce(col("nlabel"), col("label")),
+          coalesce(col("slabel"), col("label"))).as("label"))
+      val next =
+        if ((iter + 1) % 5 == 0) next0.checkpoint()
+        else next0.persist(MEMORY_AND_DISK)
+      changed = next.filter(col("label") < col("prev")).count()
+      state.unpersist()
+      state = next
       iter += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))

@@ -78,6 +78,49 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (5L, 1L)) // singleton keeps its own id
   }
 
+  test("adversarial long path graph: shortcutting converges in O(log D)") {
+    // 60-node path 0-1-2-...-59: plain min-label propagation needs 59
+    // rounds (a doc's label walks one hop per round), so maxIter=10 would
+    // leave the tail mislabeled; with the label(label) shortcut each
+    // round halves every chain, so 10 rounds cover diameter ≤ ~2^10
+    val s = spark
+    import s.implicits._
+    val n = 60
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == n)
+    assert((0 until n).forall(i => out(i.toLong) == (0L, n.toLong)))
+  }
+
+  test("dup clusters match a union-find ground truth on a chained corpus") {
+    // sliding-window texts chain neighbors into multi-hop components;
+    // ground truth = driver-side union-find over the SAME candidate pairs
+    val words = (0 until 120).map(i => s"tok$i")
+    val df = docsDf((0 until 100).map(i => words.slice(i, i + 20).mkString(" ")))
+    val pairs = Dedup.candidatePairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = Array.tabulate(100L.toInt)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x
+      else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until 100).map(i => i.toLong -> find(i).toLong).toMap
+    val sizes = expect.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val out = Dedup.dupClusters(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 100)
+    (0 until 100).foreach { i =>
+      assert(out(i.toLong) == (expect(i.toLong), sizes(expect(i.toLong)).toLong))
+    }
+    // the corpus must actually exercise multi-hop propagation
+    assert(sizes.values.max >= 30)
+  }
+
   test("hash split is deterministic, seed-derived, and fraction-shaped") {
     val s = spark
     import s.implicits._
