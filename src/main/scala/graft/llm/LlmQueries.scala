@@ -111,14 +111,22 @@ object LlmQueries extends QueryPack {
         * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)))"""
 
   /** oracle rendering of [[Similarity.bandBucket]]: the SAME md5-seeded
-    * ±1 hyperplanes (generated once in Scala, inlined as literal lists),
-    * each projection accumulated left-to-right like Spark's `aggregate`
+    * ±1 hyperplanes (generated once in Scala), STAGED through a VALUES
+    * CTE so each literal list is constructed once and joined — not
+    * re-materialized per row per bit, which made the previous inlined
+    * form pathologically slow in DuckDB (13.9 s for 500 vectors; r3
+    * verdict task 3) and flattered the bench ratio. Each projection still
+    * accumulates left-to-right like Spark's `aggregate` (±1.0 × double is
+    * exact), and the bucket string re-assembles bits in band order via an
+    * ordered string_agg — results stay bit-identical (verified old-vs-new
+    * at sf0.1).
     */
-  private def sqlBandBucket(planes: Seq[Array[Int]]): String =
-    planes.map { w =>
-      val lst = w.mkString("[", ", ", "]")
-      s"""(CASE WHEN list_reduce(list_transform(generate_series(1, ${w.length}), i -> v[i] * ($lst)[i]), (x,y) -> x+y) >= 0 THEN '1' ELSE '0' END)"""
-    }.mkString(" || ")
+  private def sqlPlaneValues(planes: Seq[Seq[Array[Int]]]): String =
+    planes.zipWithIndex.flatMap { case (ps, bi) =>
+      ps.zipWithIndex.map { case (w, ji) =>
+        s"(${bi + 1}, ${ji + 1}, ${w.mkString("[", ", ", "]")})"
+      }
+    }.mkString(",\n")
 
   override val oracles: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -187,11 +195,18 @@ object LlmQueries extends QueryPack {
 
     "x06_lsh_neardup" -> {
       val planes = Similarity.hyperplanes(LshBands, LshBits, EmbDim)
-      val bandSelects = planes.zipWithIndex.map { case (ps, bi) =>
-        s"SELECT vec_id, ${bi + 1} AS band, ${sqlBandBucket(ps)} AS bucket FROM ev"
-      }.mkString("\nUNION ALL\n")
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          bb AS ($bandSelects),
+          planes(band, bit, w) AS (VALUES ${sqlPlaneValues(planes.map(_.toSeq))}),
+          proj AS (
+            SELECT e.vec_id, p.band, p.bit,
+              list_reduce(list_transform(generate_series(1, $EmbDim),
+                i -> e.v[i] * p.w[i]), (x,y) -> x+y) AS pr
+            FROM ev e, planes p),
+          bb AS (
+            SELECT vec_id, band,
+              string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                ORDER BY bit) AS bucket
+            FROM proj GROUP BY vec_id, band),
           cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM bb a JOIN bb b
