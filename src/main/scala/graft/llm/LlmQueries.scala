@@ -54,7 +54,10 @@ object LlmQueries extends QueryPack {
     "x18_winnow_fingerprint" -> ((s, dir) =>
       TextOps.winnowFingerprints(docs(s, dir))),
     "x19_quantized_topk" -> ((s, dir) =>
-      Similarity.quantizedTopK(embs(s, dir), nQueries = 10, k = 5))
+      Similarity.quantizedTopK(embs(s, dir), nQueries = 10, k = 5)),
+    "x20_ivf_nprobe_topk" -> ((s, dir) =>
+      Similarity.ivfCentroidTopK(embs(s, dir), CentroidIds, nQueries = 10,
+        k = 3, nprobe = 2))
   )
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
@@ -326,6 +329,38 @@ object LlmQueries extends QueryPack {
             WHERE rn = 1),
           q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell
                 FROM assigned WHERE vec_id < 10),
+          scored AS (
+            SELECT q.q_id, a.vec_id, ${cos("q.qv", "a.v")} AS cos
+            FROM assigned a JOIN q
+              ON a.cell = q.q_cell AND a.vec_id != q.q_id)
+          SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM scored)
+          WHERE rank <= 3"""
+    },
+
+    // nprobe=2: identical assignment ranking, query probes its top-2
+    // cells — the IVF recall/cost knob demonstrated against the same
+    // centroid set as x14
+    "x20_ivf_nprobe_topk" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM ev
+                    WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          ranked AS (
+            SELECT vec_id, v, cid,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, cid ASC) AS rn
+            FROM (SELECT e.vec_id, e.v, c.cid,
+                    ${cos("e.v", "c.cv")} AS ccos
+                  FROM ev e, cents c)),
+          assigned AS (
+            SELECT vec_id, v, cid AS cell FROM ranked WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv, cid AS q_cell
+                FROM ranked WHERE rn <= 2 AND vec_id < 10),
           scored AS (
             SELECT q.q_id, a.vec_id, ${cos("q.qv", "a.v")} AS cos
             FROM assigned a JOIN q

@@ -233,27 +233,35 @@ object Similarity {
   /** IVF with a real coarse quantizer: `centroidIds` picks the centroid
     * vectors (the deterministic stand-in for a k-means "train" step);
     * every vector is assigned to its nearest centroid (broadcast of the
-    * tiny centroid set, one scan), and a query probes ONLY its own
-    * cell — candidate work drops from N to ~N/cells per query. nprobe>1
-    * is the same join on a top-n assignment set.
+    * tiny centroid set, one scan), and a query probes its `nprobe`
+    * nearest cells — candidate work is ~nprobe·N/cells per query instead
+    * of N, and nprobe is THE recall/cost knob of IVF search (r3 verdict
+    * task 6): a true neighbor whose cell differs from the query's first
+    * cell is recovered by the second probe. The probe set is the same
+    * centroid ranking the assignment already computes, kept to rn ≤
+    * nprobe instead of rn = 1 — no extra scan, still one broadcast join.
     */
   def ivfCentroidTopK(embeddings: DataFrame, centroidIds: Seq[Long],
-      nQueries: Int, k: Int): DataFrame = {
+      nQueries: Int, k: Int, nprobe: Int = 1): DataFrame = {
     graft.functions.CosineSim.register(embeddings.sparkSession)
     val nc = (a: Column, b: Column) => call_function("cosine_sim", a, b)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = e.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // assignment = argmax cosine over the centroid set (ties → lowest cid)
+    // assignment = cosine ranking over the centroid set (ties → lowest
+    // cid); corpus vectors keep rank 1, query probes keep rank ≤ nprobe
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = e.join(broadcast(cents))
+    val ranked = e.join(broadcast(cents))
       .withColumn("ccos", nc(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(w))
+    val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid").as("cell"))
-    val q = assigned.filter(col("vec_id") < nQueries)
+    val q = ranked.filter(col("rn") <= nprobe && col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("cell").as("q_cell"))
+        col("cid").as("q_cell"))
+    // each corpus vector lives in exactly one cell and the probe cells of
+    // a query are distinct, so (q_id, vec_id) appears at most once
     val scored = assigned.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), nc(col("qv"), col("v")).as("cos"))

@@ -260,6 +260,25 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.ivfTopK(df, nQueries = 1, k = 5).collect()
     assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(1L))
   }
+
+  test("nprobe=2 recall vs brute force is >= single-probe on the fixture") {
+    val embs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val cents = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val truth = hits(Similarity.bruteForceTopK(embs, nQueries = 10, k = 3))
+    val p1 = hits(Similarity.ivfCentroidTopK(embs, cents, 10, 3, nprobe = 1))
+    val p2 = hits(Similarity.ivfCentroidTopK(embs, cents, 10, 3, nprobe = 2))
+    val r1 = (truth & p1).size
+    val r2 = (truth & p2).size
+    // more probes can only widen the searched set, so recall@k is
+    // monotone (probe-2 may replace probe-1 rows with better ones from
+    // the second cell — that can only move results TOWARD the truth)
+    assert(r2 >= r1)
+    assert(p2.groupBy(_._1).forall(_._2.size == 3))
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
