@@ -57,7 +57,8 @@ object LlmQueries extends QueryPack {
       Similarity.quantizedTopK(embs(s, dir), nQueries = 10, k = 5)),
     "x20_ivf_nprobe_topk" -> ((s, dir) =>
       Similarity.ivfCentroidTopK(embs(s, dir), CentroidIds, nQueries = 10,
-        k = 3, nprobe = 2))
+        k = 3, nprobe = 2)),
+    "x21_winnow_pairs" -> ((s, dir) => TextOps.winnowPairs(docs(s, dir)))
   )
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
@@ -103,6 +104,31 @@ object LlmQueries extends QueryPack {
          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          FROM bands l JOIN bands r
            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)"""
+  }
+
+  /** winnowing fingerprints as a reusable CTE (mirror of
+    * [[TextOps.winnowFingerprints]], k=5 w=16): per-digit positional
+    * hex→u32 k-gram hashes, windowed running min, valid window starts
+    */
+  private val WINNOW_CTE = {
+    val u32 = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+    s"""gs AS (
+          SELECT doc_id, x.i AS pos, substr(text, x.i, 5) AS g
+          FROM documents, unnest(generate_series(1, length(text) - 4)) AS x(i)
+          WHERE length(text) >= 5),
+        hx AS (SELECT doc_id, pos, substr(md5(g), 1, 8) AS hx FROM gs),
+        h AS (SELECT doc_id, pos, $u32 AS h FROM hx),
+        wm AS (
+          SELECT doc_id, pos,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+            count(*) OVER (PARTITION BY doc_id) AS n
+          FROM h),
+        fps AS (
+          SELECT DISTINCT doc_id, wmin AS fp FROM wm
+          WHERE pos <= n - 15 OR (n < 16 AND pos = 1))"""
   }
 
   /** double-widened embeddings + cosine (mirror of Similarity: list_reduce
@@ -400,25 +426,20 @@ object LlmQueries extends QueryPack {
 
     // winnowing: same k-gram hashes, same windowed running-min — pos is
     // 1-based here vs 0-based posexplode, hence the shifted bounds
-    "x18_winnow_fingerprint" -> {
-      val u32 = (1 to 8)
-        .map(i => s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
-        .mkString("(", " + ", ")")
-      s"""WITH gs AS (
-            SELECT doc_id, x.i AS pos, substr(text, x.i, 5) AS g
-            FROM documents, unnest(generate_series(1, length(text) - 4)) AS x(i)
-            WHERE length(text) >= 5),
-          hx AS (SELECT doc_id, pos, substr(md5(g), 1, 8) AS hx FROM gs),
-          h AS (SELECT doc_id, pos, $u32 AS h FROM hx),
-          wm AS (
-            SELECT doc_id, pos,
-              min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
-              count(*) OVER (PARTITION BY doc_id) AS n
-            FROM h)
-          SELECT DISTINCT doc_id, wmin AS fp FROM wm
-          WHERE pos <= n - 15 OR (n < 16 AND pos = 1)"""
-    },
+    "x18_winnow_fingerprint" ->
+      s"""WITH $WINNOW_CTE
+          SELECT doc_id, fp FROM fps""",
+
+    // winnow pairs: same fingerprints, df-filtered (boilerplate cut) and
+    // self-joined — count(*) per ordered pair = shared fp count
+    "x21_winnow_pairs" ->
+      s"""WITH $WINNOW_CTE,
+          keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+          kf AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS n_shared_fps
+          FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     // int8-quantized ANN: integer dots are exact, so only the final double
     // division must (and does) agree; exact float cosine rides along to

@@ -321,6 +321,22 @@ class TextOpsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("winnow pairs: shared-substring docs pair; boilerplate fps are cut") {
+    val shared = "this exact twenty-plus character passage is common to both"
+    val a = s"unique prefix aaa $shared and unique suffix bbb"
+    val b = s"other start zzz $shared with different ending qqq"
+    val df = docsDf(Seq((0L, a, "en"), (1L, b, "en"),
+      (2L, "completely unrelated text with nothing in common at all", "en")))
+    val pairs = TextOps.winnowPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) >= 2) // long shared passage → several shared fps
+    assert(!pairs.keySet.exists { case (x, y) => x == 2L || y == 2L })
+    // a fingerprint present in MORE than maxDf docs is dropped before
+    // pairing: with maxDf=1 every shared fp is "boilerplate" → no pairs
+    assert(TextOps.winnowPairs(df, maxDf = 1).collect().isEmpty)
+  }
+
   test("lang-ID votes stopwords; zero hits → unknown") {
     val df = docsDf(Seq(
       (0L, "the cat of the house", "en"),
