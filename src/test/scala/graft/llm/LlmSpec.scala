@@ -337,6 +337,52 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.winnowPairs(df, maxDf = 1).collect().isEmpty)
   }
 
+  test("tfidf top terms: rare terms outrank common ones, ties break asc") {
+    val df = docsDf(Seq(
+      (0L, "common common rare", "en"),
+      (1L, "common other words", "en"),
+      (2L, "common more words", "en")))
+    val out = TextOps.tfidfTopTerms(df, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toMap
+    // doc 0: "rare" df=1 → 1*(3/1)=3.0; "common" tf=2 df=3 → 2*(3/3)=2.0
+    assert(out((0L, 1)) == ("rare", 3.0))
+    assert(out((0L, 2)) == ("common", 2.0))
+    // doc 1: "other" and "words" both 1*(3/1)=3.0 vs 3.0 (words df=2 → 1.5)
+    assert(out((1L, 1))._1 == "other")
+  }
+
+  test("repetition signals: hand-computed fractions on a repeating doc") {
+    val df = docsDf(Seq(
+      (0L, "a b a b c", "en"), // bigrams: "a b","b a","a b","b c" → 4
+      (1L, "x", "en"), // single token: no bigrams
+      (2L, "p q r", "en")))
+    val out = TextOps.repetitionSignals(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[String]("top_bigram") == "a b")
+    assert(r0.getAs[Long]("top_bigram_n") == 2L)
+    assert(r0.getAs[Double]("top_bigram_frac") == 2.0 / 4.0)
+    assert(r0.getAs[Double]("dup_bigram_frac") == 2.0 / 4.0)
+    assert(r0.getAs[Double]("distinct_token_ratio") == 3.0 / 5.0)
+    val r1 = out(1L)
+    assert(r1.isNullAt(r1.fieldIndex("top_bigram")))
+    assert(r1.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(r1.getAs[Double]("distinct_token_ratio") == 1.0)
+    assert(out(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
+  test("bm25 odds: more hits score higher at equal length; misses absent") {
+    val df = docsDf(Seq(
+      (0L, "spark join filler filler", "en"),
+      (1L, "spark filler filler filler", "en"),
+      (2L, "no relevant terms here", "en")))
+    val out = TextOps.bm25Odds(df, Seq("spark", "join")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("bm25_odds")).toMap
+    assert(out.contains(0L) && out.contains(1L) && !out.contains(2L))
+    assert(out(0L) > out(1L)) // extra matched term at the same doc length
+  }
+
   test("lang-ID votes stopwords; zero hits → unknown") {
     val df = docsDf(Seq(
       (0L, "the cat of the house", "en"),
