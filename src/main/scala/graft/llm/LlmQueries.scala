@@ -90,14 +90,22 @@ object LlmQueries extends QueryPack {
        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t,
             unnest(generate_series(1, len(tk))) AS x(i))"""
 
-  /** minhash signature + bands (mirror of Dedup) */
+  /** minhash signature + bands (mirror of Dedup): one md5 per shingle,
+    * two positional-parsed 32-bit halves, Kirsch–Mitzenmacher family
+    * `(h1 + i·h2) mod p` in BIGINT arithmetic, plain "|"-joined band key
+    */
   private val SIG_CTE = {
+    def u32(from: Int) = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(mh, ${from + i - 1}, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
     val mins = (1 to Dedup.NumHashes)
-      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      .map(i => s"min((u1 + $i * u2) % ${Dedup.MinhashMod}) AS h$i")
+      .mkString(", ")
     val bandRows = (0 until Dedup.NumHashes / Dedup.BandSize).map { b =>
-      val hs = (1 to Dedup.BandSize).map(j => s"h${b * Dedup.BandSize + j}")
+      val hs = (1 to Dedup.BandSize)
+        .map(j => s"CAST(h${b * Dedup.BandSize + j} AS VARCHAR)")
         .mkString(" || '|' || ")
-      s"SELECT doc_id, ${b + 1} AS band, md5($hs) AS bh FROM sig"
+      s"SELECT doc_id, ${b + 1} AS band, $hs AS bh FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""$TOKS_CTE,
        sh AS (
@@ -106,7 +114,9 @@ object LlmQueries extends QueryPack {
              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
          WHERE len(tk) >= 3),
-       sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       hh AS (SELECT doc_id, md5(shingle) AS mh FROM sh),
+       hu AS (SELECT doc_id, ${u32(1)} AS u1, ${u32(9)} AS u2 FROM hh),
+       sig AS (SELECT doc_id, $mins FROM hu GROUP BY doc_id),
        bands AS ($bandRows),
        cand AS (
          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
