@@ -63,7 +63,8 @@ object LlmQueries extends QueryPack {
       TextOps.tfidfTopTerms(docs(s, dir))),
     "x23_repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(docs(s, dir))),
-    "x24_bm25" -> ((s, dir) => TextOps.bm25Odds(docs(s, dir), Bm25Terms))
+    "x24_bm25" -> ((s, dir) => TextOps.bm25Odds(docs(s, dir), Bm25Terms)),
+    "x25_chunking" -> ((s, dir) => TextOps.chunkTokens(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -575,6 +576,27 @@ object LlmQueries extends QueryPack {
           agg AS (SELECT doc_id, dl, $perTerm FROM scored GROUP BY 1, 2)
           SELECT doc_id, dl, $total AS bm25_odds FROM agg"""
     },
+
+    // sliding-window chunking: chunk count in integer arithmetic, chunk
+    // body via an inclusive list slice — strings only, trivially exact
+    "x25_chunking" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+         dims AS (
+           SELECT doc_id, tk, len(tk) AS n_tokens,
+             CAST((greatest(len(tk) - 32, 0) + 23) // 24 AS INT) + 1
+               AS n_chunks
+           FROM tk),
+         ch AS (
+           SELECT doc_id, tk, n_tokens, x.i AS chunk_id
+           FROM dims, unnest(generate_series(0, n_chunks - 1)) AS x(i))
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 24 + 1 AS INT) AS start_pos,
+           CAST(len(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS chunk_text
+         FROM ch""",
 
     "x17_hash_split" -> {
       // hex→u32 via the 0x-literal cast (same value as Sampling.hashU32's

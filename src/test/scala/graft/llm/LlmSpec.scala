@@ -383,6 +383,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0L) > out(1L)) // extra matched term at the same doc length
   }
 
+  test("chunking: stride windows cover the tail; short docs = one chunk") {
+    val words = (1 to 80).map(i => s"w$i").mkString(" ")
+    val df = docsDf(Seq((0L, words, "en"), (1L, "a b c", "en")))
+    val rows = TextOps.chunkTokens(df, chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("chunk_id")) -> r).toMap
+    // 80 tokens: ceil((80-32)/24)+1 = 3 chunks at 1, 25, 49
+    assert(rows.keys.count(_._1 == 0L) == 3)
+    assert(rows((0L, 0)).getAs[Int]("start_pos") == 1)
+    assert(rows((0L, 1)).getAs[Int]("start_pos") == 25)
+    assert(rows((0L, 2)).getAs[Int]("start_pos") == 49)
+    assert(rows((0L, 0)).getAs[Int]("n_chunk_tokens") == 32)
+    assert(rows((0L, 2)).getAs[Int]("n_chunk_tokens") == 32) // 49..80
+    assert(rows((0L, 2)).getAs[String]("chunk_text").startsWith("w49 "))
+    assert(rows((0L, 2)).getAs[String]("chunk_text").endsWith(" w80"))
+    // every token is covered by some chunk (tail coverage)
+    val covered = rows.filter(_._1._1 == 0L).values.flatMap(r =>
+      r.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered == (1 to 80).map(i => s"w$i").toSet)
+    // short doc: single whole-doc chunk
+    assert(rows.keys.count(_._1 == 1L) == 1)
+    assert(rows((1L, 0)).getAs[String]("chunk_text") == "a b c")
+  }
+
   test("lang-ID votes stopwords; zero hits → unknown") {
     val df = docsDf(Seq(
       (0L, "the cat of the house", "en"),
