@@ -73,12 +73,31 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Sampling.splitAndSample(docs)
   def similarTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
     graft.llm.Similarity.bruteForceTopKNative(embeddings, nQueries, k)
+  /** IVF ANN with the nprobe recall/cost knob (x14/x20 demo geometry) */
+  def similarTopKIvf(embeddings: DataFrame, centroidIds: Seq[Long],
+      nQueries: Int, k: Int, nprobe: Int = 1): DataFrame =
+    graft.llm.Similarity.ivfCentroidTopK(embeddings, centroidIds, nQueries,
+      k, nprobe)
+  def similarTopKQuantized(embeddings: DataFrame, nQueries: Int,
+      k: Int): DataFrame =
+    graft.llm.Similarity.quantizedTopK(embeddings, nQueries, k)
   def tokenStats(docs: DataFrame): DataFrame =
     graft.llm.TextOps.tokenStats(docs)
   def languageId(docs: DataFrame): DataFrame =
     graft.llm.TextOps.langId(docs)
   def qualityScores(docs: DataFrame): DataFrame =
     graft.llm.TextOps.qualityScore(docs)
+  def winnowNearDupPairs(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.winnowPairs(docs)
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame =
+    graft.llm.TextOps.tfidfTopTerms(docs, topK)
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.repetitionSignals(docs)
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame =
+    graft.llm.TextOps.bm25Odds(docs, terms)
+  def chunkForTraining(docs: DataFrame, chunkSize: Int = 32,
+      stride: Int = 24): DataFrame =
+    graft.llm.TextOps.chunkTokens(docs, chunkSize, stride)
 
   // ---- streaming (T3-T7) ---------------------------------------------
   def streamingTumblingCounts(eventsDir: String): DataFrame =
