@@ -127,6 +127,33 @@ object StreamOps {
         col("count").as("n"))
   }
 
+  /** T3 + stream-static enrichment: the event stream joins a BROADCAST
+    * static dimension (event_type → category) BEFORE the windowed
+    * aggregation — the stateless enrichment join every streaming
+    * deployment runs (dimension lives on the executors, no state store,
+    * no stream-stream watermark bookkeeping). Value totals are summed in
+    * exact DECIMAL and cast to double at the end, the same cross-engine
+    * discipline as the batch money aggregates.
+    */
+  def enrichedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("signup", "acquisition"), ("purchase", "revenue"),
+      ("error", "reliability")).toDF("event_type", "category")
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    runToTable(agg, "st_enriched", "complete")
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("category"), col("n"),
+        col("total_value"))
+  }
+
   /** T6 — stateful dedup within the watermark on (user_id, event_type):
     * emits each distinct key once; output is the distinct key set, which
     * is deterministic regardless of arrival order.

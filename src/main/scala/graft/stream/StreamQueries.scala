@@ -18,7 +18,8 @@ object StreamQueries extends QueryPack {
     "st03_stream_dedup" -> ((s, dir) => StreamOps.dedupKeys(s, dir)),
     "st04_incremental_health" -> ((s, _) =>
       IncrementalHealth.run(s, graft.meta.FixtureCatalog.DefaultDir)),
-    "st05_sliding_counts" -> ((s, dir) => StreamOps.slidingCounts(s, dir))
+    "st05_sliding_counts" -> ((s, dir) => StreamOps.slidingCounts(s, dir)),
+    "st06_enriched_counts" -> ((s, dir) => StreamOps.enrichedCounts(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -65,6 +66,21 @@ object StreamQueries extends QueryPack {
            window_start + INTERVAL 1 HOUR AS window_end,
            event_type, count(*) AS n
          FROM w GROUP BY 1, 2, 3""",
+
+    // stream-static enrichment: the dim is the same VALUES table, decimal
+    // value sums match the batch money discipline
+    "st06_enriched_counts" ->
+      """WITH dim(event_type, category) AS (VALUES
+           ('click', 'engagement'), ('view', 'engagement'),
+           ('signup', 'acquisition'), ('purchase', 'revenue'),
+           ('error', 'reliability'))
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+             AS window_end,
+           category, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events JOIN dim USING (event_type)
+         GROUP BY 1, 2, 3""",
 
     // final state of the incremental fold == batch aggregation over the
     // same metadata fixture (op inference mirrors Normalize)
