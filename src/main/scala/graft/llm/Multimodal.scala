@@ -11,29 +11,32 @@ import org.apache.spark.sql.functions._
   * typed Dataset (the JVM analogue of an Arrow-batched decode UDF). PNG
   * AND JPEG rows are REAL images decoded with the JDK's `javax.imageio`
   * ([[ImageCodec]], r2+r3 verdict task 5) — width/height/brightness come
-  * from actual pixels. WAV/MP4 decode remains a clearly-marked
-  * deterministic STUB (no JDK codec), so their schema/partitioning/batch
-  * contract is exercised while the content math is fake.
+  * from actual pixels — and WAV rows are REAL RIFF/PCM audio decoded by
+  * the hand-rolled [[WavCodec]] (the container needs no codec library at
+  * all) — duration/rate/amplitude come from actual samples. Only MP4
+  * decode remains a clearly-marked deterministic STUB (no JDK codec), so
+  * its schema/partitioning/batch contract is exercised while the content
+  * math is fake.
   */
 object Multimodal {
 
-  /** fixture row; `px_brightness` is the EXPECTED pixel statistic for
-    * image rows (the oracle reads it; the engine must re-derive it from
-    * the bytes). For PNG it equals the source image's statistic
-    * (lossless); for JPEG it is computed by decoding the ENCODED bytes at
-    * authoring time, so the lossy round trip cancels out.
+  /** fixture row; `px_brightness` (images) and `amp_mean` (audio) are
+    * the EXPECTED content statistics (the oracle reads them; the engine
+    * must re-derive them from the bytes). For PNG and WAV they equal the
+    * source signal's statistics (lossless containers); for JPEG they are
+    * computed by decoding the ENCODED bytes at authoring time, so the
+    * lossy round trip cancels out.
     */
   case class MediaFx(
       media_id: Long, kind: String, payload: Array[Byte],
       width: Option[Int], height: Option[Int],
       duration_ms: Option[Long], sample_rate: Option[Int],
-      px_brightness: Option[Double])
+      px_brightness: Option[Double], amp_mean: Option[Double])
 
   /** deterministic payload: 4-byte magic + pseudo-random-but-fixed body */
   private def body(id: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((id * 31 + i * 7 + 13) % 256).toByte)
 
-  private val WAV = "RIFF".getBytes("UTF-8")
   private val MP4 = Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("UTF-8")
 
   def mediaRows: Seq[MediaFx] =
@@ -43,7 +46,7 @@ object Multimodal {
       val (w, h) = (16 + 4 * i.toInt, 12 + 3 * i.toInt)
       val img = ImageCodec.testImage(i, w, h)
       MediaFx(i, "image", ImageCodec.encode(img), Some(w), Some(h), None,
-        None, Some(ImageCodec.brightness(img)))
+        None, Some(ImageCodec.brightness(img)), None)
     } ++
       (4L until 7L).map { i =>
         // real JPEGs (r3 verdict task 5): expected stats come from
@@ -52,12 +55,22 @@ object Multimodal {
         val bytes = ImageCodec.encodeJpeg(ImageCodec.testImage(i, w, h))
         val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
         MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
-          Some(bright))
+          Some(bright), None)
       } ++
-      (7L until 10L).map(i => MediaFx(i, "audio", WAV ++ body(i, 96),
-        None, None, Some(3000L + i * 500), Some(16000), None)) ++
+      (7L until 10L).map { i =>
+        // real WAVs: RIFF/16-bit-mono-PCM is hand-writable, no codec
+        // needed; metadata duration/rate = the encoded signal's, and
+        // amp_mean is the deterministic mean |sample| / 32768
+        val rate = 16000
+        val durMs = 3000L + i * 500
+        val samples = WavCodec.testSamples(i, (rate * durMs / 1000L).toInt)
+        val bytes = WavCodec.encode(samples, rate)
+        val st = WavCodec.decode(bytes).get
+        MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
+          Some(st.sampleRate), None, Some(st.meanAbs))
+      } ++
       (10L until 12L).map(i => MediaFx(i, "video", MP4 ++ body(i, 128),
-        Some(1920), Some(1080), Some(4000L + i * 1000), None, None))
+        Some(1920), Some(1080), Some(4000L + i * 1000), None, None, None))
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
   def main(args: Array[String]): Unit = {
@@ -78,36 +91,43 @@ object Multimodal {
       width: Option[Int], height: Option[Int],
       duration_ms: Option[Long], sample_rate: Option[Int])
 
-  /** [[MediaIn]] + decoded pixel stats (None for non-PNG payloads) */
+  /** [[MediaIn]] + decoded stats (image fields None for non-image
+    * payloads, audio fields None for non-WAV payloads)
+    */
   case class MediaDec(
       media_id: Long, kind: String, payload: Array[Byte],
       width: Option[Int], height: Option[Int],
       duration_ms: Option[Long], sample_rate: Option[Int],
       dec_width: Option[Int], dec_height: Option[Int],
-      dec_brightness: Option[Double])
+      dec_brightness: Option[Double],
+      dec_duration_ms: Option[Long], dec_sample_rate: Option[Int],
+      dec_amp_mean: Option[Double])
 
   /** single embarrassingly-parallel decode pass: one `mapPartitions`, no
     * shuffle, no join — the row rides through with its decoded stats
-    * attached. PNG and JPEG decode for real ([[ImageCodec]]); other
-    * containers yield None and keep the stub seam in [[decodeFeatures]].
+    * attached. PNG, JPEG ([[ImageCodec]]) and WAV ([[WavCodec]]) decode
+    * for real; mp4 yields None and keeps the stub seam in
+    * [[decodeFeatures]].
     */
-  def decodeImages(media: DataFrame): DataFrame = {
+  def decodeMedia(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("media_id"), col("kind"), col("payload"), col("width"),
         col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
       .mapPartitions(_.map { m =>
         val d = ImageCodec.decode(m.payload)
+        val a = WavCodec.decode(m.payload)
         MediaDec(m.media_id, m.kind, m.payload, m.width, m.height,
           m.duration_ms, m.sample_rate, d.map(_._1), d.map(_._2),
-          d.map(_._3))
+          d.map(_._3), a.map(_.durationMs), a.map(_.sampleRate),
+          a.map(_.meanAbs))
       }).toDF()
   }
 
   /** metadata extraction: magic-based container sniffing, byte size, and
     * content hash as pure expressions over the binary column; REAL
-    * decoded width/height/brightness for PNG and JPEG rows (null
-    * elsewhere).
+    * decoded width/height/brightness for PNG and JPEG rows and
+    * duration/rate/amplitude for WAV rows (null elsewhere).
     */
   def mediaMeta(media: DataFrame): DataFrame = {
     // all byte inspection runs over the lowercase hex rendering — the one
@@ -120,11 +140,12 @@ object Multimodal {
       .when(magic === "52494646", "wav")
       .when(substring(hx, 9, 8) === "66747970", "mp4")
       .otherwise(lit("unknown"))
-    decodeImages(media).select(col("media_id"), col("kind"),
+    decodeMedia(media).select(col("media_id"), col("kind"),
       length(col("payload")).as("n_bytes"),
       magic.as("magic_hex"), detected.as("container"),
       md5(hx).as("content_md5"),
       col("dec_width"), col("dec_height"), col("dec_brightness"),
+      col("dec_duration_ms"), col("dec_sample_rate"), col("dec_amp_mean"),
       col("width"), col("height"), col("duration_ms"), col("sample_rate"))
   }
 

@@ -467,9 +467,39 @@ class MultimodalSpec extends SparkSpec {
       assert(rows(i).getAs[Double]("dec_brightness") ==
         expected(i).px_brightness.get)
     }
-    (7L until 12L).foreach { i =>
+    // 7-9 WAV: real RIFF/PCM parse
+    (7L until 10L).foreach { i =>
       assert(rows(i).isNullAt(rows(i).fieldIndex("dec_brightness")))
+      assert(rows(i).getAs[Long]("dec_duration_ms") ==
+        expected(i).duration_ms.get)
+      assert(rows(i).getAs[Int]("dec_sample_rate") ==
+        expected(i).sample_rate.get)
+      assert(rows(i).getAs[Double]("dec_amp_mean") ==
+        expected(i).amp_mean.get)
     }
+    (10L until 12L).foreach { i =>
+      assert(rows(i).isNullAt(rows(i).fieldIndex("dec_brightness")))
+      assert(rows(i).isNullAt(rows(i).fieldIndex("dec_amp_mean")))
+    }
+  }
+
+  test("WAV codec: hand-computed stats round-trip; chunk walker is robust") {
+    val samples = Array[Short](0, 16384, -16384, 32767)
+    val bytes = WavCodec.encode(samples, 8000)
+    assert(WavCodec.isWav(bytes))
+    val Some(st) = WavCodec.decode(bytes)
+    assert(st.sampleRate == 8000 && st.nSamples == 4)
+    assert(st.durationMs == 4L * 1000 / 8000)
+    assert(st.meanAbs == (0L + 16384 + 16384 + 32767).toDouble / (32768.0 * 4))
+    // non-WAV bytes → None, not a crash
+    assert(WavCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxxxxxxxxx".getBytes("UTF-8")).isEmpty)
+    // an extra chunk between fmt and data is walked over
+    val canonical = WavCodec.encode(samples, 8000)
+    val withJunk = canonical.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9) ++
+      canonical.drop(36)
+    assert(WavCodec.decode(withJunk) == WavCodec.decode(canonical))
   }
 
   test("JPEG round trip: decode of encoded bytes is deterministic") {
