@@ -351,7 +351,7 @@ object LlmQueries extends QueryPack {
             CASE WHEN substr(hx, 1, 8) = '89504e47' OR substr(hx, 1, 6) = 'ffd8ff' THEN width END AS dec_width,
             CASE WHEN substr(hx, 1, 8) = '89504e47' OR substr(hx, 1, 6) = 'ffd8ff' THEN height END AS dec_height,
             CASE WHEN substr(hx, 1, 8) = '89504e47' OR substr(hx, 1, 6) = 'ffd8ff' THEN px_brightness END AS dec_brightness,
-            CASE WHEN substr(hx, 1, 8) = '52494646' THEN duration_ms END AS dec_duration_ms,
+            CASE WHEN substr(hx, 1, 8) = '52494646' OR substr(hx, 9, 8) = '66747970' THEN duration_ms END AS dec_duration_ms,
             CASE WHEN substr(hx, 1, 8) = '52494646' THEN sample_rate END AS dec_sample_rate,
             CASE WHEN substr(hx, 1, 8) = '52494646' THEN amp_mean END AS dec_amp_mean,
             width, height, duration_ms, sample_rate

@@ -33,11 +33,9 @@ object Multimodal {
       duration_ms: Option[Long], sample_rate: Option[Int],
       px_brightness: Option[Double], amp_mean: Option[Double])
 
-  /** deterministic payload: 4-byte magic + pseudo-random-but-fixed body */
+  /** deterministic pseudo-random-but-fixed body bytes */
   private def body(id: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((id * 31 + i * 7 + 13) % 256).toByte)
-
-  private val MP4 = Array[Byte](0, 0, 0, 24) ++ "ftyp".getBytes("UTF-8")
 
   def mediaRows: Seq[MediaFx] =
     (0L until 4L).map { i =>
@@ -69,8 +67,16 @@ object Multimodal {
         MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
           Some(st.sampleRate), None, Some(st.meanAbs))
       } ++
-      (10L until 12L).map(i => MediaFx(i, "video", MP4 ++ body(i, 128),
-        Some(1920), Some(1080), Some(4000L + i * 1000), None, None, None))
+      (10L until 12L).map { i =>
+        // real ISO BMFF container (ftyp + moov/mvhd + mdat): the
+        // metadata duration is PARSED from the mvhd box; the mdat frame
+        // payload is the one remaining decode stub (needs a real codec)
+        val durMs = 4000L + i * 1000
+        val bytes = Mp4Meta.encode(timescale = 1000, duration = durMs,
+          mdatBody = body(i, 128))
+        MediaFx(i, "video", bytes, Some(1920), Some(1080),
+          Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None)
+      }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
   def main(args: Array[String]): Unit = {
@@ -117,10 +123,12 @@ object Multimodal {
       .mapPartitions(_.map { m =>
         val d = ImageCodec.decode(m.payload)
         val a = WavCodec.decode(m.payload)
+        val v = Mp4Meta.decode(m.payload)
         MediaDec(m.media_id, m.kind, m.payload, m.width, m.height,
           m.duration_ms, m.sample_rate, d.map(_._1), d.map(_._2),
-          d.map(_._3), a.map(_.durationMs), a.map(_.sampleRate),
-          a.map(_.meanAbs))
+          d.map(_._3),
+          a.map(_.durationMs).orElse(v.map(_.durationMs)),
+          a.map(_.sampleRate), a.map(_.meanAbs))
       }).toDF()
   }
 

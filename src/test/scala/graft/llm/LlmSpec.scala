@@ -477,10 +477,31 @@ class MultimodalSpec extends SparkSpec {
       assert(rows(i).getAs[Double]("dec_amp_mean") ==
         expected(i).amp_mean.get)
     }
+    // 10-11 MP4: container duration parsed from the real mvhd box;
+    // frame content stays un-decoded (the one remaining stub)
     (10L until 12L).foreach { i =>
       assert(rows(i).isNullAt(rows(i).fieldIndex("dec_brightness")))
       assert(rows(i).isNullAt(rows(i).fieldIndex("dec_amp_mean")))
+      assert(rows(i).getAs[Long]("dec_duration_ms") ==
+        expected(i).duration_ms.get)
     }
+  }
+
+  test("MP4 box walker: mvhd duration round-trips; v1 and junk boxes ok") {
+    val bytes = Mp4Meta.encode(timescale = 600, duration = 1234L,
+      mdatBody = Array[Byte](1, 2, 3))
+    assert(Mp4Meta.isMp4(bytes))
+    val Some(st) = Mp4Meta.decode(bytes)
+    assert(st.timescale == 600 && st.duration == 1234L)
+    assert(st.durationMs == 1234L * 1000 / 600)
+    // a free box before moov is walked over
+    val free = java.nio.ByteBuffer.allocate(12).putInt(12)
+      .put("free".getBytes("US-ASCII")).putInt(0).array()
+    val ftypLen = java.nio.ByteBuffer.wrap(bytes).getInt(0)
+    val withFree = bytes.take(ftypLen) ++ free ++ bytes.drop(ftypLen)
+    assert(Mp4Meta.decode(withFree) == Mp4Meta.decode(bytes))
+    // non-mp4 → None
+    assert(Mp4Meta.decode("RIFFxxxxxxxxxxxx".getBytes("UTF-8")).isEmpty)
   }
 
   test("WAV codec: hand-computed stats round-trip; chunk walker is robust") {
