@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** seeded property coverage for the hand-rolled codecs — these parse
+  * adversarial byte layouts at 100 TB, so the round trips must hold for
+  * ARBITRARY signals, not just the fixture patterns (same deterministic
+  * Gen-pumping driver as TypeMapSpec: scalatestplus is not on the
+  * offline classpath)
+  */
+class CodecPropsSpec extends AnyFunSuite {
+
+  def forAllSeeded[T](gen: Gen[T], n: Int = 200)(check: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(1042L + i)).foreach(check)
+    }
+
+  test("WAV round trip holds for arbitrary signals and rates") {
+    val gen = for {
+      n <- Gen.choose(0, 500)
+      rate <- Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+      samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (samples.toArray, rate)
+    forAllSeeded(gen) { case (samples, rate) =>
+      val st = WavCodec.decode(WavCodec.encode(samples, rate)).get
+      assert(st.sampleRate == rate)
+      assert(st.nSamples == samples.length)
+      assert(st.durationMs == samples.length.toLong * 1000 / rate)
+      val expectMean =
+        if (samples.isEmpty) 0.0
+        else samples.map(s => math.abs(s.toLong)).sum.toDouble /
+          (32768.0 * samples.length)
+      assert(st.meanAbs == expectMean)
+    }
+  }
+
+  test("MP4 mvhd round trip holds for arbitrary timescale/duration") {
+    val gen = for {
+      timescale <- Gen.choose(1, 1000000)
+      duration <- Gen.choose(0L, Int.MaxValue.toLong)
+      bodyLen <- Gen.choose(0, 64)
+    } yield (timescale, duration, bodyLen)
+    forAllSeeded(gen) { case (timescale, duration, bodyLen) =>
+      val bytes = Mp4Meta.encode(timescale, duration,
+        Array.fill(bodyLen)(7.toByte))
+      val st = Mp4Meta.decode(bytes).get
+      assert(st.timescale == timescale)
+      assert(st.duration == duration)
+      assert(st.durationMs == duration * 1000L / timescale)
+    }
+  }
+
+  test("truncated or corrupted payloads never crash the decoders") {
+    val base = WavCodec.encode(WavCodec.testSamples(3L, 64), 16000)
+    val mp4 = Mp4Meta.encode(1000, 5000L, Array.fill(16)(1.toByte))
+    val png = ImageCodec.encode(ImageCodec.testImage(1L, 4, 4))
+    forAllSeeded(Gen.choose(0, base.length - 1), 60) { cut =>
+      WavCodec.decode(base.take(cut)) // Option, no throw
+    }
+    forAllSeeded(Gen.choose(0, mp4.length - 1), 60) { cut =>
+      Mp4Meta.decode(mp4.take(cut))
+    }
+    forAllSeeded(Gen.choose(0, png.length - 1), 60) { cut =>
+      ImageCodec.decode(png.take(cut))
+    }
+    // bit flips
+    val flip = for {
+      idx <- Gen.choose(12, base.length - 1)
+      bit <- Gen.choose(0, 7)
+    } yield (idx, bit)
+    forAllSeeded(flip, 100) { case (idx, bit) =>
+      val b = base.clone(); b(idx) = (b(idx) ^ (1 << bit)).toByte
+      WavCodec.decode(b)
+    }
+  }
+}

@@ -121,6 +121,38 @@ class DedupSpec extends SparkSpec {
     assert(sizes.values.max >= 30)
   }
 
+  test("random-graph clusters equal union-find for seeded edge sets") {
+    val s = spark
+    import s.implicits._
+    val n = 40
+    (1 to 3).foreach { g =>
+      val rnd = new scala.util.Random(9000L + g)
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.03
+      } yield (a.toLong, b.toLong)).toVector
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val sizes = expect.values.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val out = Dedup.clustersFromPairs(
+        (0 until n).map(_.toLong).toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      (0 until n).foreach { i =>
+        assert(out(i.toLong) ==
+          (expect(i.toLong), sizes(expect(i.toLong))),
+          s"graph seed ${9000L + g}, node $i")
+      }
+    }
+  }
+
   test("hash split is deterministic, seed-derived, and fraction-shaped") {
     val s = spark
     import s.implicits._
