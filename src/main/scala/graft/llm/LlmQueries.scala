@@ -64,7 +64,8 @@ object LlmQueries extends QueryPack {
     "x23_repetition" -> ((s, dir) =>
       TextOps.repetitionSignals(docs(s, dir))),
     "x24_bm25" -> ((s, dir) => TextOps.bm25Odds(docs(s, dir), Bm25Terms)),
-    "x25_chunking" -> ((s, dir) => TextOps.chunkTokens(docs(s, dir)))
+    "x25_chunking" -> ((s, dir) => TextOps.chunkTokens(docs(s, dir))),
+    "x26_quality_gate" -> ((s, dir) => TextOps.qualityGate(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -578,6 +579,71 @@ object LlmQueries extends QueryPack {
                  stats),
           agg AS (SELECT doc_id, dl, $perTerm FROM scored GROUP BY 1, 2)
           SELECT doc_id, dl, $total AS bm25_odds FROM agg"""
+    },
+
+    // the composed keep/drop gate: same signal CTEs as x09/x10/x23 with
+    // an order-pinned CASE chain for the first-failing-rule reason
+    "x26_quality_gate" -> {
+      val vals = TextOpsOracle.stopwordValues
+      val gateCase =
+        """CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN pred_lang != 'en' THEN 'wrong_lang'
+                WHEN quality_score < 0.5 THEN 'low_quality'
+                WHEN dup_bigram_frac > 0.2 THEN 'repetitive'
+                ELSE 'pass' END"""
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          sw(lang_cand, stopword) AS (VALUES $vals),
+          hits AS (
+            SELECT doc_id, lang_cand, count(*) AS hits
+            FROM toks JOIN sw ON tok = stopword GROUP BY 1, 2),
+          top AS (
+            SELECT doc_id, lang_cand FROM hits
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY hits DESC, lang_cand) = 1),
+          q AS (
+            SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+              CAST(length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) AS alnum,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+            FROM documents),
+          qs AS (
+            SELECT doc_id, greatest(0.0, least(1.0,
+              1.0 - (CASE WHEN n > 0 THEN (n - alnum) / n ELSE 0.0 END)
+                  - abs((CASE WHEN ntok > 0 THEN (n - (ntok - 1)) / ntok
+                              ELSE 0.0 END) - 5.0) / 10.0)) AS quality_score
+            FROM q),
+          tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents),
+          bg AS (
+            SELECT doc_id, tk[x.i] || ' ' || tk[x.i + 1] AS bigram
+            FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
+            WHERE len(tk) >= 2),
+          bcounts AS (SELECT doc_id, bigram, count(*) AS c
+                      FROM bg GROUP BY 1, 2),
+          dup AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_n
+            FROM bcounts GROUP BY 1),
+          dims AS (SELECT doc_id, len(tk) AS n_tokens FROM tk),
+          sig AS (
+            SELECT d.doc_id,
+              coalesce(t.lang_cand, 'unknown') AS pred_lang,
+              CAST(d.n_tokens AS INT) AS n_tokens,
+              qs.quality_score,
+              CASE WHEN d.n_tokens >= 2 THEN
+                CAST(coalesce(u.dup_n, 0) AS DOUBLE)
+                  / CAST(d.n_tokens - 1 AS DOUBLE) ELSE 0.0 END
+                AS dup_bigram_frac
+            FROM dims d
+            LEFT JOIN top t ON t.doc_id = d.doc_id
+            JOIN qs ON qs.doc_id = d.doc_id
+            LEFT JOIN dup u ON u.doc_id = d.doc_id)
+          SELECT doc_id, pred_lang, n_tokens, quality_score,
+            dup_bigram_frac, $gateCase AS gate_reason,
+            ($gateCase = 'pass') AS keep
+          FROM sig"""
     },
 
     // sliding-window chunking: chunk count in integer arithmetic, chunk

@@ -267,6 +267,35 @@ object TextOps {
       .select(col("doc_id"), col("dl"), total.as("bm25_odds"))
   }
 
+  /** the composed QUALITY GATE a training pipeline actually runs: the
+    * per-doc signals ([[langId]], [[qualityScore]],
+    * [[repetitionSignals]], token counts) fold into one keep/drop
+    * decision with the FIRST failing rule as the reason — order-pinned
+    * CASE semantics identical in both engines, all-rational thresholds.
+    * One pass over each signal (shared token-key aggregations) + two
+    * per-doc joins; at 100 TB this is the filter stage before write-out.
+    */
+  def qualityGate(docs: DataFrame, minTokens: Int = 10,
+      maxTokens: Int = 100000, minQuality: Double = 0.5,
+      maxDupBigram: Double = 0.2, lang: String = "en"): DataFrame = {
+    val sig = qualityScore(docs)
+      .join(langId(docs).select(col("doc_id"), col("pred_lang")),
+        Seq("doc_id"))
+      .join(repetitionSignals(docs)
+        .select(col("doc_id"), col("dup_bigram_frac")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens")), Seq("doc_id"))
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(col("pred_lang") =!= lang, "wrong_lang")
+      .when(col("quality_score") < minQuality, "low_quality")
+      .when(col("dup_bigram_frac") > maxDupBigram, "repetitive")
+      .otherwise(lit("pass"))
+    sig.select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+      col("quality_score"), col("dup_bigram_frac"),
+      reason.as("gate_reason"), (reason === "pass").as("keep"))
+  }
+
   /** sliding-window token chunking — the sequence-prep step of a
     * training pipeline: fixed `chunkSize`-token windows advancing by
     * `stride` (overlap = chunkSize - stride), the last window covering

@@ -415,6 +415,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0L) > out(1L)) // extra matched term at the same doc length
   }
 
+  test("quality gate: first failing rule wins; passing docs keep=true") {
+    val longEn = (1 to 30).map(_ => "the cat of a house is in").mkString(" ")
+    val df = docsDf(Seq(
+      (0L, "too short", "en"),                      // < 10 tokens
+      (1L, "el gato de la casa es un gato de la casa y la casa", "es"),
+      (2L, longEn,                                  "en"), // repetitive EN
+      (3L, "the data table holds a big sorted column of fast rows in it",
+        "en")))                                     // clean pass
+    val out = TextOps.qualityGate(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[String]("gate_reason"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(0L) == ("too_short", false))
+    // doc 1: length passes, lang fails BEFORE any later rule could
+    assert(out(1L) == ("wrong_lang", false))
+    // doc 2: en and long enough, but maximally repetitive bigrams
+    assert(out(2L)._1 == "repetitive" && !out(2L)._2)
+    assert(out(3L) == ("pass", true))
+  }
+
   test("chunking: stride windows cover the tail; short docs = one chunk") {
     val words = (1 to 80).map(i => s"w$i").mkString(" ")
     val df = docsDf(Seq((0L, words, "en"), (1L, "a b c", "en")))
