@@ -146,14 +146,25 @@ object Bench {
       } + "\""
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // ms-rounded variant for the stdout line: the driver keeps only a
+    // ~4 KiB tail of the run's output, and the full-precision four-map
+    // line grew past that in rounds 4-5 ("parsed": null in BENCH_r04/05).
+    // The printed line therefore carries the contract keys only (metric/
+    // value/unit/queries/sf + small scalars) at 1 ms precision (~2 KiB);
+    // bench_out.json keeps every map at full precision.
+    def r3(v: Double): String = f"$v%.3f"
+    def jmapR(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val fails = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = sfTimings.values.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"total_min":${sfMins.values.sum},"staged":$doStage,"failed":$fails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+    val jsonShort =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"failed":$fails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
 
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
-    println(json)
+    println(jsonShort)
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }
