@@ -98,6 +98,12 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def chunkForTraining(docs: DataFrame, chunkSize: Int = 32,
       stride: Int = 24): DataFrame =
     graft.llm.TextOps.chunkTokens(docs, chunkSize, stride)
+  def decontaminate(docs: DataFrame, n: Int = 4,
+      evalMod: Long = 50): DataFrame =
+    graft.llm.TextOps.decontaminate(docs, n, evalMod)
+  def packForTraining(docs: DataFrame, capacity: Int = 256,
+      shards: Int = 8): DataFrame =
+    graft.llm.TextOps.packSequences(docs, capacity, shards)
 
   // ---- streaming (T3-T7) ---------------------------------------------
   def streamingTumblingCounts(eventsDir: String): DataFrame =

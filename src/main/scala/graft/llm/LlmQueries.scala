@@ -65,7 +65,10 @@ object LlmQueries extends QueryPack {
       TextOps.repetitionSignals(docs(s, dir))),
     "x24_bm25" -> ((s, dir) => TextOps.bm25Odds(docs(s, dir), Bm25Terms)),
     "x25_chunking" -> ((s, dir) => TextOps.chunkTokens(docs(s, dir))),
-    "x26_quality_gate" -> ((s, dir) => TextOps.qualityGate(docs(s, dir)))
+    "x26_quality_gate" -> ((s, dir) => TextOps.qualityGate(docs(s, dir))),
+    "x27_decontam" -> ((s, dir) => TextOps.decontaminate(docs(s, dir))),
+    "x28_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -534,6 +537,7 @@ object LlmQueries extends QueryPack {
            FROM tk)
          SELECT d.doc_id, t.top_bigram,
            coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+           CAST(d.n_tokens AS INT) AS n_tokens,
            CASE WHEN d.n_tokens >= 2 THEN
              CAST(coalesce(t.top_bigram_n, 0) AS DOUBLE)
                / CAST(d.n_tokens - 1 AS DOUBLE) ELSE 0.0 END
@@ -682,7 +686,49 @@ object LlmQueries extends QueryPack {
                  ELSE 'test' END AS split,
             $uSample < ${math.floor(0.2 * 4294967296.0).toLong} AS in_sample
           FROM documents"""
-    }
+    },
+
+    // eval-set n-gram decontamination: 4-token grams, eval slice
+    // doc_id % 50 = 0; inclusive DuckDB list slice tk[i : i+3] mirrors
+    // Spark's slice(tk, pos, 4)
+    "x27_decontam" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(tk[x.i : x.i + 3], ' ') AS gram
+           FROM tk, unnest(generate_series(1, len(tk) - 3)) AS x(i)
+           WHERE len(tk) >= 4),
+         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+         hits AS (
+           SELECT doc_id, count(DISTINCT g.gram) AS n_shared_grams
+           FROM g JOIN ev USING (gram)
+           WHERE doc_id % 50 != 0 GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+           coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 50 != 0""",
+
+    // concat-then-split packing: running sum per shard in doc_id order
+    // (DuckDB sums BIGINT into HUGEINT → cast back), integer div/mod
+    "x28_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS offset_tokens
+           FROM d)
+         SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+           offset_tokens,
+           offset_tokens // 256 AS begin_seq,
+           (offset_tokens + n_tokens - 1) // 256 AS end_seq,
+           offset_tokens % 256 AS seq_offset
+         FROM o"""
   )
 }
 

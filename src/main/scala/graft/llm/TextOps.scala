@@ -54,16 +54,20 @@ object TextOps {
     */
   def langId(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val hits = tokens(docs)
+    // one hash agg with a struct-ordered min_by replaces the former
+    // window-rank: (-hits, lang_cand) ascending IS (hits desc, lang_cand
+    // asc), so the winner is identical but there is no per-doc sort, and
+    // the winner's hit count is just max(hits)
+    val top = tokens(docs)
       .join(broadcast(stopwords(spark)), col("tok") === col("stopword"))
       .groupBy(col("doc_id"), col("lang_cand"))
       .agg(count(lit(1)).as("hits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("lang_cand").asc)
-    val top = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang_cand"), col("hits"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min_by(col("lang_cand"),
+          struct((-col("hits")).as("nh"), col("lang_cand").as("lc")))
+          .as("lang_cand"),
+        max(col("hits")).as("hits"))
     docs.select(col("doc_id"), col("lang").as("labeled_lang"))
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -195,22 +199,28 @@ object TextOps {
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val counts = base.select(col("doc_id"), explode(bg).as("bigram"))
+    // bigram counts feed ONE per-doc agg. The former shape branched the
+    // counts frame into a window-rank (top bigram) AND a second agg (dup
+    // mass) — and DataFrame branches recompute their subtree, so the
+    // bigram explode+count ran twice. min_by over (-c, bigram) keeps the
+    // exact (c desc, bigram asc) winner; its count is max(c); the dup
+    // mass is a conditional sum in the same agg.
+    val perDoc = base.select(col("doc_id"), explode(bg).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("c").desc, col("bigram").asc)
-    val top = counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("bigram").as("top_bigram"),
-        col("c").as("top_bigram_n"))
-    val dup = counts.groupBy(col("doc_id"))
-      .agg(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min_by(col("bigram"),
+          struct((-col("c")).as("nc"), col("bigram").as("bg")))
+          .as("top_bigram"),
+        max(col("c")).as("top_bigram_n"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_n"))
     val dims = base.select(col("doc_id"), nt.as("n_tokens"),
       size(array_distinct(tk)).as("n_distinct"))
     val nBg = (col("n_tokens") - 1).cast("double")
-    dims.join(top, Seq("doc_id"), "left").join(dup, Seq("doc_id"), "left")
+    dims.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("top_bigram"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        col("n_tokens"),
         when(col("n_tokens") >= 2,
           coalesce(col("top_bigram_n"), lit(0L)).cast("double") / nBg)
           .otherwise(0.0).as("top_bigram_frac"),
@@ -278,13 +288,15 @@ object TextOps {
   def qualityGate(docs: DataFrame, minTokens: Int = 10,
       maxTokens: Int = 100000, minQuality: Double = 0.5,
       maxDupBigram: Double = 0.2, lang: String = "en"): DataFrame = {
+    // three signal branches, not four: n_tokens rides along on the
+    // repetition branch (it is a dimension of its fractions anyway), so
+    // the gate joins quality (pure map) + lang + repetition once each
     val sig = qualityScore(docs)
       .join(langId(docs).select(col("doc_id"), col("pred_lang")),
         Seq("doc_id"))
       .join(repetitionSignals(docs)
-        .select(col("doc_id"), col("dup_bigram_frac")), Seq("doc_id"))
-      .join(docs.select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens")), Seq("doc_id"))
+        .select(col("doc_id"), col("dup_bigram_frac"), col("n_tokens")),
+        Seq("doc_id"))
     val reason = when(col("n_tokens") < minTokens, "too_short")
       .when(col("n_tokens") > maxTokens, "too_long")
       .when(col("pred_lang") =!= lang, "wrong_lang")
@@ -357,5 +369,75 @@ object TextOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_fps"))
       .filter(col("n_shared_fps") >= minShared)
+  }
+
+  /** eval-set decontamination — the n-gram-overlap check pretraining
+    * pipelines run before training (the GPT-3/Pile discipline: drop or
+    * flag training docs sharing token n-grams with the benchmark). The
+    * eval set here is the deterministic `doc_id % evalMod == 0` slice
+    * standing in for a benchmark table; every remaining doc is scored by
+    * how many DISTINCT n-grams it shares with ANY eval doc.
+    *
+    * Scale shape: real eval sets are tiny (thousands of docs) next to a
+    * 100 TB corpus, so the distinct eval-gram set is BROADCAST; the
+    * corpus side is one generate (gram explode — position sequence +
+    * codegen `slice`, no lambda), the broadcast join, and one
+    * groupBy(doc_id) agg. The only corpus-sized shuffle key is doc_id.
+    * The guarded `when(size >= n)` matters: Spark's `sequence(1, 0)`
+    * DESCENDS instead of returning empty.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 4,
+      evalMod: Long = 50): DataFrame = {
+    val tk = col("tk")
+    val posArr = when(size(tk) >= n,
+      sequence(lit(1), size(tk) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(posArr).as("pos"), tk)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(tk, col("pos"), lit(n))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("gram")).distinct()
+    val hits = grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+    docs.filter(col("doc_id") % evalMod =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** concat-then-split sequence packing — the standard GPT-style layout:
+    * per shard, documents are laid one after another in doc_id order as
+    * a single token stream and cut into fixed `capacity`-token training
+    * sequences; each doc lands at (begin_seq, seq_offset) and may
+    * straddle a boundary (begin_seq != end_seq).
+    *
+    * Scale shape: the only shuffle is the hash partition on `shard`
+    * (set shards ≈ cluster parallelism at 100 TB; 8 here for the toy
+    * corpus); within a shard the layout is one running-sum window in
+    * doc_id order. Integer arithmetic only (`div`, `pmod`), so the
+    * assignment is deterministic and hash-exact cross-engine.
+    */
+  def packSequences(docs: DataFrame, capacity: Int = 256,
+      shards: Int = 8): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("offset_tokens",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("offset_tokens"),
+        expr(s"offset_tokens div $capacity").as("begin_seq"),
+        expr(s"(offset_tokens + n_tokens - 1) div $capacity").as("end_seq"),
+        pmod(col("offset_tokens"), lit(capacity.toLong)).as("seq_offset"))
   }
 }

@@ -474,6 +474,47 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getAs[Double]("quality_score"))
     assert(out.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("decontamination counts distinct shared eval n-grams per doc") {
+    val df = docsDf(Seq(
+      (0L, "a b c d e", "en"), // eval doc (id % 10 == 0)
+      (1L, "x y a b q", "en"), // shares "a b"
+      (2L, "a c b d", "en"), // same tokens, no shared bigram
+      (3L, "a b c z a b c z", "en"))) // shares "a b" and "b c" (distinct!)
+    val out = TextOps.decontaminate(df, n = 2, evalMod = 10).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shared_grams"), r.getAs[Boolean]("contaminated")))
+      .toMap
+    assert(!out.contains(0L)) // eval docs are excluded from the output
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((2L, true))) // repeated grams counted once
+    // a doc shorter than n emits no grams and no crash
+    val tiny = TextOps.decontaminate(
+      docsDf(Seq((0L, "a b c d e", "en"), (1L, "a", "en"))),
+      n = 4, evalMod = 10).collect()
+    assert(tiny.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("sequence packing: per-shard running offsets, straddling docs") {
+    val df = docsDf(Seq(
+      (0L, "t1 t2 t3", "en"), // shard 0, 3 tokens
+      (1L, "t1 t2", "en"), // shard 1, 2 tokens
+      (2L, "t1 t2 t3 t4 t5", "en"), // shard 0, 5 tokens
+      (3L, "t1", "en"), // shard 1, 1 token
+      (4L, "t1 t2", "en"))) // shard 0, 2 tokens
+    val out = TextOps.packSequences(df, capacity = 4, shards = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("offset_tokens"),
+        r.getAs[Long]("begin_seq"), r.getAs[Long]("end_seq"),
+        r.getAs[Long]("seq_offset")))).toMap
+    // shard 0 stream: doc0 [0,3) doc2 [3,8) doc4 [8,10)
+    assert(out(0L) == ((0L, 0L, 0L, 0L)))
+    assert(out(2L) == ((3L, 0L, 1L, 3L))) // straddles the seq-0/1 boundary
+    assert(out(4L) == ((8L, 2L, 2L, 0L)))
+    // shard 1 stream: doc1 [0,2) doc3 [2,3)
+    assert(out(1L) == ((0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((2L, 0L, 0L, 2L)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
