@@ -212,7 +212,13 @@ object Dedup {
         least(col("label"), coalesce(col("nlabel"), col("label")),
           coalesce(col("slabel"), col("label"))).as("label"))
     }
-    var state = ids.select(col("doc_id"), col("doc_id").as("prev"),
+    // the loop runs over the candidate-graph VERTICES only — docs in no
+    // pair are singleton clusters by definition and are unioned back at
+    // the end. At 100 TB this is the difference between iterating over
+    // the whole corpus and iterating over the near-dup subgraph (a tiny
+    // fraction of it); locally it shrinks every per-round join input.
+    val verts = edges.select(col("src").as("doc_id")).distinct()
+    var state = verts.select(col("doc_id"), col("doc_id").as("prev"),
       col("doc_id").as("label")).persist(MEMORY_AND_DISK)
     def labels = state.select(col("doc_id"), col("label"))
     var iter = 0
@@ -238,8 +244,11 @@ object Dedup {
       state = next
       iter += 1
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
+    val singletons = ids.join(verts, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    val all = labels.union(singletons)
+    val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
   }
