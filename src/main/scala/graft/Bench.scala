@@ -152,7 +152,10 @@ object Bench {
     // The printed line therefore carries the contract keys only (metric/
     // value/unit/queries/sf + small scalars) at 1 ms precision (~2 KiB);
     // bench_out.json keeps every map at full precision.
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit root locale: the f-interpolator formats with the JVM
+    // default locale, and a comma decimal separator would break the JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmapR(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val fails = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }

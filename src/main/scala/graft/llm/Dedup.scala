@@ -165,30 +165,39 @@ object Dedup {
     * pointer-doubling step), so label chains halve per round and a path
     * graph of diameter D converges in O(log D) rounds instead of O(D).
     * Each round is two equi-joins + one aggregation over id-only rows,
-    * state persisted, convergence checked with a count — the standard
+    * state checkpointed, convergence checked with a count — the standard
     * large-graph CC loop (large-star/small-star is the same idea with
-    * re-rooted edges). Every 5th round the label state is CHECKPOINTED
-    * (r3 verdict task 4): persist alone keeps the whole join lineage
-    * growing linearly with rounds — driver-side analysis cost and full
-    * recompute depth on block loss — while a checkpoint truncates it to
-    * a scan of the materialized state.
+    * re-rooted edges). The label state is CHECKPOINTED EVERY round, not
+    * persisted: a round references its input state THREE times (neighbor
+    * join, shortcut self-join, base), and persist does not truncate the
+    * LOGICAL plan, so with persist alone the plan tree grows ~3× per
+    * round — 3^k copies of the seed lineage by round k — and driver-side
+    * analysis/cache-substitution over that tree came to dominate the
+    * whole query (measured at sf0.1: rounds of 0.55 → 1.1 → 3.2 s and an
+    * 8 s final assembly on a 313-pair graph; with per-round checkpoints
+    * every round is flat ~0.3 s). The edge set is checkpointed once for
+    * the same reason — it rides into every round's plan. Checkpoint I/O
+    * is one write+scan of the id-only state per round (KB here; at
+    * deployment the checkpoint dir is durable storage, which also bounds
+    * recompute depth on executor loss to one round).
     */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.{DISK_ONLY, MEMORY_AND_DISK}
     val spark = ids.sparkSession
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         graft.stream.StreamOps.checkpointDir("dup-clusters"))
+    // checkpoint (not persist): truncates the candidate-generation
+    // lineage out of every round's plan — see the scaladoc
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(DISK_ONLY)
-    // label state is one row per doc (ids only) — MEMORY_AND_DISK: tiny,
-    // re-read every iteration. The state carries BOTH the label at the
-    // last materialization (`prev`) and the current label, so the
-    // convergence count filters the persisted rows directly instead of
-    // re-joining new-vs-old.
+      .checkpoint()
+    // label state is one row per doc (ids only) — tiny, re-read every
+    // iteration. The state carries BOTH the label at the last
+    // materialization (`prev`) and the current label, so the convergence
+    // count filters the checkpointed rows directly instead of re-joining
+    // new-vs-old.
     //
     // One propagation round, composed lazily over the incoming state:
     // min over {own label, neighbor labels, and — when `shortcut` —
@@ -217,30 +226,32 @@ object Dedup {
     // the end. At 100 TB this is the difference between iterating over
     // the whole corpus and iterating over the near-dup subgraph (a tiny
     // fraction of it); locally it shrinks every per-round join input.
+    // restrict the vertex set to `ids`: a pair member absent from `ids`
+    // must not surface in (or become the representative of) the output —
+    // edges through such a vertex contribute nothing (its label rows
+    // don't exist, so the neighbor join drops them)
     val verts = edges.select(col("src").as("doc_id")).distinct()
+      .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
     var state = verts.select(col("doc_id"), col("doc_id").as("prev"),
-      col("doc_id").as("label")).persist(MEMORY_AND_DISK)
+      col("doc_id").as("label")).checkpoint()
     def labels = state.select(col("doc_id"), col("label"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       // exactly ONE round per materialization: a round references its
       // input state three times (neighbor join, shortcut self-join, base),
-      // which is fine against a persisted state but multiplies work
+      // which is fine against a materialized state but multiplies work
       // threefold per extra composed round if rounds are stacked lazily
       // (measured: 2-round composition tripled x16's runtime) — the
       // classic no-subplan-reuse trap, same family as the no-CSE-in-
       // lambdas rule.
       val st0 = state.select(col("doc_id"), col("label").as("prev"),
         col("label"))
-      val next0 = oneRound(st0, shortcut = iter > 0)
-      // checkpoint instead of persist every 5th round to truncate the
-      // growing join lineage (r3 verdict task 4)
-      val next =
-        if ((iter + 1) % 5 == 0) next0.checkpoint()
-        else next0.persist(MEMORY_AND_DISK)
+      // lazy checkpoint: the convergence count below is the action that
+      // both computes the round and writes the checkpoint — one
+      // scheduling round trip per iteration instead of two
+      val next = oneRound(st0, shortcut = iter > 0).checkpoint(eager = false)
       changed = next.filter(col("label") < col("prev")).count()
-      state.unpersist()
       state = next
       iter += 1
     }

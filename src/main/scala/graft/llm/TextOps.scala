@@ -378,10 +378,14 @@ object TextOps {
     * standing in for a benchmark table; every remaining doc is scored by
     * how many DISTINCT n-grams it shares with ANY eval doc.
     *
-    * Scale shape: real eval sets are tiny (thousands of docs) next to a
-    * 100 TB corpus, so the distinct eval-gram set is BROADCAST; the
-    * corpus side is one generate (gram explode — position sequence +
-    * codegen `slice`, no lambda), the broadcast join, and one
+    * Scale shape: real eval sets are tiny (thousands of docs), so their
+    * distinct gram set broadcasts — but the join is left UNHINTED and AQE
+    * picks the strategy from the measured build size: with the doc_id %
+    * evalMod stand-in the eval side is ~1/evalMod of the CORPUS, which at
+    * 100 TB is itself TB-sized and a forced broadcast would OOM the
+    * driver. (Against a genuinely small benchmark table AQE broadcasts it
+    * anyway.) The corpus side is one generate (gram explode — position
+    * sequence + codegen `slice`, no lambda), the join, and one
     * groupBy(doc_id) agg. The only corpus-sized shuffle key is doc_id.
     * The guarded `when(size >= n)` matters: Spark's `sequence(1, 0)`
     * DESCENDS instead of returning empty.
@@ -400,7 +404,7 @@ object TextOps {
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
     val hits = grams.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(evalGrams), Seq("gram"))
+      .join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
     docs.filter(col("doc_id") % evalMod =!= 0).select(col("doc_id"))
