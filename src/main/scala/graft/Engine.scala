@@ -104,12 +104,18 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def packForTraining(docs: DataFrame, capacity: Int = 256,
       shards: Int = 8): DataFrame =
     graft.llm.TextOps.packSequences(docs, capacity, shards)
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.llm.TextOps.redactPii(docs, textCol)
+  def dedupKeepRepresentatives(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.keepRepresentatives(docs)
 
   // ---- streaming (T3-T7) ---------------------------------------------
   def streamingTumblingCounts(eventsDir: String): DataFrame =
     graft.stream.StreamOps.tumblingCounts(spark, eventsDir)
   def streamingSessions(eventsDir: String): DataFrame =
     graft.stream.StreamOps.sessionCounts(spark, eventsDir)
+  def streamingClickPurchaseJoin(eventsDir: String): DataFrame =
+    graft.stream.StreamOps.clickPurchaseJoin(spark, eventsDir)
   def incrementalHealth(fixtureDir: String): DataFrame =
     graft.stream.IncrementalHealth.run(spark, fixtureDir)
 }

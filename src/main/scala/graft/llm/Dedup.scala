@@ -264,6 +264,29 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** the composed dedup GATE a pipeline actually runs before write-out:
+    * resolve duplicate clusters ([[dupClusters]]) and KEEP one
+    * representative document per cluster — the min doc_id, the same
+    * canonical choice the cluster label already encodes — dropping the
+    * rest. Returns the kept docs (metadata columns, not the text — the
+    * caller joins text back for the write) with the cluster size and how
+    * many near-dups each representative absorbed.
+    *
+    * Scale shape: everything up to the final join is the [[dupClusters]]
+    * machinery (bucketed candidates, O(log D) label rounds over the
+    * near-dup subgraph only); the representative filter is a per-row
+    * predicate on its output and the metadata join shuffles on doc_id.
+    * At 100 TB the text column never moves through the loop.
+    */
+  def keepRepresentatives(docs: DataFrame): DataFrame =
+    dupClusters(docs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .join(docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+
   /** exact token-set Jaccard for the candidate pairs (the verify step of
     * MinHash dedup): shared-token counts via token-keyed joins — again
     * proportional to candidates, not n².

@@ -68,8 +68,26 @@ object LlmQueries extends QueryPack {
     "x26_quality_gate" -> ((s, dir) => TextOps.qualityGate(docs(s, dir))),
     "x27_decontam" -> ((s, dir) => TextOps.decontaminate(docs(s, dir))),
     "x28_pack_sequences" -> ((s, dir) =>
-      TextOps.packSequences(docs(s, dir)))
+      TextOps.packSequences(docs(s, dir))),
+    "x29_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(piiInjected(docs(s, dir)))),
+    "x30_dedup_keep" -> ((s, dir) => Dedup.keepRepresentatives(docs(s, dir)))
   )
+
+  /** deterministic PII injection for the x29 demo — the synthetic corpus
+    * contains no emails/phones, so a doc_id-keyed subset gets one of each
+    * appended (the op itself is corpus-agnostic)
+    */
+  private def piiInjected(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" or call +1-555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0042"))).otherwise(lit(""))).as("text"))
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -728,7 +746,47 @@ object LlmQueries extends QueryPack {
            offset_tokens // 256 AS begin_seq,
            (offset_tokens + n_tokens - 1) // 256 AS end_seq,
            offset_tokens % 256 AS seq_offset
-         FROM o"""
+         FROM o""",
+
+    // same injection, same engine-portable regex subset; DuckDB
+    // regexp_replace needs the 'g' flag, len(list) is BIGINT → INT
+    "x29_pii_redact" ->
+      s"""WITH inj AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' reach me at user'
+               || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' or call +1-555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0042'
+               ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS INT)
+             AS n_phones,
+           regexp_replace(regexp_replace(text, '${TextOps.EmailRe}',
+             '[EMAIL]', 'g'), '${TextOps.PhoneRe}', '[PHONE]', 'g')
+             AS redacted
+         FROM inj""",
+
+    // the x16 closure + representative filter: keep doc_id = cluster min
+    "x30_dedup_keep" ->
+      s"""WITH RECURSIVE $SIG_CTE,
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+          comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+          sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM comp GROUP BY 1)
+          SELECT c.doc_id, d.source, d.lang, d.n_chars, s.cluster_size,
+            s.cluster_size - 1 AS n_dropped
+          FROM comp c JOIN sizes s USING (cluster_id)
+            JOIN documents d USING (doc_id)
+          WHERE c.doc_id = c.cluster_id"""
   )
 }
 

@@ -444,4 +444,35 @@ object TextOps {
         expr(s"(offset_tokens + n_tokens - 1) div $capacity").as("end_seq"),
         pmod(col("offset_tokens"), lit(capacity.toLong)).as("seq_offset"))
   }
+
+  /** email pattern shared by [[redactPii]] and its oracle: character
+    * classes + bounded quantifiers only, so the Java regex engine and
+    * DuckDB's RE2 agree on every match (no lookaround, no backreferences,
+    * no alternation-order ambiguity).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** international-format phone pattern (`+C-AAA-BBB-NNNN`), same
+    * engine-portable subset as [[EmailRe]]
+    */
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub — the redaction pass pretraining pipelines run before
+    * write-out (the C4/RefinedWeb discipline): count and mask email
+    * addresses and phone numbers. Emails are replaced first, then phones,
+    * in both engines — the patterns cannot overlap, but pinning the order
+    * keeps the composition deterministic by construction.
+    *
+    * Shape: pure per-row map (two codegen'd regexp_replace + two
+    * regexp_extract_all counts), no shuffle at all — at 100 TB this
+    * pipelines with the scan and costs one pass over the text bytes.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("redacted"))
 }

@@ -487,7 +487,35 @@ object RelQueries extends QueryPack {
     // no bit-exact oracle — driver records a rows-only check (r2 verdict
     // task 6); MetaOpsSpec asserts the approx answers bracket q13's exact
     // interpolation.
-    "q30_percentiles_approx" -> ((s, dir) => percentilesApprox(s, dir))
+    "q30_percentiles_approx" -> ((s, dir) => percentilesApprox(s, dir)),
+
+    "q31_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      // batch gaps-and-islands sessionization (the offline counterpart of
+      // the streaming session_window in st02): a session breaks when the
+      // gap to the previous event of the same user is >= 30 min. One
+      // shuffle on user_id serves both windows; the gap test runs on
+      // unix_micros (µs-clean fixture timestamps, so DuckDB's interval
+      // arithmetic agrees exactly). Ties in ts are broken by event_id in
+      // BOTH engines; a tie has gap 0 < 30 min, so tie order can't move a
+      // session boundary — the output is order-stable by construction.
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"event_id".asc)
+      val gapUs = unix_micros($"ts") -
+        unix_micros(lag($"ts", 1).over(byUser))
+      val brk = when(gapUs.isNull || gapUs >= 30L * 60 * 1000000, 1)
+        .otherwise(0)
+      t(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("brk", brk)
+        .withColumn("session_seq", sum($"brk").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+    })
   )
 
   /** 100 TB scale path for q13: `approx_percentile` is a mergeable KLL-style
@@ -752,6 +780,28 @@ object RelQueries extends QueryPack {
            (n * sqd - sq * sd) /
              (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)) AS corr_qty_disc,
            (sdd - sd * sd / n) / (n - 1) AS var_disc
-         FROM m"""
+         FROM m""",
+
+    // gaps-and-islands: same >= 30 min break rule and (ts, event_id)
+    // order as the Spark windows; window sum is HUGEINT → BIGINT, value
+    // totals in DECIMAL per the money discipline
+    "q31_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                      value FROM events),
+         b AS (SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts, event_id)),
+         g AS (SELECT user_id, ts, event_id, value,
+                 CAST(sum(brk) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_seq
+               FROM b)
+         SELECT user_id, session_seq, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM g GROUP BY 1, 2"""
   )
 }

@@ -154,6 +154,36 @@ object StreamOps {
         col("total_value"))
   }
 
+  /** stream-STREAM inner interval join (the attribution join every
+    * event pipeline runs): each click joins the same user's purchases
+    * within [click_ts, click_ts + 30 min]. Both sides carry watermarks
+    * and the join condition bounds event time in BOTH directions, so the
+    * state store evicts rows as the watermark advances — bounded state on
+    * an unbounded run (state per side ≈ one watermark-window of rows,
+    * keyed and partitioned by user_id). Inner-join output with
+    * AvailableNow is the exact batch interval-join answer, which is what
+    * the oracle computes.
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    runToTable(joined.select(col("user_id"), col("click_id"),
+      col("click_ts"), col("purchase_id"), col("purchase_ts"),
+      col("value")), "st_click_purchase", "append")
+  }
+
   /** T6 — stateful dedup within the watermark on (user_id, event_type):
     * emits each distinct key once; output is the distinct key set, which
     * is deterministic regardless of arrival order.

@@ -19,7 +19,9 @@ object StreamQueries extends QueryPack {
     "st04_incremental_health" -> ((s, _) =>
       IncrementalHealth.run(s, graft.meta.FixtureCatalog.DefaultDir)),
     "st05_sliding_counts" -> ((s, dir) => StreamOps.slidingCounts(s, dir)),
-    "st06_enriched_counts" -> ((s, dir) => StreamOps.enrichedCounts(s, dir))
+    "st06_enriched_counts" -> ((s, dir) => StreamOps.enrichedCounts(s, dir)),
+    "st07_stream_stream_join" -> ((s, dir) =>
+      StreamOps.clickPurchaseJoin(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -101,6 +103,17 @@ object StreamQueries extends QueryPack {
            CAST(sum(CASE WHEN op = 'overwrite' THEN 1 ELSE 0 END) AS BIGINT) AS n_overwrite,
            CAST(sum(CASE WHEN op LIKE '%rewrite%' OR op LIKE '%compact%' THEN 1 ELSE 0 END) AS BIGINT) AS n_compaction,
            max(ts_ms) AS max_ts_ms
-         FROM s GROUP BY 1, 2, 3"""
+         FROM s GROUP BY 1, 2, 3""",
+
+    // stream-stream interval join == the batch interval join over the
+    // same bounded input (inner join, so no null-padding timing effects)
+    "st07_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value
+         FROM events c JOIN events p ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
   )
 }

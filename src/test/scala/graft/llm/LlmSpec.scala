@@ -194,6 +194,30 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) == fp(1L)) // order-insensitive (set-based)
     assert(fp(0L).length == 16 && fp(0L).forall(c => c == '0' || c == '1'))
   }
+
+  test("keepRepresentatives keeps exactly one min-id doc per cluster") {
+    val a = "a b c d e f g h i j k l m n o p"
+    val b = "z y x w v u t s r q p o n m l k"
+    val df = docsDf(Seq(a, a, a, b, b, "totally unrelated words entirely"))
+    val kept = Dedup.keepRepresentatives(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_dropped"))).toMap
+    assert(kept == Map(0L -> (3L, 2L), 3L -> (2L, 1L), 5L -> (1L, 0L)))
+  }
+
+  test("clustersFromPairs ignores pair members absent from ids") {
+    // vertex 99 appears only in the pair set: it must not surface in the
+    // output nor become a representative, and an edge THROUGH it must not
+    // connect its endpoints (its label rows don't exist)
+    val s = spark
+    import s.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((99L, 2L), (99L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(ids, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == (1L, 1L) && out(2L) == (2L, 1L) && out(3L) == (3L, 1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -514,6 +538,23 @@ class TextOpsSpec extends SparkSpec {
     // shard 1 stream: doc1 [0,2) doc3 [2,3)
     assert(out(1L) == ((0L, 0L, 0L, 0L)))
     assert(out(3L) == ((2L, 0L, 0L, 2L)))
+  }
+
+  test("pii redaction counts and masks emails then phones") {
+    val df = docsDf(Seq(
+      (0L, "mail a.b+c@sub.example.org or x@y.io today", "en"),
+      (1L, "call +1-555-123-4567 or +44-207-946-0958 now", "en"),
+      (2L, "both user@example.com and +1-555-000-1111 here", "en"),
+      (3L, "no pii at all in this document", "en"),
+      (4L, "not-an-email@nodot and +1-55-12-3456 malformed", "en")))
+    val out = TextOps.redactPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_emails"),
+        r.getAs[Int]("n_phones"), r.getAs[String]("redacted")))).toMap
+    assert(out(0L) == ((2, 0, "mail [EMAIL] or [EMAIL] today")))
+    assert(out(1L) == ((0, 2, "call [PHONE] or [PHONE] now")))
+    assert(out(2L) == ((1, 1, "both [EMAIL] and [PHONE] here")))
+    assert(out(3L) == ((0, 0, "no pii at all in this document")))
+    assert(out(4L)._1 == 0 && out(4L)._2 == 0) // malformed forms untouched
   }
 }
 
