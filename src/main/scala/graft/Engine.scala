@@ -108,6 +108,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.TextOps.redactPii(docs, textCol)
   def dedupKeepRepresentatives(docs: DataFrame): DataFrame =
     graft.llm.Dedup.keepRepresentatives(docs)
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    graft.llm.Multimodal.resizeImages(media, targetW, targetH).toDF()
 
   // ---- streaming (T3-T7) ---------------------------------------------
   def streamingTumblingCounts(eventsDir: String): DataFrame =

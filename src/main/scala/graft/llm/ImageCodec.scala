@@ -44,15 +44,21 @@ object ImageCodec {
     sum.toDouble / (3.0 * 255.0 * img.getWidth * img.getHeight)
   }
 
+  /** decode a PNG or JPEG payload to its pixels; None for other
+    * containers or undecodable payloads
+    */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    if (!isPng(bytes) && !isJpeg(bytes)) None
+    else try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    } catch { case _: Exception => None }
+
   /** decode a PNG or JPEG payload to (width, height, brightness); None
     * for other containers or undecodable payloads
     */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] =
-    if (!isPng(bytes) && !isJpeg(bytes)) None
-    else try {
-      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-        .map(img => (img.getWidth, img.getHeight, brightness(img)))
-    } catch { case _: Exception => None }
+    decodeImage(bytes).map(img =>
+      (img.getWidth, img.getHeight, brightness(img)))
 
   def encode(img: BufferedImage): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -67,6 +73,27 @@ object ImageCodec {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "jpg", out)
     out.toByteArray
+  }
+
+  /** nearest-neighbor resample — source index by pure integer math
+    * (`src = dst * srcDim / dstDim`), no Graphics2D interpolation state,
+    * so the result is bit-deterministic across runs and JVMs
+    */
+  def resizeNearest(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    require(w > 0 && h > 0)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.getWidth / w).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** deterministic fixture image: per-(id, x, y) channel pattern */

@@ -71,7 +71,12 @@ object LlmQueries extends QueryPack {
       TextOps.packSequences(docs(s, dir))),
     "x29_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(piiInjected(docs(s, dir)))),
-    "x30_dedup_keep" -> ((s, dir) => Dedup.keepRepresentatives(docs(s, dir)))
+    "x30_dedup_keep" -> ((s, dir) => Dedup.keepRepresentatives(docs(s, dir))),
+    "x31_resize" -> ((s, _) =>
+      Multimodal.resizeImages(media(s), 8, 6).toDF()
+        .select(col("media_id"), col("rs_width"), col("rs_height"),
+          col("rs_brightness"),
+          md5(lower(hex(col("payload")))).as("rs_md5")))
   )
 
   /** deterministic PII injection for the x29 demo — the synthetic corpus
@@ -786,7 +791,17 @@ object LlmQueries extends QueryPack {
             s.cluster_size - 1 AS n_dropped
           FROM comp c JOIN sizes s USING (cluster_id)
             JOIN documents d USING (doc_id)
-          WHERE c.doc_id = c.cluster_id"""
+          WHERE c.doc_id = c.cluster_id""",
+
+    // real resize: the fixture's expected columns were authored by the
+    // same decode → integer-math nearest-neighbor → PNG re-encode the
+    // engine runs (JPEG lossiness cancels per the x12 discipline)
+    "x31_resize" ->
+      s"""SELECT media_id, CAST(8 AS INT) AS rs_width,
+            CAST(6 AS INT) AS rs_height,
+            rs8x6_brightness AS rs_brightness, rs8x6_md5 AS rs_md5
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet')
+          WHERE rs8x6_md5 IS NOT NULL"""
   )
 }
 

@@ -31,7 +31,28 @@ object Multimodal {
       media_id: Long, kind: String, payload: Array[Byte],
       width: Option[Int], height: Option[Int],
       duration_ms: Option[Long], sample_rate: Option[Int],
-      px_brightness: Option[Double], amp_mean: Option[Double])
+      px_brightness: Option[Double], amp_mean: Option[Double],
+      rs8x6_brightness: Option[Double], rs8x6_md5: Option[String])
+
+  /** md5 of the lowercase-hex rendering — the one binary digest both
+    * engines agree on (DuckDB has no md5 over BLOB), mirrored here for
+    * authoring-time expected values
+    */
+  private def md5OfHex(bytes: Array[Byte]): String = {
+    val hex = bytes.map("%02x".format(_)).mkString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+  }
+
+  /** authoring-time expected stats for the 8×6 resize demo: decode the
+    * ENCODED bytes (cancels JPEG lossiness, no-op for PNG), resample with
+    * the same integer-math kernel the engine uses, re-encode
+    */
+  private def rs8x6(bytes: Array[Byte]): (Option[Double], Option[String]) = {
+    val img = ImageCodec.decodeImage(bytes).get
+    val rs = ImageCodec.resizeNearest(img, 8, 6)
+    (Some(ImageCodec.brightness(rs)), Some(md5OfHex(ImageCodec.encode(rs))))
+  }
 
   /** deterministic pseudo-random-but-fixed body bytes */
   private def body(id: Long, n: Int): Array[Byte] =
@@ -43,8 +64,10 @@ object Multimodal {
       // metadata width/height = actual encoded dimensions
       val (w, h) = (16 + 4 * i.toInt, 12 + 3 * i.toInt)
       val img = ImageCodec.testImage(i, w, h)
-      MediaFx(i, "image", ImageCodec.encode(img), Some(w), Some(h), None,
-        None, Some(ImageCodec.brightness(img)), None)
+      val bytes = ImageCodec.encode(img)
+      val (rb, rm) = rs8x6(bytes)
+      MediaFx(i, "image", bytes, Some(w), Some(h), None,
+        None, Some(ImageCodec.brightness(img)), None, rb, rm)
     } ++
       (4L until 7L).map { i =>
         // real JPEGs (r3 verdict task 5): expected stats come from
@@ -52,8 +75,9 @@ object Multimodal {
         val (w, h) = (40 + 4 * i.toInt, 30 + 3 * i.toInt)
         val bytes = ImageCodec.encodeJpeg(ImageCodec.testImage(i, w, h))
         val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
+        val (rb, rm) = rs8x6(bytes)
         MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
-          Some(bright), None)
+          Some(bright), None, rb, rm)
       } ++
       (7L until 10L).map { i =>
         // real WAVs: RIFF/16-bit-mono-PCM is hand-writable, no codec
@@ -65,7 +89,7 @@ object Multimodal {
         val bytes = WavCodec.encode(samples, rate)
         val st = WavCodec.decode(bytes).get
         MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
-          Some(st.sampleRate), None, Some(st.meanAbs))
+          Some(st.sampleRate), None, Some(st.meanAbs), None, None)
       } ++
       (10L until 12L).map { i =>
         // real ISO BMFF container (ftyp + moov/mvhd + mdat): the
@@ -75,7 +99,8 @@ object Multimodal {
         val bytes = Mp4Meta.encode(timescale = 1000, duration = durMs,
           mdatBody = body(i, 128))
         MediaFx(i, "video", bytes, Some(1920), Some(1080),
-          Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None)
+          Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None,
+          None, None)
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -175,36 +200,37 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       mean_byte: Double, max_byte: Int)
 
-  /** resized-media record: payload replaced by the re-encoded bytes,
-    * metadata updated to the target geometry
+  /** resized-image record: the re-encoded PNG payload plus the resized
+    * pixels' statistics (what the pipeline's downstream vision
+    * preprocessing consumes)
     */
-  case class ResizedMedia(
+  case class ResizedImage(
       media_id: Long, kind: String, payload: Array[Byte],
-      width: Option[Int], height: Option[Int])
+      rs_width: Int, rs_height: Int, rs_brightness: Double)
 
-  /** batch-wise resize for image media — the same `mapPartitions` decode
-    * seam as [[decodeFeatures]]. STUB: a real implementation decodes,
-    * scales, and re-encodes per batch; here the "resized" payload keeps
-    * the container magic and deterministically downsamples the body to
-    * the area ratio, so downstream schema/size expectations are
-    * exercised without a codec.
+  /** REAL batch-wise image resize (formerly the one marked image stub):
+    * decode (PNG/JPEG via [[ImageCodec]]), nearest-neighbor resample with
+    * pure integer source-index math ([[ImageCodec.resizeNearest]] — no
+    * Graphics2D interpolation state, so bit-deterministic), re-encode as
+    * PNG. Same `mapPartitions` seam as [[decodeMedia]]: embarrassingly
+    * parallel, no shuffle; non-image and undecodable rows are dropped
+    * (the batch path's filter-then-transform shape).
     */
-  def resizeStub(media: Dataset[MediaFx], targetW: Int,
-      targetH: Int): Dataset[ResizedMedia] = {
-    import media.sparkSession.implicits._
-    media.filter(_.kind == "image").mapPartitions { batch =>
-      batch.map { m =>
-        val ratio = (targetW.toLong * targetH).toDouble /
-          (m.width.getOrElse(1).toLong * m.height.getOrElse(1)).toDouble
-        val body = m.payload.drop(4)
-        val keep = math.max(1, math.min(body.length,
-          math.round(body.length * ratio).toInt))
-        val sampled = Array.tabulate(keep)(i =>
-          body((i.toLong * body.length / keep).toInt))
-        ResizedMedia(m.media_id, m.kind, m.payload.take(4) ++ sampled,
-          Some(targetW), Some(targetH))
-      }
-    }
+  def resizeImages(media: DataFrame, targetW: Int,
+      targetH: Int): Dataset[ResizedImage] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        if (!ImageCodec.isPng(m.payload) && !ImageCodec.isJpeg(m.payload))
+          Iterator.empty
+        else ImageCodec.decodeImage(m.payload).iterator.map { img =>
+          val rs = ImageCodec.resizeNearest(img, targetW, targetH)
+          ResizedImage(m.media_id, m.kind, ImageCodec.encode(rs),
+            targetW, targetH, ImageCodec.brightness(rs))
+        }
+      })
   }
 
   /** batch-wise decode over a typed Dataset — the `mapPartitions` seam

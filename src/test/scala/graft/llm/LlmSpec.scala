@@ -681,27 +681,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.n_bytes > 4 && f.mean_byte >= 0 && f.max_byte <= 255))
   }
 
-  test("resize stub preserves magic, scales body by area ratio, retags dims") {
+  test("real resize: decoded geometry, nearest-neighbor pixels, round trip") {
     val s = spark
     import s.implicits._
-    val out = Multimodal.resizeStub(Multimodal.mediaRows.toDS(), 320, 240)
-      .collect().sortBy(_.media_id)
-    assert(out.forall(_.kind == "image")) // timed media not resized
-    assert(out.forall(r => r.width.contains(320) && r.height.contains(240)))
-    val orig = Multimodal.mediaRows.map(m => m.media_id -> m).toMap
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val out = Multimodal.resizeImages(df, 8, 6).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == (0L until 7L)) // images only
     out.foreach { r =>
-      assert(r.payload.take(4).sameElements(orig(r.media_id).payload.take(4)))
-      // all image fixtures are now small real encodes (≤64x51), so the
-      // area-ratio stub upscales and caps at the original body size
-      if (orig(r.media_id).width.get > 320)
-        assert(r.payload.length < orig(r.media_id).payload.length)
-      else
-        assert(r.payload.length <= orig(r.media_id).payload.length)
+      assert(r.rs_width == 8 && r.rs_height == 6)
+      // the re-encoded payload is a REAL PNG of the target geometry whose
+      // pixels reproduce the recorded brightness exactly
+      val Some((w, h, b)) = ImageCodec.decode(r.payload)
+      assert((w, h) == (8, 6))
+      assert(b == r.rs_brightness)
+      assert(r.rs_brightness >= 0.0 && r.rs_brightness <= 1.0)
     }
-    // deterministic
-    val again = Multimodal.resizeStub(Multimodal.mediaRows.toDS(), 320, 240)
-      .collect().sortBy(_.media_id)
+    // deterministic bytes run-to-run
+    val again = Multimodal.resizeImages(df, 8, 6).collect().sortBy(_.media_id)
     assert(out.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+    // kernel exactness: 2x2 → 1x1 keeps pixel (0,0) (integer index math)
+    val tiny = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    tiny.setRGB(0, 0, 0x112233); tiny.setRGB(1, 0, 0x445566)
+    tiny.setRGB(0, 1, 0x778899); tiny.setRGB(1, 1, 0xaabbcc)
+    val one = ImageCodec.resizeNearest(tiny, 1, 1)
+    assert((one.getRGB(0, 0) & 0xffffff) == 0x112233)
+    // upscale 1x1 → 3x2 replicates the single source pixel
+    val up = ImageCodec.resizeNearest(one, 3, 2)
+    assert((for (y <- 0 until 2; x <- 0 until 3)
+      yield up.getRGB(x, y) & 0xffffff).forall(_ == 0x112233))
   }
 
   test("frame sampling yields duration/1000 + 1 rows per timed media") {
