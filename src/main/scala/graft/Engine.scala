@@ -81,6 +81,9 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def similarTopKQuantized(embeddings: DataFrame, nQueries: Int,
       k: Int): DataFrame =
     graft.llm.Similarity.quantizedTopK(embeddings, nQueries, k)
+  def kmeansClusters(embeddings: DataFrame, initIds: Seq[Long],
+      iters: Int = 2): DataFrame =
+    graft.llm.Similarity.kmeans(embeddings, initIds, iters)
   def tokenStats(docs: DataFrame): DataFrame =
     graft.llm.TextOps.tokenStats(docs)
   def languageId(docs: DataFrame): DataFrame =

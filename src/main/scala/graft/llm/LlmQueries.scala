@@ -76,7 +76,9 @@ object LlmQueries extends QueryPack {
       Multimodal.resizeImages(media(s), 8, 6).toDF()
         .select(col("media_id"), col("rs_width"), col("rs_height"),
           col("rs_brightness"),
-          md5(lower(hex(col("payload")))).as("rs_md5")))
+          md5(lower(hex(col("payload")))).as("rs_md5"))),
+    "x32_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(embs(s, dir), CentroidIds, iters = 2))
   )
 
   /** deterministic PII injection for the x29 demo — the synthetic corpus
@@ -801,7 +803,48 @@ object LlmQueries extends QueryPack {
             CAST(6 AS INT) AS rs_height,
             rs8x6_brightness AS rs_brightness, rs8x6_md5 AS rs_md5
           FROM read_parquet('$MEDIA/media.parquet/*.parquet')
-          WHERE rs8x6_md5 IS NOT NULL"""
+          WHERE rs8x6_md5 IS NOT NULL""",
+
+    // two unrolled Lloyd iterations; the per-dim mean reduces the
+    // VALUE-SORTED doubles left-to-right (list_reduce ∘ list_sort ==
+    // Spark aggregate ∘ sort_array with 0.0 init), so the updated
+    // centroids — and with them every downstream cosine — match
+    // bit-for-bit; empty clusters fall back to the previous centroid in
+    // both engines
+    "x32_kmeans" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, v AS cv FROM ev
+                 WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          a1 AS (SELECT vec_id, v, cid FROM (
+                   SELECT vec_id, v, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                   FROM (SELECT e.vec_id, e.v, c.cid,
+                           ${cos("e.v", "c.cv")} AS ccos
+                         FROM ev e, c0 c))
+                 WHERE rn = 1),
+          dims AS (SELECT cid, x.i AS dim, v[x.i] AS x
+                   FROM a1, unnest(generate_series(1, len(v))) AS x(i)),
+          m1 AS (SELECT cid, dim,
+                   list_reduce(list_sort(list(x)), (a, b) -> a + b)
+                     / count(*) AS m
+                 FROM dims GROUP BY cid, dim),
+          cm AS (SELECT cid, list(m ORDER BY dim) AS mcv FROM m1
+                 GROUP BY cid),
+          c1 AS (SELECT c0.cid, coalesce(cm.mcv, c0.cv) AS cv
+                 FROM c0 LEFT JOIN cm USING (cid)),
+          a2 AS (SELECT vec_id, cid, ccos FROM (
+                   SELECT vec_id, cid, ccos, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                   FROM (SELECT e.vec_id, c.cid,
+                           ${cos("e.v", "c.cv")} AS ccos
+                         FROM ev e, c1 c))
+                 WHERE rn = 1)
+          SELECT vec_id, cid AS cluster, ccos AS cos FROM a2"""
+    }
   )
 }
 

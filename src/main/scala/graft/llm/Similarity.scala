@@ -270,6 +270,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
   }
 
+  /** Lloyd iterations for spherical k-means over the embedding corpus —
+    * the clustering step of SemDeDup-style semantic curation (and the
+    * "train" step the IVF demos pin via `centroidIds`). Per iteration:
+    * assignment = max-cosine centroid (native codegen `cosine_sim`,
+    * broadcast centroid table, ties → lowest cid — one corpus scan),
+    * update = per-dimension mean of the assigned vectors. Returns the
+    * final assignment (vec_id, cluster, cos).
+    *
+    * Cross-engine exactness: the mean reduces each (cluster, dim)'s
+    * VALUE-SORTED doubles left-to-right (`aggregate(sort_array(...))` ==
+    * DuckDB `list_reduce(list_sort(...))`, with 0.0+x == x for the
+    * init), pinning the float accumulation order bit-for-bit. That
+    * per-group collect is the oracle-exactness demo shape (the q13
+    * discipline): the 100 TB path swaps it for plain partial-agg
+    * `sum/count`, whose partition-order nondeterminism costs at most an
+    * ulp per dimension — noted, not hidden. An empty cluster keeps its
+    * previous centroid (left join + coalesce, mirrored in the oracle).
+    */
+  def kmeans(embeddings: DataFrame, initIds: Seq[Long],
+      iters: Int = 2): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val nc = (a: Column, b: Column) => call_function("cosine_sim", a, b)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    def assign(cents: DataFrame): DataFrame =
+      e.join(broadcast(cents))
+        .withColumn("ccos", nc(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("ccos"))
+    var cents = e.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    var assigned = assign(cents)
+    var it = 1
+    while (it < iters) {
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("mcv"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mcv"), col("cv")).as("cv"))
+      assigned = assign(cents)
+      it += 1
+    }
+    assigned.select(col("vec_id"), col("cid").as("cluster"),
+      col("ccos").as("cos"))
+  }
+
   /** IVF-style probed top-k: the coarse quantizer here is the `label`
     * column (cluster id); each query scores ONLY its own cluster's
     * vectors (1-probe). Equi-join on the cluster key — the sub-linear

@@ -337,6 +337,57 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class KmeansSpec extends SparkSpec {
+
+  private def embsDf(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (i, v) => (i, v.toArray, 0L) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("two separable direction groups converge to their own clusters") {
+    // cosine k-means: direction matters, not magnitude
+    val nearX = Seq(Seq(1f, 0.1f), Seq(2f, 0.1f), Seq(1f, -0.1f))
+    val nearY = Seq(Seq(0.1f, 1f), Seq(0.1f, 2f), Seq(-0.1f, 1f))
+    val df = embsDf((nearX ++ nearY).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) })
+    val out = Similarity.kmeans(df, Seq(0L, 3L), iters = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_) == 0L))
+    assert(Seq(3L, 4L, 5L).forall(out(_) == 3L))
+  }
+
+  test("an empty cluster keeps its previous centroid (no crash, no drop)") {
+    // centroids 0 (1,0) and 1 (2,0) are IDENTICAL directions: round-1
+    // ties go to the lowest cid, so cluster 1 is empty after round 1 and
+    // must survive the update via the coalesce fallback. It then WINS
+    // BACK the exactly-on-axis vectors in round 2: cluster 0's updated
+    // mean drifts off-axis (it absorbed (1, 0.01)) while the preserved
+    // (2,0) centroid stays exact — the revived-centroid semantics
+    // k-means fallbacks are meant to provide.
+    val df = embsDf(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(2f, 0f), 2L -> Seq(1f, 0.01f),
+      3L -> Seq(0f, 1f)))
+    val out = Similarity.kmeans(df, Seq(0L, 1L, 3L), iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(out.size == 4)
+    assert(out(0L) == 1L && out(1L) == 1L) // snapped to the revived centroid
+    assert(out(2L) == 0L) // the off-axis vector stays with the mean
+    assert(out(3L) == 3L)
+  }
+
+  test("iterations are deterministic run-to-run") {
+    val rnd = new scala.util.Random(42)
+    val df = embsDf((0 until 50).map(i =>
+      i.toLong -> Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    def run() = Similarity.kmeans(df, Seq(0L, 1L, 2L), iters = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("cos"))).sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+}
+
 class TextOpsSpec extends SparkSpec {
 
   private def docsDf(rows: Seq[(Long, String, String)]) = {
