@@ -339,4 +339,39 @@ object Dedup {
       when(col(s"b$j") >= 0, "1").otherwise("0")): _*)
     sums.select(col("doc_id"), fp.as("simhash16"))
   }
+
+  /** fuzzy eval-set decontamination — the MinHash complement of
+    * [[TextOps.decontaminate]]'s exact n-gram check (the GPT-3
+    * appendix-C discipline): a training doc is suspect when it
+    * LSH-collides with ANY benchmark doc, catching paraphrase-level
+    * near-matches that exact n-gram overlap misses. The eval slice is
+    * the deterministic `doc_id % evalMod == 0` stand-in (denser than
+    * x27's so band collisions actually surface on the toy corpus); both
+    * sides share ONE signature/band pass over the corpus.
+    *
+    * Scale: the cross join is keyed on (band, bucket) — never all-pairs
+    * — and a real benchmark's band side is tiny, so AQE broadcasts it;
+    * the corpus-sized shuffles are the signature agg and the final
+    * doc_id-keyed count, both linear. Degenerate buckets would need the
+    * [[candidatePairs]] cap; benchmark-sized eval sets do not.
+    */
+  def fuzzyDecontam(docs: DataFrame, evalMod: Long = 10): DataFrame = {
+    // one signature pass feeds both sides of the band join — branch
+    // materialized once (no subplan reuse across DataFrame branches)
+    val bb = bands(minhashSignature(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = bb.filter(col("doc_id") % evalMod === 0)
+      .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
+    val hits = bb.filter(col("doc_id") % evalMod =!= 0)
+      .join(ev, Seq("band", "bh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        min(col("eval_id")).as("first_eval"))
+    docs.filter(col("doc_id") % evalMod =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("first_eval"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -78,7 +78,12 @@ object LlmQueries extends QueryPack {
           col("rs_brightness"),
           md5(lower(hex(col("payload")))).as("rs_md5"))),
     "x32_kmeans" -> ((s, dir) =>
-      Similarity.kmeans(embs(s, dir), CentroidIds, iters = 2))
+      Similarity.kmeans(embs(s, dir), CentroidIds, iters = 2)),
+    "x33_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(docs(s, dir))),
+    "x34_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(embs(s, dir), CentroidIds)),
+    "x35_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir))),
+    "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir)))
   )
 
   /** deterministic PII injection for the x29 demo — the synthetic corpus
@@ -844,7 +849,97 @@ object LlmQueries extends QueryPack {
                          FROM ev e, c1 c))
                  WHERE rn = 1)
           SELECT vec_id, cid AS cluster, ccos AS cos FROM a2"""
-    }
+    },
+
+    // CCNet-style boilerplate removal on 3-token segments, df >= 3
+    // across DISTINCT docs; DuckDB's ORDER BY inside string_agg mirrors
+    // Spark's array_sort-then-join reassembly; sum(int) is HUGEINT →
+    // BIGINT cast
+    "x33_segment_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+         seg AS (
+           SELECT doc_id, x.i AS seg_i,
+             array_to_string(tk[(x.i - 1) * 3 + 1 : x.i * 3], ' ') AS seg
+           FROM tk, unnest(generate_series(1, len(tk) // 3)) AS x(i)
+           WHERE len(tk) >= 3),
+         df AS (SELECT md5(seg) AS sh, count(DISTINCT doc_id) AS df
+                FROM seg GROUP BY 1),
+         agg AS (
+           SELECT doc_id, count(*) AS n_segs,
+             CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             coalesce(string_agg(CASE WHEN df < 3 THEN seg END, ' '
+               ORDER BY seg_i), '') AS cleaned
+           FROM seg s JOIN df d ON md5(s.seg) = d.sh GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.n_segs, 0) AS n_segs,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(a.cleaned, '') AS cleaned
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // SemDeDup: x32's 1-NN assignment (tie → lowest cid), then the
+    // within-cluster lower-id cosine scan; same left-to-right
+    // list_reduce accumulation as the native cosine_sim, so the tau
+    // comparison lands identically in both engines
+    "x34_semdedup" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, v AS cv FROM ev
+                 WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          a1 AS (SELECT vec_id, v, cid FROM (
+                   SELECT vec_id, v, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                   FROM (SELECT e.vec_id, e.v, c.cid,
+                           ${cos("e.v", "c.cv")} AS ccos
+                         FROM ev e, c0 c))
+                 WHERE rn = 1),
+          close AS (
+            SELECT b.vec_id, count(*) AS n_close, min(a.vec_id) AS first_dup
+            FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${cos("a.v", "b.v")} >= 0.3 GROUP BY 1)
+          SELECT a1.vec_id, a1.cid AS cluster,
+            coalesce(c.n_close, 0) AS n_close, c.first_dup,
+            coalesce(c.n_close, 0) = 0 AS keep
+          FROM a1 LEFT JOIN close c USING (vec_id)"""
+    },
+
+    // sqrt cap per source, rank by the seeded positional-hex hash (same
+    // u32 as x17); row_number is BIGINT in DuckDB already, ceil(sqrt)
+    // DOUBLE → BIGINT
+    "x35_domain_cap" -> {
+      def u32(expr: String) =
+        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+      val u = u32("'cap' || ':' || source || '/' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, source, $u AS u32 FROM documents),
+          r AS (SELECT doc_id, source, u32,
+                  count(*) OVER (PARTITION BY source) AS n_source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY u32, doc_id) AS rk
+                FROM h)
+          SELECT doc_id, source, n_source,
+            CAST(ceil(sqrt(n_source)) AS BIGINT) AS cap, rk,
+            rk <= CAST(ceil(sqrt(n_source)) AS BIGINT) AS kept
+          FROM r"""
+    },
+
+    // the x02 signature/band machinery crossed train × eval (doc_id %
+    // 10 = 0 is the eval slice); SIG_CTE's cand CTE goes unused here
+    "x36_fuzzy_decontam" ->
+      s"""WITH $SIG_CTE,
+          hits AS (
+            SELECT t.doc_id, count(DISTINCT e.doc_id) AS n_eval_hits,
+              min(e.doc_id) AS first_eval
+            FROM bands t JOIN bands e ON t.band = e.band AND t.bh = e.bh
+            WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0 GROUP BY 1)
+          SELECT d.doc_id, coalesce(h.n_eval_hits, 0) AS n_eval_hits,
+            h.first_eval,
+            coalesce(h.n_eval_hits, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE d.doc_id % 10 != 0"""
   )
 }
 

@@ -60,4 +60,32 @@ object Sampling {
       hashSplit(col("doc_id"), "split").as("split"),
       stratifiedKeep(col("doc_id"), col("lang"), "sample", 0.2)
         .as("in_sample"))
+
+  /** per-domain cap — the C4/RefinedWeb guard against one source
+    * dominating the mixture: within each source, documents rank by a
+    * deterministic seeded hash and only the first ceil(sqrt(n_source))
+    * survive. Sub-linear retention shrinks head domains hard while
+    * barely touching the tail, and the hash rank makes the kept subset
+    * reproducible and growth-stable (a new doc can displace at most one
+    * old doc, never reshuffle the survivors wholesale).
+    *
+    * One shuffle on `source` (the two windows share its partitioning);
+    * everything else is per-row hash/integer arithmetic. A pathological
+    * mega-domain is ONE window partition — at 100 TB pre-shard such
+    * domains by a secondary hash prefix (same cap math per shard).
+    */
+  def domainCap(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("u32"), col("doc_id"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    docs.select(col("doc_id"), col("source"),
+        hashU32(concat(col("source"), lit("/"), col("doc_id")), "cap")
+          .as("u32"))
+      .withColumn("n_source", count(lit(1)).over(wc))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cap", ceil(sqrt(col("n_source"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("cap"),
+        col("rk"), (col("rk") <= col("cap")).as("kept"))
+  }
 }

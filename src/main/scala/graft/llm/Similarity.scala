@@ -343,4 +343,48 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    * space, then drop, within each cluster, every vector whose cosine to
+    * a LOWER-id cluster-mate reaches `tau` — the min-id member of each
+    * semantic near-dup group is the kept exemplar. Assignment is the
+    * broadcast-centroid 1-NN from [[kmeans]] (tie → lowest cid); the
+    * pair scan is an equi-join on the cluster id, so the quadratic work
+    * is per-cluster, never corpus-wide.
+    *
+    * Scale: the paper keeps clusters constant-size by growing k with
+    * the corpus (k ≈ N/1k), making the pair scan O(N · clusterSize);
+    * the only shuffles are the cid-keyed self-join and the vec_id-keyed
+    * count. A skewed giant cluster needs the [[Dedup.candidatePairs]]
+    * cap-and-re-shard treatment; the 8-centroid demo geometry does not.
+    */
+  def semDedup(embeddings: DataFrame, initIds: Seq[Long],
+      tau: Double = 0.3): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccos", call_function("cosine_sim", col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = assigned.select(col("cid").as("cid_l"),
+      col("vec_id").as("lo_id"), col("v").as("lv"))
+    val close = assigned
+      .join(lo, col("cid") === col("cid_l") && col("lo_id") < col("vec_id"))
+      .withColumn("pcos", call_function("cosine_sim", col("lv"), col("v")))
+      .filter(col("pcos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_close"), min(col("lo_id")).as("first_dup"))
+    assigned.select(col("vec_id"), col("cid").as("cluster"))
+      .join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        col("first_dup"),
+        (coalesce(col("n_close"), lit(0L)) === 0L).as("keep"))
+  }
 }

@@ -475,4 +475,53 @@ object TextOps {
         .as("n_phones"),
       regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]").as("redacted"))
+
+  /** corpus-level boilerplate segment removal — the CCNet/RefinedWeb
+    * line-dedup discipline (hash every line, strike lines repeated
+    * across documents) adapted to a newline-free corpus: the token
+    * stream is cut into consecutive `k`-token segments, each segment's
+    * document frequency is counted corpus-wide, and segments appearing
+    * in >= minDf DISTINCT documents (headers, footers, boilerplate) are
+    * struck from every document; the survivors re-join in stream order.
+    *
+    * Scale shape: segmentation is a pure map (integer slice positions;
+    * `tk` is a bound column — the no-CSE-in-lambdas discipline of
+    * [[Dedup.shingles]]); df is one hash agg keyed on the segment's md5
+    * (fixed-width shuffle key, not the segment text) and the df join is
+    * keyed the same; reassembly is one groupBy(doc_id) whose per-doc
+    * order is restored by an in-row array_sort, so the only shuffle keys
+    * anywhere are (seg_hash, doc_id) — both corpus-proportional, no
+    * window over a low-cardinality key. Tokens past the last full
+    * segment are dropped (both engines, documented).
+    */
+  def segmentDedup(docs: DataFrame, k: Int = 3, minDf: Int = 3): DataFrame = {
+    require(k > 0 && minDf > 1)
+    val tk = col("tk")
+    val posArr = when(size(tk) >= k,
+      sequence(lit(1), floor(size(tk) / k).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(posArr).as("seg_i"), tk)
+      .select(col("doc_id"), col("seg_i"),
+        concat_ws(" ", slice(tk, (col("seg_i") - 1) * k + 1, lit(k)))
+          .as("seg"))
+    val df = segs
+      .groupBy(md5(col("seg")).as("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val agg = segs.withColumn("sh", md5(col("seg")))
+      .join(df, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("df") < minDf, struct(col("seg_i"), col("seg"))))),
+          s => s.getField("seg")), " ").as("cleaned"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
 }

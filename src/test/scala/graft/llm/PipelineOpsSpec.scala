@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-7 pipeline operators: segment-level boilerplate removal,
+  * SemDeDup, per-domain caps, fuzzy (MinHash) decontamination.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("segmentDedup strikes cross-doc boilerplate, keeps order, drops tail") {
+    val header = "subscribe to newsletter" // one 3-token segment
+    val df = docsDf(Seq(
+      (0L, s"$header alpha beta gamma tail1", "s"),
+      (1L, s"$header delta epsilon zeta", "s"),
+      (2L, s"$header eta theta iota", "s"),
+      (3L, "only unique words here", "s"),
+      (4L, "xx", "s"))) // < k tokens: zero segments
+    val res = TextOps.segmentDedup(df, k = 3, minDf = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned")))).toMap
+    // doc 0: segs = [header, "alpha beta gamma"]; "tail1" dropped (7th token)
+    assert(res(0L) == ((2L, 1L, "alpha beta gamma")))
+    assert(res(1L) == ((2L, 1L, "delta epsilon zeta")))
+    assert(res(2L) == ((2L, 1L, "eta theta iota")))
+    assert(res(3L) == ((1L, 0L, "only unique words")))
+    assert(res(4L) == ((0L, 0L, "")))
+  }
+
+  test("segmentDedup reassembles multi-segment survivors in stream order") {
+    val df = docsDf(Seq(
+      (0L, "a b c d e f g h i", "s"),
+      (1L, "d e f x y z", "s"),
+      (2L, "d e f p q r", "s")))
+    val m = TextOps.segmentDedup(df, k = 3, minDf = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned")).toMap
+    // "d e f" appears in all 3 docs -> struck; doc 0 keeps segs 1 and 3
+    assert(m(0L) == "a b c g h i")
+  }
+
+  test("semDedup drops the higher-id member of an identical pair only") {
+    val v1 = Seq(1f, 0f, 0f, 0f)
+    val v2 = Seq(0f, 1f, 0f, 0f)
+    val df = embDf(Seq(0L -> v1, 1L -> v1, 2L -> v2))
+    val res = Similarity.semDedup(df, initIds = Seq(0L, 2L), tau = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("n_close"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(res(0L) == ((0L, 0L, true)))
+    assert(res(1L) == ((0L, 1L, false))) // dup of 0 in the same cluster
+    assert(res(2L) == ((2L, 0L, true)))
+  }
+
+  test("semDedup ignores near-dups that land in DIFFERENT clusters") {
+    // ids 5 and 6 are near-identical (cos ≈ 0.995) but straddle the
+    // cluster boundary: cross-cluster dups are (by design) not compared
+    val df = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f),
+      5L -> Seq(1f, 0.9f, 0f), 6L -> Seq(0.9f, 1f, 0f)))
+    val res = Similarity.semDedup(df, initIds = Seq(0L, 2L), tau = 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("keep")))).toMap
+    assert(res(5L)._1 == 0L && res(6L)._1 == 2L)
+    assert(res(5L)._2 && res(6L)._2, "cross-cluster near-dups both survive")
+  }
+
+  test("domainCap keeps exactly ceil(sqrt(n)) per source, deterministically") {
+    val rows = (0L until 25L).map(i => (i, s"text $i", "big")) ++
+      Seq((100L, "solo", "small"))
+    val df = docsDf(rows)
+    val out = Sampling.domainCap(df).collect()
+    val byCap = out.groupBy(_.getAs[String]("source"))
+    assert(byCap("big").count(_.getAs[Boolean]("kept")) == 5) // ceil(sqrt 25)
+    assert(byCap("big").head.getAs[Long]("cap") == 5L)
+    assert(byCap("small").map(r =>
+      (r.getAs[Long]("cap"), r.getAs[Boolean]("kept"))).toSeq == Seq((1L, true)))
+    val again = Sampling.domainCap(df).collect()
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    assert(again == out.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("fuzzyDecontam flags the doc that duplicates an eval doc") {
+    val evalText = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (10L, evalText, "s"), // eval slice (id % 10 == 0)
+      (11L, evalText, "s"), // train copy of the eval doc
+      (12L, "completely unrelated words with no shared shingles at all", "s"))
+    val res = Dedup.fuzzyDecontam(docsDf(rows), evalMod = 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_eval_hits"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(!res.contains(10L), "eval docs are not scored")
+    assert(res(11L) == ((1L, true)))
+    assert(res(12L) == ((0L, false)))
+  }
+}
