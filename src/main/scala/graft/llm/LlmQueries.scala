@@ -83,7 +83,8 @@ object LlmQueries extends QueryPack {
     "x34_semdedup" -> ((s, dir) =>
       Similarity.semDedup(embs(s, dir), CentroidIds)),
     "x35_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir))),
-    "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir)))
+    "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir))),
+    "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir)))
   )
 
   /** deterministic PII injection for the x29 demo — the synthetic corpus
@@ -939,7 +940,30 @@ object LlmQueries extends QueryPack {
             h.first_eval,
             coalesce(h.n_eval_hits, 0) > 0 AS contaminated
           FROM documents d LEFT JOIN hits h USING (doc_id)
-          WHERE d.doc_id % 10 != 0"""
+          WHERE d.doc_id % 10 != 0""",
+
+    // Count-Min heavy-hitter audit: d=4 × w=1024 md5-seeded rows, est =
+    // min over rows, integer φ threshold (est·100 >= N) so the boundary
+    // case cannot diverge on decimal-vs-double φ
+    "x37_cms_heavy" -> {
+      def cmsC(tokExpr: String, r: String) =
+        s"(('0x' || substr(md5('cms' || $r || ':' || $tokExpr), 1, 8))::BIGINT) % 1024"
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+          rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+          sketch AS (
+            SELECT r.r AS r, ${cmsC("t.tok", "r.r")} AS c, count(*) AS cell
+            FROM toks t CROSS JOIN rows_ r GROUP BY 1, 2),
+          exact AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY 1),
+          est AS (
+            SELECT e.tok, e.true_cnt, min(s.cell) AS est
+            FROM exact e CROSS JOIN rows_ r
+            JOIN sketch s ON s.r = r.r AND s.c = ${cmsC("e.tok", "r.r")}
+            GROUP BY 1, 2)
+          SELECT tok, est, true_cnt, est - true_cnt AS overcount,
+            est * 100 >= (SELECT count(*) FROM toks) AS heavy
+          FROM est"""
+    }
   )
 }
 

@@ -111,4 +111,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res(11L) == ((1L, true)))
     assert(res(12L) == ((0L, false)))
   }
+
+  test("cmsHeavyHitters never underestimates and flags the dominant token") {
+    // N = 127 tokens, so the φ=1% bar is est·100 >= 127: singletons can
+    // only cross it through a (deterministic, md5-fixed) all-4-row
+    // collision, which this vocabulary does not produce
+    val df = docsDf(Seq(
+      (0L, Seq.fill(100)("hot").mkString(" "), "s"),
+      (1L, "cold a b c d e f g h i j k l m n o p q r s t u v w x y z", "s")))
+    val res = Sketches.cmsHeavyHitters(df).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("est"), r.getAs[Long]("true_cnt"),
+          r.getAs[Long]("overcount"), r.getAs[Boolean]("heavy")))).toMap
+    assert(res.size == 28) // hot + cold + 26 letters
+    assert(res.values.forall { case (est, t, over, _) =>
+      est >= t && over == est - t && over >= 0 })
+    assert(res("hot") == ((100L, 100L, 0L, true)))
+    assert(!res("cold")._4, "1/127 of the stream is not a 1% heavy hitter")
+  }
 }
