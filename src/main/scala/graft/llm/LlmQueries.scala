@@ -70,7 +70,7 @@ object LlmQueries extends QueryPack {
     "x28_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(docs(s, dir))),
     "x29_pii_redact" -> ((s, dir) =>
-      TextOps.redactPii(piiInjected(docs(s, dir)))),
+      TextOps.redactPii(TextOps.injectDemoPii(docs(s, dir)))),
     "x30_dedup_keep" -> ((s, dir) => Dedup.keepRepresentatives(docs(s, dir))),
     "x31_resize" -> ((s, _) =>
       Multimodal.resizeImages(media(s), 8, 6).toDF()
@@ -86,21 +86,6 @@ object LlmQueries extends QueryPack {
     "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir))),
     "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir)))
   )
-
-  /** deterministic PII injection for the x29 demo — the synthetic corpus
-    * contains no emails/phones, so a doc_id-keyed subset gets one of each
-    * appended (the op itself is corpus-agnostic)
-    */
-  private def piiInjected(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" reach me at user"), col("doc_id").cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" or call +1-555-"),
-            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-            lit("-0042"))).otherwise(lit(""))).as("text"))
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
   private val Bm25Terms = Seq("spark", "join", "window")

@@ -467,6 +467,21 @@ object TextOps {
     * regexp_extract_all counts), no shuffle at all — at 100 TB this
     * pipelines with the scan and costs one pass over the text bytes.
     */
+  /** deterministic PII injection for the x29/st08 demos — the synthetic
+    * corpus contains no emails/phones, so a doc_id-keyed subset gets one
+    * of each appended (the redaction op itself is corpus-agnostic)
+    */
+  def injectDemoPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" or call +1-555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0042"))).otherwise(lit(""))).as("text"))
+
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))

@@ -31,19 +31,27 @@ object StreamOps {
     * directory new files arrive in).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
+    val raw = fileStream(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** streaming view of any sf table (the documents corpus included):
+    * same staging trick, schema inferred from a batch read of the file
+    */
+  def fileStream(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
     val staged = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    val link = staged.resolve("events.parquet")
+      s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}_$table")
+    val link = staged.resolve(s"$table.parquet")
     java.nio.file.Files.createDirectories(staged)
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).parquet(staged.toString)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    spark.readStream.schema(schema).parquet(staged.toString)
   }
 
   /** run a streaming frame to completion into a memory sink, return the
@@ -194,5 +202,19 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     runToTable(deduped, "st_dedup", "append")
+  }
+
+  /** in-flight corpus cleaning — the batch PII-redaction expressions
+    * ([[graft.llm.TextOps.redactPii]]) applied unchanged to a streaming
+    * read of the documents landing directory. Stateless append: no
+    * watermark, no state store — each micro-batch is a pure codegen'd
+    * map, so an unbounded deployment redacts at scan throughput and the
+    * same code serves both batch backfill (x29) and the live stream.
+    */
+  def cleanDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fileStream(spark, dir, "documents")
+    val redacted = graft.llm.TextOps.redactPii(
+      graft.llm.TextOps.injectDemoPii(docs))
+    runToTable(redacted, "st_clean_docs", "append")
   }
 }

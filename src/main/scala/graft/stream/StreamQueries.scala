@@ -21,7 +21,8 @@ object StreamQueries extends QueryPack {
     "st05_sliding_counts" -> ((s, dir) => StreamOps.slidingCounts(s, dir)),
     "st06_enriched_counts" -> ((s, dir) => StreamOps.enrichedCounts(s, dir)),
     "st07_stream_stream_join" -> ((s, dir) =>
-      StreamOps.clickPurchaseJoin(s, dir))
+      StreamOps.clickPurchaseJoin(s, dir)),
+    "st08_stream_clean_docs" -> ((s, dir) => StreamOps.cleanDocs(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -114,6 +115,27 @@ object StreamQueries extends QueryPack {
            CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value
          FROM events c JOIN events p ON c.user_id = p.user_id
            AND c.event_type = 'click' AND p.event_type = 'purchase'
-           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+
+    // stateless in-flight cleaning == the x29 batch redaction over the
+    // same bounded input (same injection, same engine-portable regexes)
+    "st08_stream_clean_docs" ->
+      s"""WITH inj AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' reach me at user'
+               || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' or call +1-555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0042'
+               ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '${graft.llm.TextOps.EmailRe}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '${graft.llm.TextOps.PhoneRe}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text,
+             '${graft.llm.TextOps.EmailRe}', '[EMAIL]', 'g'),
+             '${graft.llm.TextOps.PhoneRe}', '[PHONE]', 'g') AS redacted
+         FROM inj"""
   )
 }

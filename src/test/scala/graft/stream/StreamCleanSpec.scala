@@ -1,0 +1,28 @@
+package graft.stream
+
+import graft.SparkSpec
+
+/** st08 — stateless in-flight cleaning: the streaming run over the
+  * documents corpus must equal the batch redaction over the same rows
+  * (same injection, same regexes), and no raw PII may survive.
+  */
+class StreamCleanSpec extends SparkSpec {
+
+  test("cleanDocs equals the batch redaction and strips every injected PII") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.cleanDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    val batch = graft.llm.TextOps.redactPii(
+        graft.llm.TextOps.injectDemoPii(
+          graft.core.Tables.load(spark, dir, "documents"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.forall { case (_, _, _, red) =>
+      !red.contains("@example.com") && !red.contains("+1-555-") })
+    assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0),
+      "the injection must exercise both patterns")
+  }
+}
