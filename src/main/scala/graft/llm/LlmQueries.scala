@@ -927,28 +927,31 @@ object LlmQueries extends QueryPack {
           FROM documents d LEFT JOIN hits h USING (doc_id)
           WHERE d.doc_id % 10 != 0""",
 
-    // Count-Min heavy-hitter audit: d=4 × w=1024 md5-seeded rows, est =
-    // min over rows, integer φ threshold (est·100 >= N) so the boundary
-    // case cannot diverge on decimal-vs-double φ
-    "x37_cms_heavy" -> {
-      def cmsC(tokExpr: String, r: String) =
-        s"(('0x' || substr(md5('cms' || $r || ':' || $tokExpr), 1, 8))::BIGINT) % 1024"
+    // Count-Min heavy-hitter audit: one md5 per DISTINCT token, the
+    // Kirsch–Mitzenmacher row family ((u1+(r+1)·u2) mod p) mod 1024,
+    // cell counts summed from the exact counts (additivity makes this
+    // identical to counting occurrences), est = min over rows, integer
+    // φ threshold (est·100 >= N) so the boundary case cannot diverge on
+    // decimal-vs-double φ
+    "x37_cms_heavy" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
                         FROM documents),
-          rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
-          sketch AS (
-            SELECT r.r AS r, ${cmsC("t.tok", "r.r")} AS c, count(*) AS cell
-            FROM toks t CROSS JOIN rows_ r GROUP BY 1, 2),
           exact AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY 1),
-          est AS (
-            SELECT e.tok, e.true_cnt, min(s.cell) AS est
-            FROM exact e CROSS JOIN rows_ r
-            JOIN sketch s ON s.r = r.r AND s.c = ${cmsC("e.tok", "r.r")}
-            GROUP BY 1, 2)
+          h AS (SELECT tok, true_cnt,
+                  (('0x' || substr(md5('cms:' || tok), 1, 8))::BIGINT) AS u1,
+                  (('0x' || substr(md5('cms:' || tok), 9, 8))::BIGINT) AS u2
+                FROM exact),
+          cells AS (
+            SELECT tok, true_cnt, r.r AS r,
+              ((u1 + (r.r + 1) * u2) % ${Dedup.MinhashMod}) % 1024 AS c
+            FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+          sketch AS (SELECT r, c, CAST(sum(true_cnt) AS BIGINT) AS cell
+                     FROM cells GROUP BY 1, 2),
+          est AS (SELECT tok, true_cnt, min(cell) AS est
+                  FROM cells JOIN sketch USING (r, c) GROUP BY 1, 2)
           SELECT tok, est, true_cnt, est - true_cnt AS overcount,
             est * 100 >= (SELECT count(*) FROM toks) AS heavy
           FROM est"""
-    }
   )
 }
 
