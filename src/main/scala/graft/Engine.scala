@@ -113,6 +113,18 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Dedup.keepRepresentatives(docs)
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
     graft.llm.Multimodal.resizeImages(media, targetW, targetH).toDF()
+  def removeBoilerplateSegments(docs: DataFrame, k: Int = 3,
+      minDf: Int = 3): DataFrame =
+    graft.llm.TextOps.segmentDedup(docs, k, minDf)
+  def semDedup(embeddings: DataFrame, initIds: Seq[Long],
+      tau: Double = 0.3): DataFrame =
+    graft.llm.Similarity.semDedup(embeddings, initIds, tau)
+  def capDomains(docs: DataFrame): DataFrame =
+    graft.llm.Sampling.domainCap(docs)
+  def fuzzyDecontaminate(docs: DataFrame, evalMod: Long = 10): DataFrame =
+    graft.llm.Dedup.fuzzyDecontam(docs, evalMod)
+  def heavyHitterAudit(docs: DataFrame, phiDen: Long = 100L): DataFrame =
+    graft.llm.Sketches.cmsHeavyHitters(docs, phiDen)
 
   // ---- streaming (T3-T7) ---------------------------------------------
   def streamingTumblingCounts(eventsDir: String): DataFrame =
@@ -123,6 +135,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.stream.StreamOps.clickPurchaseJoin(spark, eventsDir)
   def incrementalHealth(fixtureDir: String): DataFrame =
     graft.stream.IncrementalHealth.run(spark, fixtureDir)
+  def streamingCleanDocs(docsDir: String): DataFrame =
+    graft.stream.StreamOps.cleanDocs(spark, docsDir)
 }
 
 object Engine {

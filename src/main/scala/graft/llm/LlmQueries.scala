@@ -84,7 +84,8 @@ object LlmQueries extends QueryPack {
       Similarity.semDedup(embs(s, dir), CentroidIds)),
     "x35_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir))),
     "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir))),
-    "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir)))
+    "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir))),
+    "x38_pipeline_manifest" -> ((s, dir) => Pipeline.manifest(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -951,7 +952,43 @@ object LlmQueries extends QueryPack {
                   FROM cells JOIN sketch USING (r, c) GROUP BY 1, 2)
           SELECT tok, est, true_cnt, est - true_cnt AS overcount,
             est * 100 >= (SELECT count(*) FROM toks) AS heavy
-          FROM est"""
+          FROM est""",
+
+    // the composed gates: x35's cap ∩ x36's clean slice, x17's split,
+    // rolled up per (source, split); sums are HUGEINT → BIGINT casts
+    "x38_pipeline_manifest" -> {
+      def u32(expr: String) =
+        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+      val uCap = u32("'cap' || ':' || source || '/' || CAST(doc_id AS VARCHAR)")
+      val uSplit = u32("'split' || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $SIG_CTE,
+          hits AS (
+            SELECT t.doc_id, count(DISTINCT e.doc_id) AS n_eval_hits
+            FROM bands t JOIN bands e ON t.band = e.band AND t.bh = e.bh
+            WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0 GROUP BY 1),
+          clean AS (
+            SELECT d.doc_id FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 10 != 0 AND coalesce(h.n_eval_hits, 0) = 0),
+          ranked AS (
+            SELECT doc_id,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $uCap, doc_id) AS rk,
+              count(*) OVER (PARTITION BY source) AS n_source
+            FROM documents),
+          capped AS (
+            SELECT doc_id FROM ranked
+            WHERE rk <= CAST(ceil(sqrt(n_source)) AS BIGINT))
+          SELECT d.source,
+            CASE WHEN $uSplit < ${math.floor(0.8 * 4294967296.0).toLong} THEN 'train'
+                 WHEN $uSplit < ${math.floor(0.9 * 4294967296.0).toLong} THEN 'val'
+                 ELSE 'test' END AS split,
+            count(*) AS n_docs,
+            CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+            CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+          FROM documents d
+            JOIN capped USING (doc_id) JOIN clean USING (doc_id)
+          GROUP BY 1, 2"""
+    }
   )
 }
 

@@ -129,4 +129,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res("hot") == ((100L, 100L, 0L, true)))
     assert(!res("cold")._4, "1/127 of the stream is not a 1% heavy hitter")
   }
+
+  test("pipeline manifest equals the manual composition of its gates") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 80L).map { i =>
+      val words = Seq.fill(5 + rnd.nextInt(10))(s"w${rnd.nextInt(20)}")
+      (i, words.mkString(" "), s"src${i % 3}")
+    }
+    val df = docsDf(rows)
+    val keptIds = Sampling.domainCap(df)
+      .filter(col("kept")).collect().map(_.getAs[Long]("doc_id")).toSet
+    val cleanIds = Dedup.fuzzyDecontam(df)
+      .filter(!col("contaminated")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val splits = Sampling.splitAndSample(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = rows
+      .filter { case (id, _, _) => keptIds(id) && cleanIds(id) }
+      .groupBy { case (id, _, src) => (src, splits(id)) }
+      .map { case ((src, sp), xs) =>
+        (src, sp) -> ((xs.size.toLong,
+          xs.map(_._2.split(" ").length.toLong).sum,
+          xs.map(_._2.length.toLong).sum)) }
+    val got = Pipeline.manifest(df).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars")))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && !got.keys.exists { case (_, sp) =>
+      !Set("train", "val", "test")(sp) })
+  }
 }
