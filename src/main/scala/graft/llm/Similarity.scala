@@ -117,28 +117,45 @@ object Similarity {
     * the caller runs `spark.catalog.clearCache()` — see [[quantizedTopK]].
     */
   def lshNearDup(embeddings: DataFrame, minCos: Double, nBands: Int = 4,
-      bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+      bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     graft.functions.CosineSim.register(embeddings.sparkSession)
     val planes = hyperplanes(nBands, bitsPerBand, dim)
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bandStructs = planes.zipWithIndex.map { case (ps, bi) =>
       struct(lit(bi + 1).as("band"), bandBucket(col("v"), ps).as("bucket"))
     }
-    // the bucket table feeds both sides of the pair join; persist it so
-    // the nBands × bitsPerBand projection expressions evaluate once per
-    // vector, not once per join branch (at deployment scale this is the
-    // "write candidates to reliable storage" step)
     val bb = e.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = bb.select(col("band"), col("bucket"), col("vec_id").as("vec_a"))
-    val r = bb.select(col("band").as("band_r"), col("bucket").as("bucket_r"),
-      col("vec_id").as("vec_b"))
-    val cand = l.join(r, col("band") === col("band_r") &&
-        col("bucket") === col("bucket_r") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+    // pair generation INSIDE each (band, bucket), capped + re-sharded —
+    // the [[Dedup.candidatePairs]] discipline (r3 verdict flagged this
+    // join as the one uncapped candidate generator): a degenerate bucket
+    // (zero vectors, a mega-cluster) re-shards by a secondary md5 into
+    // ceil(size/maxBucket) sub-buckets, bounding per-group pair work at
+    // ~maxBucket²; slice-explode keeps per-row state O(bucket). The 2k
+    // default never triggers on the sf corpora, so demo output — and the
+    // uncapped-join oracle — are unchanged.
+    val wsz = Window.partitionBy(col("band"), col("bucket"))
+    val sharded = bb
+      .withColumn("bsz", count(lit(1)).over(wsz))
+      .filter(col("bsz") > 1)
+      .withColumn("nsh",
+        ceil(col("bsz").cast("double") / maxBucket).cast("int"))
+      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
+        pmod(conv(substring(md5(concat_ws("#", col("bucket"),
+          col("vec_id"))), 1, 7), 16, 10).cast("long"),
+          col("nsh")).cast("int")))
+    val buckets = sharded.groupBy(col("band"), col("bucket"), col("sub"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+    val cand = buckets
+      .select(posexplode(col("vs")).as(Seq("i", "vec_a")), col("vs"))
+      .select(col("vec_a"),
+        explode(slice(col("vs"), col("i") + lit(2), size(col("vs"))))
+          .as("vec_b"))
+      .distinct()
     // exact-cosine verification only on the deduped candidate set, via
     // the native codegen'd expression (bit-identical to the higher-order
     // composition — x15's oracle proves it)

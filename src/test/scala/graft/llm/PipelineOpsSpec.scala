@@ -130,6 +130,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!res("cold")._4, "1/127 of the stream is not a 1% heavy hitter")
   }
 
+  test("lshNearDup caps a degenerate bucket and still surfaces pairs") {
+    // 600 IDENTICAL vectors: every band has ONE bucket holding all of
+    // them. Uncapped, pair work would be C(600,2) per band; with
+    // maxBucket=50 each band re-shards into 12 sub-buckets, bounding
+    // candidates at ~bands * shards * C(50,2) << all-pairs.
+    val v = Seq(0.6f, -0.2f, 0.7f, 0.1f)
+    val df = embDf((0L until 600L).map(_ -> v))
+    val out = Similarity.lshNearDup(df, minCos = 0.9, nBands = 2,
+      bitsPerBand = 4, dim = 4, maxBucket = 50)
+    val n = out.count()
+    val allPairs = 600L * 599 / 2
+    assert(n > 0, "re-sharded buckets must still emit within-shard pairs")
+    assert(n < allPairs / 4,
+      s"candidate volume must be capped well below all-pairs ($n vs $allPairs)")
+    assert(out.filter(col("cos") < 0.999999).count() == 0,
+      "identical vectors verify at cosine 1")
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
