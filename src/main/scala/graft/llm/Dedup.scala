@@ -354,6 +354,11 @@ object Dedup {
     * the corpus-sized shuffles are the signature agg and the final
     * doc_id-keyed count, both linear. Degenerate buckets would need the
     * [[candidatePairs]] cap; benchmark-sized eval sets do not.
+    *
+    * Cache contract: the shared band table stays persisted until the
+    * caller runs `spark.catalog.clearCache()` — same convention as
+    * [[graft.llm.Similarity.quantizedTopK]]'s one-shot form (the bench
+    * clears per run).
     */
   def fuzzyDecontam(docs: DataFrame, evalMod: Long = 10): DataFrame = {
     // one signature pass feeds both sides of the band join — branch

@@ -46,6 +46,11 @@ object Sketches {
     * partial-aggregating count over (r, c) cells — cell additivity is
     * what makes the two formulations identical; this audit needs the
     * exact counts anyway, so it hashes each distinct token once.
+    *
+    * Cache contract: the hashed-vocabulary table stays persisted until
+    * the caller runs `spark.catalog.clearCache()` — same convention as
+    * [[graft.llm.Similarity.quantizedTopK]]'s one-shot form (the bench
+    * clears per run).
     */
   def cmsHeavyHitters(docs: DataFrame, phiDen: Long = 100L): DataFrame = {
     val exact = docs

@@ -386,6 +386,46 @@ class KmeansSpec extends SparkSpec {
         r.getAs[Double]("cos"))).sortBy(_._1).toSeq
     assert(run() == run())
   }
+
+  test("kmeansAtScale centroids match the exact path within 1e-9") {
+    // the scale path's plain sum/count mean may drift from the
+    // sorted-exact mean by partition-order float accumulation only —
+    // bounded well under 1e-9 on the fixture corpus (r7 verdict task 1)
+    val rnd = new scala.util.Random(42)
+    val df = embsDf((0 until 50).map(i =>
+      i.toLong -> Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val (exCents, _) = Similarity.kmeansLoop(df, Seq(0L, 1L, 2L), iters = 3)
+    val ex = exCents.collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](1)).toMap
+    val (sc, assigned, rounds) =
+      Similarity.kmeansAtScaleLoop(df, Seq(0L, 1L, 2L), maxIters = 3,
+        tol = 0.0)
+    assert(rounds == 3, "tol=0 runs the full fixed round count")
+    assert(ex.keySet == sc.keySet)
+    for ((cid, cv) <- ex; (a, b) <- cv.zip(sc(cid)))
+      assert(math.abs(a - b) <= 1e-9, s"cid=$cid: $a vs $b")
+    // and identical assignments follow from near-identical centroids
+    val exA = Similarity.kmeans(df, Seq(0L, 1L, 2L), iters = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val scA = assigned.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(exA == scA)
+  }
+
+  test("kmeansAtScale stops on convergence before maxIters") {
+    val nearX = Seq(Seq(1f, 0.1f), Seq(2f, 0.1f), Seq(1f, -0.1f))
+    val nearY = Seq(Seq(0.1f, 1f), Seq(0.1f, 2f), Seq(-0.1f, 1f))
+    val df = embsDf((nearX ++ nearY).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) })
+    val (_, assigned, rounds) =
+      Similarity.kmeansAtScaleLoop(df, Seq(0L, 3L), maxIters = 50,
+        tol = 1e-12)
+    assert(rounds < 50, "separable groups converge in a few rounds")
+    val out = assigned.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_) == 0L))
+    assert(Seq(3L, 4L, 5L).forall(out(_) == 3L))
+  }
 }
 
 class TextOpsSpec extends SparkSpec {

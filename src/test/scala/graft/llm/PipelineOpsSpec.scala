@@ -148,6 +148,63 @@ class PipelineOpsSpec extends SparkSpec {
       "identical vectors verify at cosine 1")
   }
 
+  test("semDedup caps a synthetic giant cluster; diagnostic reports it") {
+    // 12 identical vectors all land in centroid 0's cluster. Uncapped,
+    // the pair scan does C(12,2)=66 comparisons in ONE group and keeps
+    // exactly the min-id exemplar; with maxCluster=4 the cluster splits
+    // into 3 md5 sub-shards, per-group work is bounded at ~C(4+,2), and
+    // each sub-shard keeps its own min-id member (the documented
+    // cross-shard recall trade).
+    val v = Seq(0.3f, -0.8f, 0.5f, 0.1f)
+    val df = embDf((0L until 12L).map(_ -> v))
+    val uncapped = Similarity.semDedup(df, initIds = Seq(0L), tau = 0.9)
+      .collect()
+    assert(uncapped.count(_.getAs[Boolean]("keep")) == 1)
+    assert(uncapped.map(_.getAs[Long]("n_close")).sum == 66L)
+    val capped = Similarity.semDedup(df, initIds = Seq(0L), tau = 0.9,
+      maxCluster = 4).collect()
+    val keeps = capped.count(_.getAs[Boolean]("keep"))
+    val pairs = capped.map(_.getAs[Long]("n_close")).sum
+    assert(pairs < 66L, "cross-shard pairs must be dropped")
+    assert(pairs > 0L, "within-shard dups must still be found")
+    assert(keeps >= 1 && keeps <= 3, "one exemplar per non-empty sub-shard")
+    val over = Similarity.oversizedClusters(df, Seq(0L), maxCluster = 4)
+      .collect()
+    assert(over.length == 1 && over(0).getAs[Long]("cid") == 0L
+      && over(0).getAs[Long]("csz") == 12L)
+    assert(Similarity.oversizedClusters(df, Seq(0L)).isEmpty,
+      "the 2k default never splits the fixture")
+  }
+
+  test("oversizedVecBuckets surfaces the degenerate LSH bucket") {
+    val v = Seq(0.6f, -0.2f, 0.7f, 0.1f)
+    val df = embDf((0L until 600L).map(_ -> v))
+    val over = Similarity.oversizedVecBuckets(df, nBands = 2,
+      bitsPerBand = 4, dim = 4, maxBucket = 50).collect()
+    assert(over.length == 2, "one all-members bucket per band")
+    assert(over.forall(_.getAs[Long]("bsz") == 600L))
+    assert(Similarity.oversizedVecBuckets(df, nBands = 2, bitsPerBand = 4,
+      dim = 4).isEmpty, "the 2k default reports nothing here")
+  }
+
+  test("quantized index: build/query matches one-shot; close unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    val rnd = new scala.util.Random(3)
+    val df = embDf((0L until 40L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rank"))).toSet
+    val oneShot = key(Similarity.quantizedTopK(df, nQueries = 3, k = 5)
+      .collect())
+    spark.catalog.clearCache() // the one-shot form leaves the index cached
+    val idx = Similarity.buildQuantizedIndex(df)
+    assert(idx.df.storageLevel != StorageLevel.NONE, "index is persisted")
+    assert(key(Similarity.quantizedTopK(idx, 3, 5).collect()) == oneShot)
+    idx.close()
+    assert(idx.df.storageLevel == StorageLevel.NONE, "close unpersists")
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
