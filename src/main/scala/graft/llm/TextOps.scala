@@ -155,28 +155,36 @@ object TextOps {
 
   /** TF-IDF-style top terms per document: tf × rarity, ranked per doc.
     *
-    * The rarity weight is the RATIONAL `N/df` rather than `ln(N/df)`:
-    * libm `log` bits differ between the JVM and DuckDB in the last ulp
-    * on ~0.1% of idf-shaped inputs (measured over N ∈ {500, 5k, 50k},
-    * df ∈ 1..N: 55/55500 mismatches), which would break the bit-exact
-    * cross-engine gate; division and multiplication are IEEE-exact in
-    * both engines, so the rational weight hashes identically. Swapping
-    * `ln` back in production is a one-expression change.
+    * Two weight routes (r7 verdict task 4):
+    *   - `lnWeights = false` (the BIT-EXACT GATE route, x22): the
+    *     rarity weight is the RATIONAL `N/df` rather than `ln(N/df)` —
+    *     libm `log` bits differ between the JVM and DuckDB in the last
+    *     ulp on ~0.1% of idf-shaped inputs (measured over N ∈ {500, 5k,
+    *     50k}, df ∈ 1..N: 55/55500 mismatches), which would break the
+    *     bit-exact cross-engine gate; division and multiplication are
+    *     IEEE-exact in both engines, so the rational weight hashes
+    *     identically;
+    *   - `lnWeights = true` (the PRODUCTION route): the textbook
+    *     `ln(N/df)` idf — what a user-facing scoring pipeline should
+    *     run; spec-checked at 1e-12 relative tolerance instead of the
+    *     hash gate.
     *
     * Shape: two hash aggs (tf per (doc, term), df per term) + a broadcast
     * 1-row corpus count + one per-doc window — shuffles on doc/term keys
     * only, linear at corpus scale.
     */
-  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5,
+      lnWeights: Boolean = false): DataFrame = {
     val toks = tokens(docs).select(col("doc_id"), col("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // tf rows are one per (doc, term), so df = row count per term
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
+    val rarity = col("n_docs").cast("double") / col("df").cast("double")
     val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf").cast("double") *
-        (col("n_docs").cast("double") / col("df").cast("double")))
+        (if (lnWeights) log(rarity) else rarity))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("tok").asc)
@@ -232,21 +240,25 @@ object TextOps {
   }
 
   /** BM25-family relevance for a FIXED query term set, one score per
-    * matching doc. The idf factor is the rational Robertson–Spärck-Jones
-    * odds `(N - df + 0.5) / (df + 0.5)` without the usual `ln` — same
+    * matching doc. With `lnWeights = false` (the BIT-EXACT GATE route,
+    * x24) the idf factor is the rational Robertson–Spärck-Jones odds
+    * `(N - df + 0.5) / (df + 0.5)` without the usual `ln` — same
     * cross-engine libm constraint as [[tfidfTopTerms]] (the ln wrap is
-    * monotone, so per-term ordering is unchanged). Per-term contributions
-    * are summed in FIXED term order via conditional aggregation (each
-    * term's sum has at most one non-zero element per doc, and adding
-    * exact zeros is order-insensitive), so the float total is
-    * deterministic — the same discipline as the decimal-moment sums.
+    * monotone, so per-term ordering is unchanged). `lnWeights = true`
+    * is the PRODUCTION route: the standard `ln(odds)` BM25 idf from the
+    * literature, spec-checked at 1e-12 relative tolerance (r7 verdict
+    * task 4). Per-term contributions are summed in FIXED term order via
+    * conditional aggregation (each term's sum has at most one non-zero
+    * element per doc, and adding exact zeros is order-insensitive), so
+    * the float total is deterministic — the same discipline as the
+    * decimal-moment sums.
     *
     * Shape: token scan filtered to the term set (predicate on the
     * generated column), tf/df hash aggs, broadcast 1-row corpus stats —
     * no shuffle beyond the doc/term keys.
     */
   def bm25Odds(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, lnWeights: Boolean = false): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct)
     val toks = tokens(docs).select(col("doc_id"), col("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -261,9 +273,11 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("odds",
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
       .withColumn("contrib",
-        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5)) *
+        (if (lnWeights) log(col("odds")) else col("odds")) *
         ((col("tf").cast("double") * k1p1) /
           (col("tf").cast("double") +
             lit(k1) * (lit(oneMinusB) +

@@ -530,6 +530,56 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0L) > out(1L)) // extra matched term at the same doc length
   }
 
+  test("tfidf lnWeights route scores tf*ln(N/df) within 1e-12 relative") {
+    // the production (textbook) idf — r7 verdict task 4; checked against
+    // driver-side math.log instead of the cross-engine hash gate
+    val df = docsDf(Seq(
+      (0L, "common common rare", "en"),
+      (1L, "common other words", "en"),
+      (2L, "common more words", "en")))
+    val out = TextOps.tfidfTopTerms(df, topK = 10, lnWeights = true)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val expected = r.getAs[Long]("tf").toDouble *
+        math.log(r.getAs[Long]("n_docs").toDouble /
+          r.getAs[Long]("df").toDouble)
+      val got = r.getAs[Double]("tfidf")
+      if (expected == 0.0) assert(got == 0.0)
+      else assert(math.abs(got - expected) / math.abs(expected) <= 1e-12,
+        s"${r.getAs[String]("term")}: $got vs $expected")
+    }
+    // a term in every doc has ln-idf 0, not rational 1
+    assert(out.filter(_.getAs[String]("term") == "common")
+      .forall(_.getAs[Double]("tfidf") == 0.0))
+  }
+
+  test("bm25 lnWeights route applies ln to the RSJ odds, 1e-12 relative") {
+    // single query term so the driver-side expectation is closed-form
+    val df = docsDf(Seq(
+      (0L, "spark join filler filler", "en"), // dl=4, tf(spark)=1
+      (1L, "spark spark well spark ok", "en"), // dl=5, tf(spark)=3
+      (2L, "no relevant terms here", "en"))) // dl=4, no match
+    val (k1, b) = (1.2, 0.75)
+    val nDocs = 3.0
+    val sumDl = 13.0
+    val avgdl = sumDl / nDocs
+    val dfreq = 2.0
+    val odds = (nDocs - dfreq + 0.5) / (dfreq + 0.5)
+    def expected(tf: Double, dl: Double) =
+      math.log(odds) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+    val out = TextOps.bm25Odds(df, Seq("spark"), k1, b, lnWeights = true)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("bm25_odds")).toMap
+    assert(!out.contains(2L))
+    val exp = Map(0L -> expected(1.0, 4.0), 1L -> expected(3.0, 5.0))
+    exp.foreach { case (id, e) =>
+      assert(math.abs(out(id) - e) / math.abs(e) <= 1e-12,
+        s"doc $id: ${out(id)} vs $e")
+    }
+  }
+
   test("quality gate: first failing rule wins; passing docs keep=true") {
     val longEn = (1 to 30).map(_ => "the cat of a house is in").mkString(" ")
     val df = docsDf(Seq(
