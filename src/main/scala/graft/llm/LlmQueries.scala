@@ -929,11 +929,12 @@ object LlmQueries extends QueryPack {
           WHERE d.doc_id % 10 != 0""",
 
     // Count-Min heavy-hitter audit: one md5 per DISTINCT token, the
-    // Kirsch–Mitzenmacher row family ((u1+(r+1)·u2) mod p) mod 1024,
+    // Kirsch–Mitzenmacher row family ((u1+(r+1)·u2) mod p) mod CmsWidth,
     // cell counts summed from the exact counts (additivity makes this
     // identical to counting occurrences), est = min over rows, integer
-    // φ threshold (est·100 >= N) so the boundary case cannot diverge on
-    // decimal-vs-double φ
+    // φ threshold (est·phiDen >= N) so the boundary case cannot diverge
+    // on decimal-vs-double φ; geometry interpolated from Sketches so the
+    // Scala constants and the oracle cannot desynchronize (r7 advice)
     "x37_cms_heavy" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
                         FROM documents),
@@ -944,14 +945,17 @@ object LlmQueries extends QueryPack {
                 FROM exact),
           cells AS (
             SELECT tok, true_cnt, r.r AS r,
-              ((u1 + (r.r + 1) * u2) % ${Dedup.MinhashMod}) % 1024 AS c
-            FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+              ((u1 + (r.r + 1) * u2) % ${Dedup.MinhashMod})
+                % ${Sketches.CmsWidth} AS c
+            FROM h CROSS JOIN (SELECT
+              unnest([${(0 until Sketches.CmsDepth).mkString(", ")}]) AS r) r),
           sketch AS (SELECT r, c, CAST(sum(true_cnt) AS BIGINT) AS cell
                      FROM cells GROUP BY 1, 2),
           est AS (SELECT tok, true_cnt, min(cell) AS est
                   FROM cells JOIN sketch USING (r, c) GROUP BY 1, 2)
           SELECT tok, est, true_cnt, est - true_cnt AS overcount,
-            est * 100 >= (SELECT count(*) FROM toks) AS heavy
+            est * ${Sketches.DefaultPhiDen}
+              >= (SELECT count(*) FROM toks) AS heavy
           FROM est""",
 
     // the composed gates: x35's cap ∩ x36's clean slice, x17's split,

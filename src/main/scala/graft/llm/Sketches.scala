@@ -30,6 +30,9 @@ object Sketches {
   val CmsDepth = 4
   val CmsWidth = 1024
 
+  /** default integer φ denominator: heavy ⇔ est·DefaultPhiDen >= N (1%) */
+  val DefaultPhiDen = 100L
+
   /** φ-heavy-hitter audit over the token stream: build the CMS, read
     * every distinct token's estimate back out of it, and report it next
     * to the exact count — `est >= true` always (CMS never
@@ -52,7 +55,8 @@ object Sketches {
     * [[graft.llm.Similarity.quantizedTopK]]'s one-shot form (the bench
     * clears per run).
     */
-  def cmsHeavyHitters(docs: DataFrame, phiDen: Long = 100L): DataFrame = {
+  def cmsHeavyHitters(docs: DataFrame,
+      phiDen: Long = DefaultPhiDen): DataFrame = {
     val exact = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
