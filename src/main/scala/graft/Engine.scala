@@ -81,9 +81,15 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def similarTopKQuantized(embeddings: DataFrame, nQueries: Int,
       k: Int): DataFrame =
     graft.llm.Similarity.quantizedTopK(embeddings, nQueries, k)
+  /** oracle-exact demo path; [[kmeansClustersAtScale]] is the default
+    * for real corpora
+    */
   def kmeansClusters(embeddings: DataFrame, initIds: Seq[Long],
       iters: Int = 2): DataFrame =
     graft.llm.Similarity.kmeans(embeddings, initIds, iters)
+  def kmeansClustersAtScale(embeddings: DataFrame, initIds: Seq[Long],
+      maxIters: Int = 20, tol: Double = 1e-9): DataFrame =
+    graft.llm.Similarity.kmeansAtScale(embeddings, initIds, maxIters, tol)
   def tokenStats(docs: DataFrame): DataFrame =
     graft.llm.TextOps.tokenStats(docs)
   def languageId(docs: DataFrame): DataFrame =
@@ -119,6 +125,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def semDedup(embeddings: DataFrame, initIds: Seq[Long],
       tau: Double = 0.3): DataFrame =
     graft.llm.Similarity.semDedup(embeddings, initIds, tau)
+  def videoFrames(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.videoFrames(media)
   def capDomains(docs: DataFrame): DataFrame =
     graft.llm.Sampling.domainCap(docs)
   def fuzzyDecontaminate(docs: DataFrame, evalMod: Long = 10): DataFrame =

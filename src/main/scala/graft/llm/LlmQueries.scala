@@ -85,7 +85,8 @@ object LlmQueries extends QueryPack {
     "x35_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir))),
     "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir))),
     "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir))),
-    "x38_pipeline_manifest" -> ((s, dir) => Pipeline.manifest(docs(s, dir)))
+    "x38_pipeline_manifest" -> ((s, dir) => Pipeline.manifest(docs(s, dir))),
+    "x39_video_frames" -> ((s, _) => Multimodal.videoFrames(media(s)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -448,6 +449,19 @@ object LlmQueries extends QueryPack {
           SELECT media_id, kind, frame_ts,
             md5(pmd5 || '-' || CAST(frame_ts AS VARCHAR)) AS frame_fp
           FROM m""",
+
+    // REAL mp4 frame decode: the engine demuxes the raw-luma track
+    // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle
+    // reads the fixture's EXPECTED per-frame arrays, which were authored
+    // by the same demux+slice (the x12/x31 discipline)
+    "x39_video_frames" ->
+      s"""SELECT media_id, kind, CAST(x.i - 1 AS INT) AS frame_idx,
+            fr_ts_ms[x.i] AS frame_ts_ms,
+            width AS fr_width, height AS fr_height,
+            fr_brightness[x.i] AS luma_mean
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
+            unnest(generate_series(1, len(fr_brightness))) AS x(i)
+          WHERE fr_brightness IS NOT NULL""",
 
     // connected components via recursive min-label closure (independent
     // of the engine's iterative propagation loop)

@@ -2,13 +2,21 @@ package graft.llm
 
 import java.nio.ByteBuffer
 
-/** Real MP4 (ISO BMFF) container-metadata parsing in pure JVM code: the
-  * format is a tree of big-endian [size:u32][type:4cc] boxes, so the
-  * movie header (`moov`/`mvhd`) — timescale + duration — is reachable
-  * with a plain box walk, no codec library. FRAME decode (the codec
-  * payload inside `mdat`) is genuinely out of reach without a decoder
-  * and remains the one marked stub in [[Multimodal]]; this parser makes
-  * the metadata column REAL the same way [[WavCodec]] did for audio.
+/** Real MP4 (ISO BMFF) container parsing in pure JVM code: the format
+  * is a tree of big-endian [size:u32][type:4cc] boxes, so the movie
+  * header (`moov`/`mvhd`) — timescale + duration — is reachable with a
+  * plain box walk, no codec library.
+  *
+  * FRAME decode (r7 verdict task 6): compressed codecs (H.264 etc.) are
+  * genuinely out of reach without a decoder library, so the fixture
+  * video track carries UNCOMPRESSED 8-bit luma frames in a spec-shaped
+  * `'raw '` visual sample entry — the sample TABLES (`stsd` dimensions,
+  * `stts` timing, `stsz` sizes, `stco` chunk offset) are real ISO BMFF
+  * structures, and [[decodeFrames]] locates and slices every frame out
+  * of `mdat` exactly the way a real demuxer hands samples to a codec.
+  * What stays simplified: one track, one chunk, uniform sample size,
+  * no vmhd/dinf (the walker tolerates their absence) — the seam where
+  * a compressed codec would plug in is the per-frame byte slice.
   */
 object Mp4Meta {
 
@@ -18,6 +26,23 @@ object Mp4Meta {
 
   case class Mp4Stats(timescale: Long, duration: Long, durationMs: Long)
 
+  /** (contentStart, contentEnd) of the first `name` box in
+    * bytes[from, end) — one level, no recursion
+    */
+  private def findBox(bytes: Array[Byte], from: Int, end: Int,
+      name: String): Option[(Int, Int)] = {
+    val bb = ByteBuffer.wrap(bytes) // big-endian by default
+    var pos = from
+    while (pos + 8 <= end) {
+      val size = bb.getInt(pos)
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (size < 8 || pos + size > end) return None
+      if (tpe == name) return Some((pos + 8, pos + size))
+      pos += size
+    }
+    None
+  }
+
   /** walk the top-level boxes to `moov`, then its children to `mvhd`
     * (version 0: u32 timescale/duration at offsets 12/16 past the box
     * header; version 1: u64 duration); None for non-MP4 or malformed
@@ -25,24 +50,9 @@ object Mp4Meta {
   def decode(bytes: Array[Byte]): Option[Mp4Stats] = {
     if (!isMp4(bytes)) return None
     try {
-      val bb = ByteBuffer.wrap(bytes) // big-endian by default
-      def findBox(end: Int, name: String): Option[(Int, Int)] = {
-        // returns (contentStart, contentEnd) of the first `name` box
-        // between bb.position() and end
-        var pos = bb.position()
-        while (pos + 8 <= end) {
-          val size = bb.getInt(pos)
-          val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
-          if (size < 8 || pos + size > end) return None
-          if (tpe == name) return Some((pos + 8, pos + size))
-          pos += size
-        }
-        None
-      }
-      bb.position(0)
-      findBox(bytes.length, "moov").flatMap { case (ms, me) =>
-        bb.position(ms)
-        findBox(me, "mvhd").flatMap { case (hs, _) =>
+      val bb = ByteBuffer.wrap(bytes)
+      findBox(bytes, 0, bytes.length, "moov").flatMap { case (ms, me) =>
+        findBox(bytes, ms, me, "mvhd").flatMap { case (hs, _) =>
           val version = bytes(hs) & 0xff
           if (version == 0) {
             val timescale = bb.getInt(hs + 12).toLong & 0xffffffffL
@@ -62,36 +72,165 @@ object Mp4Meta {
     } catch { case _: Exception => None }
   }
 
+  /** a decoded raw-luma video track: frame i covers media time
+    * [i·frameDelta, (i+1)·frameDelta) in `timescale` units
+    */
+  case class VideoTrack(width: Int, height: Int, timescale: Long,
+      frameDelta: Long, frames: IndexedSeq[Array[Byte]]) {
+    def frameTsMs(i: Int): Long = i * frameDelta * 1000L / timescale
+  }
+
+  /** demux the fixture's raw-luma track: trak → mdia → {mdhd timescale,
+    * hdlr must be 'vide', minf → stbl → {stsd 'raw ' dimensions, stts
+    * (count, delta), stsz uniform size, stco chunk offset}}, then slice
+    * each frame straight out of the file bytes. None for non-MP4 input,
+    * a missing/non-video track, a compressed (non-'raw ') sample entry,
+    * or malformed tables — the honest "this needs a codec" signal.
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[VideoTrack] = {
+    if (!isMp4(bytes)) return None
+    try {
+      val bb = ByteBuffer.wrap(bytes)
+      for {
+        (ms, me) <- findBox(bytes, 0, bytes.length, "moov")
+        (ts, te) <- findBox(bytes, ms, me, "trak")
+        (mds, mde) <- findBox(bytes, ts, te, "mdia")
+        (mh, _) <- findBox(bytes, mds, mde, "mdhd")
+        timescale = bb.getInt(mh + 12).toLong & 0xffffffffL
+        if timescale > 0
+        (hl, _) <- findBox(bytes, mds, mde, "hdlr")
+        if new String(bytes, hl + 8, 4, "US-ASCII") == "vide"
+        (mi, mie) <- findBox(bytes, mds, mde, "minf")
+        (st, ste) <- findBox(bytes, mi, mie, "stbl")
+        (sd, _) <- findBox(bytes, st, ste, "stsd")
+        // first sample entry: [size][format 4cc] at content offset 8
+        if new String(bytes, sd + 12, 4, "US-ASCII") == "raw "
+        w = bb.getShort(sd + 8 + 32).toInt & 0xffff
+        h = bb.getShort(sd + 8 + 34).toInt & 0xffff
+        (tt, _) <- findBox(bytes, st, ste, "stts")
+        nFrames = bb.getInt(tt + 8)
+        delta = bb.getInt(tt + 12).toLong & 0xffffffffL
+        (sz, _) <- findBox(bytes, st, ste, "stsz")
+        sampleSize = bb.getInt(sz + 4)
+        if sampleSize == w * h && nFrames > 0
+        (co, _) <- findBox(bytes, st, ste, "stco")
+        off = bb.getInt(co + 8)
+        if off + nFrames.toLong * sampleSize <= bytes.length
+      } yield VideoTrack(w, h, timescale, delta,
+        (0 until nFrames).map(i => java.util.Arrays.copyOfRange(bytes,
+          off + i * sampleSize, off + (i + 1) * sampleSize)))
+    } catch { case _: Exception => None }
+  }
+
+  private def box(tpe: String, content: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + content.length)
+    bb.putInt(8 + content.length).put(tpe.getBytes("US-ASCII"))
+      .put(content)
+    bb.array()
+  }
+
+  private def ftypBox: Array[Byte] = box("ftyp",
+    "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+      "isomiso2".getBytes("US-ASCII"))
+
+  private def mvhdContent(timescale: Int, duration: Long): Array[Byte] = {
+    val bb = ByteBuffer.allocate(100) // mvhd v0 fixed size
+    bb.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification time
+      .putInt(timescale)
+      .putInt(duration.toInt)
+      .putInt(0x00010000) // rate 1.0
+      .putShort(0x0100.toShort) // volume 1.0
+    bb.position(bb.position() + 10) // reserved
+    // unity matrix
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt)
+    bb.position(bb.position() + 24) // pre_defined
+    bb.putInt(2) // next track id
+    bb.array()
+  }
+
+  private def u32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v.toInt).array()
+
   /** minimal valid fixture: ftyp + moov(mvhd v0) + a tiny mdat stub —
-    * real box structure, deterministic bytes
+    * real box structure, deterministic bytes, NO video track (the
+    * metadata-only shape; [[decodeFrames]] correctly returns None)
     */
   def encode(timescale: Int, duration: Long,
-      mdatBody: Array[Byte]): Array[Byte] = {
-    def box(tpe: String, content: Array[Byte]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(8 + content.length)
-      bb.putInt(8 + content.length).put(tpe.getBytes("US-ASCII"))
-        .put(content)
-      bb.array()
+      mdatBody: Array[Byte]): Array[Byte] =
+    ftypBox ++ box("moov", box("mvhd", mvhdContent(timescale, duration))) ++
+      box("mdat", mdatBody)
+
+  /** fixture with a REAL raw-luma video track: every frame is width ×
+    * height 8-bit luma bytes stored uncompressed in `mdat`, located by
+    * spec-shaped stsd/stts/stsc/stsz/stco sample tables (one chunk,
+    * uniform sample size). `frameDelta` is per-frame duration in
+    * `timescale` units. Round-trips through [[decodeFrames]].
+    */
+  def encodeVideo(timescale: Int, frameW: Int, frameH: Int,
+      frameDelta: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == frameW * frameH),
+      "every frame must be frameW*frameH luma bytes")
+    val duration = frames.length.toLong * frameDelta
+    val vf = u32(0) // version 0 + zero flags
+    def buildMoov(mdatContentOffset: Int): Array[Byte] = {
+      val tkhdContent = {
+        val bb = ByteBuffer.allocate(84) // tkhd v0
+        bb.putInt(0x00000007) // version 0 + enabled/in-movie/in-preview
+          .putInt(0).putInt(0) // creation/modification
+          .putInt(1) // track id
+          .putInt(0) // reserved
+          .putInt(duration.toInt)
+        bb.position(bb.position() + 16) // reserved + layer/alt/volume/res
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        bb.putInt(frameW << 16).putInt(frameH << 16) // 16.16 fixed
+        bb.array()
+      }
+      val mdhdContent = {
+        val bb = ByteBuffer.allocate(24)
+        bb.putInt(0).putInt(0).putInt(0)
+          .putInt(timescale).putInt(duration.toInt)
+          .putShort(0x55c4.toShort) // language 'und'
+          .putShort(0)
+        bb.array()
+      }
+      val hdlrContent = vf ++ u32(0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](12) ++ Array[Byte](0) // empty null-term name
+      val sampleEntry = {
+        val bb = ByteBuffer.allocate(86) // VisualSampleEntry, 'raw '
+        bb.putInt(86).put("raw ".getBytes("US-ASCII"))
+        bb.position(bb.position() + 6) // reserved
+        bb.putShort(1) // data_reference_index
+        bb.position(bb.position() + 16) // pre_defined/reserved
+        bb.putShort(frameW.toShort).putShort(frameH.toShort)
+          .putInt(0x00480000).putInt(0x00480000) // 72 dpi
+          .putInt(0)
+          .putShort(1) // frame_count per sample
+        bb.position(bb.position() + 32) // compressorname
+        bb.putShort(8) // depth: 8-bit luma
+          .putShort(0xffff.toShort) // pre_defined -1
+        bb.array()
+      }
+      val stbl = box("stbl",
+        box("stsd", vf ++ u32(1) ++ sampleEntry) ++
+          box("stts", vf ++ u32(1) ++ u32(frames.length) ++ u32(frameDelta)) ++
+          box("stsc", vf ++ u32(1) ++ u32(1) ++ u32(frames.length) ++ u32(1)) ++
+          box("stsz", vf ++ u32(frameW * frameH) ++ u32(frames.length)) ++
+          box("stco", vf ++ u32(1) ++ u32(mdatContentOffset)))
+      val mdia = box("mdia",
+        box("mdhd", mdhdContent) ++ box("hdlr", hdlrContent) ++
+          box("minf", stbl))
+      box("moov", box("mvhd", mvhdContent(timescale, duration)) ++
+        box("trak", box("tkhd", tkhdContent) ++ mdia))
     }
-    val ftyp = box("ftyp",
-      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
-        "isomiso2".getBytes("US-ASCII"))
-    val mvhdContent = {
-      val bb = ByteBuffer.allocate(100) // mvhd v0 fixed size
-      bb.putInt(0) // version 0 + flags
-        .putInt(0).putInt(0) // creation/modification time
-        .putInt(timescale)
-        .putInt(duration.toInt)
-        .putInt(0x00010000) // rate 1.0
-        .putShort(0x0100.toShort) // volume 1.0
-      bb.position(bb.position() + 10) // reserved
-      // unity matrix
-      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
-        .foreach(bb.putInt)
-      bb.position(bb.position() + 24) // pre_defined
-      bb.putInt(2) // next track id
-      bb.array()
-    }
-    ftyp ++ box("moov", box("mvhd", mvhdContent)) ++ box("mdat", mdatBody)
+    // stco carries an ABSOLUTE file offset; moov's size doesn't depend
+    // on the offset value (fixed-width u32), so build once to size it,
+    // then rebuild with the real offset
+    val ftyp = ftypBox
+    val moovSize = buildMoov(0).length
+    val moov = buildMoov(ftyp.length + moovSize + 8)
+    ftyp ++ moov ++ box("mdat", frames.flatten.toArray)
   }
 }

@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * typed Dataset (the JVM analogue of an Arrow-batched decode UDF). PNG
   * AND JPEG rows are REAL images decoded with the JDK's `javax.imageio`
   * ([[ImageCodec]], r2+r3 verdict task 5) — width/height/brightness come
-  * from actual pixels — and WAV rows are REAL RIFF/PCM audio decoded by
-  * the hand-rolled [[WavCodec]] (the container needs no codec library at
-  * all) — duration/rate/amplitude come from actual samples. Only MP4
-  * decode remains a clearly-marked deterministic STUB (no JDK codec), so
-  * its schema/partitioning/batch contract is exercised while the content
-  * math is fake.
+  * from actual pixels — WAV rows are REAL RIFF/PCM audio decoded by the
+  * hand-rolled [[WavCodec]] (the container needs no codec library at
+  * all) — duration/rate/amplitude come from actual samples — and MP4
+  * rows carry a REAL raw-luma video track (r7 verdict task 6): the ISO
+  * BMFF sample tables are parsed for real and every frame's luma bytes
+  * are sliced out of `mdat` by [[Mp4Meta.decodeFrames]] ([[videoFrames]],
+  * x39). The one remaining seam is COMPRESSED video (H.264 etc.), which
+  * genuinely needs a codec library: a compressed sample entry makes
+  * `decodeFrames` return None.
   */
 object Multimodal {
 
@@ -32,7 +35,8 @@ object Multimodal {
       width: Option[Int], height: Option[Int],
       duration_ms: Option[Long], sample_rate: Option[Int],
       px_brightness: Option[Double], amp_mean: Option[Double],
-      rs8x6_brightness: Option[Double], rs8x6_md5: Option[String])
+      rs8x6_brightness: Option[Double], rs8x6_md5: Option[String],
+      fr_ts_ms: Option[Seq[Long]], fr_brightness: Option[Seq[Double]])
 
   /** md5 of the lowercase-hex rendering — the one binary digest both
     * engines agree on (DuckDB has no md5 over BLOB), mirrored here for
@@ -54,10 +58,6 @@ object Multimodal {
     (Some(ImageCodec.brightness(rs)), Some(md5OfHex(ImageCodec.encode(rs))))
   }
 
-  /** deterministic pseudo-random-but-fixed body bytes */
-  private def body(id: Long, n: Int): Array[Byte] =
-    Array.tabulate(n)(i => ((id * 31 + i * 7 + 13) % 256).toByte)
-
   def mediaRows: Seq[MediaFx] =
     (0L until 4L).map { i =>
       // real PNGs: deterministic pixel pattern, varying dimensions;
@@ -67,7 +67,7 @@ object Multimodal {
       val bytes = ImageCodec.encode(img)
       val (rb, rm) = rs8x6(bytes)
       MediaFx(i, "image", bytes, Some(w), Some(h), None,
-        None, Some(ImageCodec.brightness(img)), None, rb, rm)
+        None, Some(ImageCodec.brightness(img)), None, rb, rm, None, None)
     } ++
       (4L until 7L).map { i =>
         // real JPEGs (r3 verdict task 5): expected stats come from
@@ -77,7 +77,7 @@ object Multimodal {
         val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
         val (rb, rm) = rs8x6(bytes)
         MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
-          Some(bright), None, rb, rm)
+          Some(bright), None, rb, rm, None, None)
       } ++
       (7L until 10L).map { i =>
         // real WAVs: RIFF/16-bit-mono-PCM is hand-writable, no codec
@@ -89,18 +89,31 @@ object Multimodal {
         val bytes = WavCodec.encode(samples, rate)
         val st = WavCodec.decode(bytes).get
         MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
-          Some(st.sampleRate), None, Some(st.meanAbs), None, None)
+          Some(st.sampleRate), None, Some(st.meanAbs), None, None,
+          None, None)
       } ++
       (10L until 12L).map { i =>
-        // real ISO BMFF container (ftyp + moov/mvhd + mdat): the
-        // metadata duration is PARSED from the mvhd box; the mdat frame
-        // payload is the one remaining decode stub (needs a real codec)
+        // real ISO BMFF container with a REAL raw-luma video track: the
+        // metadata duration is PARSED from the mvhd box, and the
+        // expected per-frame timestamps/brightness are computed by the
+        // same demux + slice the engine runs ([[Mp4Meta.decodeFrames]]).
+        // Same durations as the old metadata-only fixture (4000+i·1000
+        // ms) so x13's tick generation is unchanged.
         val durMs = 4000L + i * 1000
-        val bytes = Mp4Meta.encode(timescale = 1000, duration = durMs,
-          mdatBody = body(i, 128))
-        MediaFx(i, "video", bytes, Some(1920), Some(1080),
+        val (w, h) = (16, 12)
+        val deltaMs = 500
+        val nFrames = (durMs / deltaMs).toInt
+        val frames = (0 until nFrames).map(f =>
+          Array.tabulate(w * h)(j => ((i * 31 + f * 17 + j * 7) % 256).toByte))
+        val bytes = Mp4Meta.encodeVideo(timescale = 1000, frameW = w,
+          frameH = h, frameDelta = deltaMs, frames = frames)
+        val vt = Mp4Meta.decodeFrames(bytes).get
+        MediaFx(i, "video", bytes, Some(w), Some(h),
           Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None,
-          None, None)
+          None, None,
+          Some((0 until nFrames).map(vt.frameTsMs)),
+          Some(vt.frames.map(fr =>
+            fr.map(_ & 0xff).sum.toDouble / fr.length)))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -184,7 +197,9 @@ object Multimodal {
 
   /** frame sampling for timed media: one row per 1000 ms tick within
     * duration (generator expression — no shuffle), with a deterministic
-    * per-frame fingerprint (decode STUB for "extract frame & hash it").
+    * per-frame fingerprint. This is the metadata-level sampling op
+    * (which ticks exist); REAL frame CONTENT decode for the raw-track
+    * mp4 fixture lives in [[videoFrames]] (x39).
     */
   def frameSample(media: DataFrame): DataFrame =
     media.filter(col("duration_ms").isNotNull)
@@ -194,6 +209,35 @@ object Multimodal {
           .as("frame_ts"))
       .select(col("media_id"), col("kind"), col("frame_ts"),
         md5(concat(col("pmd5"), lit("-"), col("frame_ts"))).as("frame_fp"))
+
+  /** one decoded video frame: media time + real luma statistics */
+  case class VideoFrameRow(
+      media_id: Long, kind: String, frame_idx: Int, frame_ts_ms: Long,
+      fr_width: Int, fr_height: Int, luma_mean: Double)
+
+  /** REAL mp4 frame decode (r7 verdict task 6): demux the raw-luma
+    * track ([[Mp4Meta.decodeFrames]] — real stsd/stts/stsz/stco sample
+    * tables), slice every frame out of `mdat`, and emit per-frame luma
+    * statistics. Same embarrassingly-parallel `mapPartitions` seam as
+    * [[decodeMedia]]: no shuffle, rows without a decodable raw video
+    * track are dropped (compressed codecs return None from the demuxer
+    * — the honest "needs a codec library" boundary).
+    */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        Mp4Meta.decodeFrames(m.payload).iterator.flatMap { vt =>
+          vt.frames.iterator.zipWithIndex.map { case (fr, i) =>
+            VideoFrameRow(m.media_id, m.kind, i, vt.frameTsMs(i),
+              vt.width, vt.height,
+              fr.map(_ & 0xff).sum.toDouble / fr.length)
+          }
+        }
+      }).toDF()
+  }
 
   /** decoded feature record (what a real decoder would emit) */
   case class MediaFeatures(

@@ -752,13 +752,58 @@ class MultimodalSpec extends SparkSpec {
         expected(i).amp_mean.get)
     }
     // 10-11 MP4: container duration parsed from the real mvhd box;
-    // frame content stays un-decoded (the one remaining stub)
+    // frame CONTENT decode is videoFrames' job (x39)
     (10L until 12L).foreach { i =>
       assert(rows(i).isNullAt(rows(i).fieldIndex("dec_brightness")))
       assert(rows(i).isNullAt(rows(i).fieldIndex("dec_amp_mean")))
       assert(rows(i).getAs[Long]("dec_duration_ms") ==
         expected(i).duration_ms.get)
     }
+  }
+
+  test("MP4 raw video track: encode/decodeFrames round-trips every frame") {
+    val (w, h) = (4, 3)
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h)(j => ((f * 50 + j) % 256).toByte))
+    val bytes = Mp4Meta.encodeVideo(timescale = 600, frameW = w,
+      frameH = h, frameDelta = 120, frames = frames)
+    assert(Mp4Meta.isMp4(bytes))
+    val Some(vt) = Mp4Meta.decodeFrames(bytes)
+    assert(vt.width == w && vt.height == h)
+    assert(vt.timescale == 600 && vt.frameDelta == 120)
+    assert(vt.frames.length == 5)
+    (0 until 5).foreach(f => assert(vt.frames(f).sameElements(frames(f))))
+    assert(vt.frameTsMs(0) == 0 && vt.frameTsMs(3) == 3 * 120 * 1000 / 600)
+    // mvhd duration agrees with the track (frames × delta)
+    assert(Mp4Meta.decode(bytes).get.duration == 600L)
+    // metadata-only mp4 (no trak) → None, the honest needs-a-codec signal
+    val metaOnly = Mp4Meta.encode(1000, 4000L, Array[Byte](1, 2, 3))
+    assert(Mp4Meta.decodeFrames(metaOnly).isEmpty)
+    assert(Mp4Meta.decodeFrames("RIFFxxxx".getBytes("UTF-8")).isEmpty)
+    // truncated payloads never crash
+    (0 until bytes.length by 97).foreach(cut =>
+      Mp4Meta.decodeFrames(bytes.take(cut)))
+  }
+
+  test("videoFrames reproduces the authored per-frame luma statistics") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val got = Multimodal.videoFrames(df).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        ((r.getAs[Long]("frame_ts_ms"), r.getAs[Double]("luma_mean"),
+          r.getAs[Int]("fr_width"), r.getAs[Int]("fr_height")))).toMap
+    val videos = Multimodal.mediaRows.filter(_.fr_brightness.isDefined)
+    assert(videos.nonEmpty)
+    val expected = videos.flatMap { m =>
+      m.fr_brightness.get.zip(m.fr_ts_ms.get).zipWithIndex.map {
+        case ((br, ts), i) => (m.media_id, i) ->
+          ((ts, br, m.width.get, m.height.get))
+      }
+    }.toMap
+    assert(got == expected)
+    // only video rows emit frames
+    assert(got.keys.map(_._1).toSet == videos.map(_.media_id).toSet)
   }
 
   test("MP4 box walker: mvhd duration round-trips; v1 and junk boxes ok") {
