@@ -98,12 +98,15 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.TextOps.qualityScore(docs)
   def winnowNearDupPairs(docs: DataFrame): DataFrame =
     graft.llm.TextOps.winnowPairs(docs)
-  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame =
-    graft.llm.TextOps.tfidfTopTerms(docs, topK)
+  /** lnWeights=true is the production (textbook ln-idf) scoring route */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5,
+      lnWeights: Boolean = false): DataFrame =
+    graft.llm.TextOps.tfidfTopTerms(docs, topK, lnWeights)
   def repetitionSignals(docs: DataFrame): DataFrame =
     graft.llm.TextOps.repetitionSignals(docs)
-  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame =
-    graft.llm.TextOps.bm25Odds(docs, terms)
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, lnWeights: Boolean = false): DataFrame =
+    graft.llm.TextOps.bm25Odds(docs, terms, k1, b, lnWeights)
   def chunkForTraining(docs: DataFrame, chunkSize: Int = 32,
       stride: Int = 24): DataFrame =
     graft.llm.TextOps.chunkTokens(docs, chunkSize, stride)

@@ -86,7 +86,12 @@ object LlmQueries extends QueryPack {
     "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir))),
     "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir))),
     "x38_pipeline_manifest" -> ((s, dir) => Pipeline.manifest(docs(s, dir))),
-    "x39_video_frames" -> ((s, _) => Multimodal.videoFrames(media(s)))
+    "x39_video_frames" -> ((s, _) => Multimodal.videoFrames(media(s))),
+    // rows-only (no oracle, like q30/m22): the scale-path mean's
+    // partition-order float accumulation is engine-specific by design;
+    // KmeansSpec bounds it within 1e-9 of the exact path
+    "x40_kmeans_scale" -> ((s, dir) =>
+      Similarity.kmeansAtScale(embs(s, dir), CentroidIds, maxIters = 2))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
