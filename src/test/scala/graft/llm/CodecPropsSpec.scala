@@ -52,6 +52,31 @@ class CodecPropsSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 raw-track round trip holds for arbitrary geometry/frames") {
+    val gen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      n <- Gen.choose(1, 12)
+      timescale <- Gen.oneOf(600, 1000, 90000)
+      delta <- Gen.choose(1, 5000)
+      seed <- Gen.choose(0, 255)
+    } yield (w, h, n, timescale, delta, seed)
+    forAllSeeded(gen, 100) { case (w, h, n, timescale, delta, seed) =>
+      val frames = (0 until n).map(f =>
+        Array.tabulate(w * h)(j => ((seed + f * 31 + j * 7) % 256).toByte))
+      val bytes = Mp4Meta.encodeVideo(timescale, w, h, delta, frames)
+      val vt = Mp4Meta.decodeFrames(bytes).get
+      assert(vt.width == w && vt.height == h)
+      assert(vt.timescale == timescale && vt.frameDelta == delta)
+      assert(vt.frames.length == n)
+      (0 until n).foreach(f => assert(vt.frames(f).sameElements(frames(f))))
+      (0 until n).foreach(f =>
+        assert(vt.frameTsMs(f) == f.toLong * delta * 1000L / timescale))
+      // the movie header agrees with the track
+      assert(Mp4Meta.decode(bytes).get.duration == n.toLong * delta)
+    }
+  }
+
   test("truncated or corrupted payloads never crash the decoders") {
     val base = WavCodec.encode(WavCodec.testSamples(3L, 64), 16000)
     val mp4 = Mp4Meta.encode(1000, 5000L, Array.fill(16)(1.toByte))
@@ -61,6 +86,11 @@ class CodecPropsSpec extends AnyFunSuite {
     }
     forAllSeeded(Gen.choose(0, mp4.length - 1), 60) { cut =>
       Mp4Meta.decode(mp4.take(cut))
+    }
+    val rawMp4 = Mp4Meta.encodeVideo(1000, 4, 3, 500,
+      (0 until 3).map(f => Array.fill(12)(f.toByte)))
+    forAllSeeded(Gen.choose(0, rawMp4.length - 1), 60) { cut =>
+      Mp4Meta.decodeFrames(rawMp4.take(cut)) // Option, no throw
     }
     forAllSeeded(Gen.choose(0, png.length - 1), 60) { cut =>
       ImageCodec.decode(png.take(cut))
