@@ -125,6 +125,9 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def removeBoilerplateSegments(docs: DataFrame, k: Int = 3,
       minDf: Int = 3): DataFrame =
     graft.llm.TextOps.segmentDedup(docs, k, minDf)
+  def duplicatedSpans(docs: DataFrame, k: Int = 5,
+      minDf: Int = 2): DataFrame =
+    graft.llm.TextOps.dupSpans(docs, k, minDf)
   def semDedup(embeddings: DataFrame, initIds: Seq[Long],
       tau: Double = 0.3): DataFrame =
     graft.llm.Similarity.semDedup(embeddings, initIds, tau)

@@ -91,7 +91,8 @@ object LlmQueries extends QueryPack {
     // partition-order float accumulation is engine-specific by design;
     // KmeansSpec bounds it within 1e-9 of the exact path
     "x40_kmeans_scale" -> ((s, dir) =>
-      Similarity.kmeansAtScale(embs(s, dir), CentroidIds, maxIters = 2))
+      Similarity.kmeansAtScale(embs(s, dir), CentroidIds, maxIters = 2)),
+    "x41_dup_spans" -> ((s, dir) => TextOps.dupSpans(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -454,6 +455,43 @@ object LlmQueries extends QueryPack {
           SELECT media_id, kind, frame_ts,
             md5(pmd5 || '-' || CAST(frame_ts AS VARCHAR)) AS frame_fp
           FROM m""",
+
+    // duplicated k-token spans (Lee et al. substring dedup, hash-grouped
+    // for fixed k): df over window md5s, gaps-and-islands longest run;
+    // DuckDB's inclusive list slice tk[i : i+k-1] mirrors Spark's
+    // slice(tk, pos, k); sums are HUGEINT → BIGINT casts
+    "x41_dup_spans" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+         wins AS (
+           SELECT doc_id, x.i AS pos,
+             md5(array_to_string(tk[x.i : x.i + 4], ' ')) AS wh
+           FROM tk, unnest(generate_series(1, len(tk) - 4)) AS x(i)
+           WHERE len(tk) >= 5),
+         wdf AS (SELECT wh, count(DISTINCT doc_id) AS wdf
+                 FROM wins GROUP BY 1),
+         dup AS (
+           SELECT w.doc_id, w.pos,
+             w.pos - row_number() OVER (PARTITION BY w.doc_id
+               ORDER BY w.pos) AS grp
+           FROM wins w JOIN wdf USING (wh) WHERE wdf >= 2),
+         runs AS (SELECT doc_id, grp, count(*) AS run
+                  FROM dup GROUP BY 1, 2),
+         per AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_windows,
+                   max(run) AS longest_dup_run
+                 FROM runs GROUP BY 1),
+         cnt AS (SELECT doc_id,
+                   CAST(greatest(0, len(string_split(text, ' ')) - 4)
+                     AS BIGINT) AS n_windows
+                 FROM documents)
+         SELECT c.doc_id, c.n_windows,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(p.longest_dup_run, 0) AS longest_dup_run,
+           CASE WHEN c.n_windows > 0 THEN
+             CAST(coalesce(p.n_dup_windows, 0) AS DOUBLE)
+               / CAST(c.n_windows AS DOUBLE)
+           ELSE 0.0 END AS dup_frac
+         FROM cnt c LEFT JOIN per p USING (doc_id)""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

@@ -153,6 +153,59 @@ object TextOps {
       .distinct()
   }
 
+  /** exact duplicated-span detection (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the substring-level complement of document-level MinHash): every
+    * k-token window is hashed, a window is DUPLICATED when the
+    * identical span appears in ≥ `minDf` DISTINCT documents, and each
+    * doc reports its window count, duplicated-window count/fraction,
+    * and the LONGEST consecutive duplicated run — the passage a
+    * span-level dedup pass would cut. Runs are gaps-and-islands over
+    * the duplicated positions (run id = pos − row_number, the q31
+    * sessionization discipline).
+    *
+    * Scale shape: the paper builds a single-machine suffix array; for
+    * fixed k the hash-grouped formulation is the distributable
+    * equivalent — windows are a generate (no shuffle) off the token
+    * split, the df agg shuffles on the window md5 only, and the
+    * islands pass shuffles on doc_id. No candidate pairs, no quadratic
+    * group: linear end-to-end.
+    */
+  def dupSpans(docs: DataFrame, k: Int = 5, minDf: Int = 2): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      // sequence() flips to a DESCENDING range when stop < start, so the
+      // >= k guard above is load-bearing, as in [[Dedup.shingles]]
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - (k - 1))).as("pos"),
+        col("tk"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("tk"), col("pos"), lit(k)))).as("wh"))
+    val wdf = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("wdf"))
+    val wrn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc = wins.join(wdf, Seq("wh"))
+      .filter(col("wdf") >= minDf)
+      .withColumn("grp", col("pos") - row_number().over(wrn))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_dup_windows"),
+        max(col("run")).as("longest_dup_run"))
+    val counts = docs.select(col("doc_id"),
+      greatest(lit(0), size(split(col("text"), " ")) - (k - 1))
+        .cast("long").as("n_windows"))
+    counts.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"),
+        when(col("n_windows") > 0,
+          coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(0.0).as("dup_frac"))
+  }
+
   /** TF-IDF-style top terms per document: tf × rarity, ranked per doc.
     *
     * Two weight routes (r7 verdict task 4):

@@ -205,6 +205,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(idx.df.storageLevel == StorageLevel.NONE, "close unpersists")
   }
 
+  test("dupSpans finds shared k-token runs via gaps-and-islands") {
+    // docs 0 and 1 share the 6-token passage "p q r s t u": with k=3
+    // that is 4 consecutive duplicated windows in each doc; context
+    // windows straddling the passage boundary are unique and break the
+    // run. Doc 2 is all-unique; doc 3 is shorter than k.
+    val df = docsDf(Seq(
+      (0L, "a b p q r s t u c", "s"), // 9 tokens, 7 windows, dup at 3-6
+      (1L, "p q r s t u x y", "s"), // 8 tokens, 6 windows, dup at 1-4
+      (2L, "completely different words here now", "s"),
+      (3L, "xx yy", "s")))
+    val res = TextOps.dupSpans(df, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("longest_dup_run"), r.getAs[Double]("dup_frac"))))
+      .toMap
+    assert(res(0L) == ((7L, 4L, 4L, 4.0 / 7.0)))
+    assert(res(1L) == ((6L, 4L, 4L, 4.0 / 6.0)))
+    assert(res(2L) == ((3L, 0L, 0L, 0.0)))
+    assert(res(3L) == ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans separates two disjoint duplicated runs in one doc") {
+    // doc 0 shares "m n o" with doc 1 AND "x y z" with doc 2, with a
+    // unique gap between: two islands of 1 window each, longest run 1
+    val df = docsDf(Seq(
+      (0L, "m n o gapword1 gapword2 x y z", "s"),
+      (1L, "m n o other words", "s"),
+      (2L, "x y z more words", "s")))
+    val r0 = TextOps.dupSpans(df, k = 3).collect()
+      .find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_dup_windows") == 2L)
+    assert(r0.getAs[Long]("longest_dup_run") == 1L)
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
