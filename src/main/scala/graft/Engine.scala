@@ -151,6 +151,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.stream.IncrementalHealth.run(spark, fixtureDir)
   def streamingCleanDocs(docsDir: String): DataFrame =
     graft.stream.StreamOps.cleanDocs(spark, docsDir)
+  def streamingDecontamGate(docsDir: String): DataFrame =
+    graft.stream.StreamOps.decontamGate(spark, docsDir)
 }
 
 object Engine {

@@ -77,6 +77,47 @@ object Dedup {
     hu.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[bands]]∘[[minhashSignature]] computed entirely IN-ROW — no
+    * shuffle, no aggregation: shingles, one md5 per distinct shingle,
+    * and the Kirsch–Mitzenmacher mins all run as array expressions
+    * inside the row (`array_min` over a `transform` replaces the
+    * grouped `min`). Bit-identical band keys to the grouped path
+    * (spec-asserted) — the shape a STREAMING gate needs, where a
+    * per-doc groupBy would demand watermarked stateful aggregation for
+    * what is really a pure map. Docs with fewer than 3 tokens produce
+    * no row, matching the grouped path's empty groupBy.
+    *
+    * Digest discipline: md5 runs once per shingle into a bound `mhs`
+    * array; the 12 hash functions re-parse the hex halves (cheap
+    * integer work, no digests) — same one-digest-per-shingle cost as
+    * [[minhashSignature]].
+    */
+  def bandsInRow(docs: DataFrame): DataFrame = {
+    val tk = col("tk")
+    val n = size(tk)
+    val sh = array_distinct(transform(sequence(lit(1), n - 2), i =>
+      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+    val mins = (1 to NumHashes).map { i =>
+      array_min(transform(col("mhs"), m =>
+        (conv(substring(m, 1, 8), 16, 10).cast("long") +
+          lit(i.toLong) * conv(substring(m, 9, 8), 16, 10).cast("long"))
+          % MinhashMod)).as(s"h$i")
+    }
+    val nBands = NumHashes / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      val hs = (1 to BandSize).map(j => col(s"h${b * BandSize + j}"))
+      struct(lit(b + 1).as("band"), concat_ws("|", hs: _*).as("bh"))
+    }
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(n >= 3)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("mhs"))
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** LSH band buckets in long form (doc_id, band, bucket_hash). The
     * bucket key is the plain "|"-joined signature triple — an exact join
     * key needs no second digest pass.

@@ -123,7 +123,8 @@ object LlmQueries extends QueryPack {
     * two positional-parsed 32-bit halves, Kirsch–Mitzenmacher family
     * `(h1 + i·h2) mod p` in BIGINT arithmetic, plain "|"-joined band key
     */
-  private val SIG_CTE = {
+  // private[graft]: st09's oracle reuses the same signature/band CTE
+  private[graft] val SIG_CTE = {
     // hex→u32 via DuckDB's 0x-literal cast — same value as the
     // positional digit parse (verified over real md5 output) at a
     // fraction of its cost, keeping the oracle an honest baseline

@@ -217,4 +217,32 @@ object StreamOps {
       graft.llm.TextOps.injectDemoPii(docs))
     runToTable(redacted, "st_clean_docs", "append")
   }
+
+  /** in-flight fuzzy decontamination — the streaming twin of
+    * [[graft.llm.Dedup.fuzzyDecontam]]: incoming documents are flagged
+    * when they LSH-collide with a STATIC benchmark/eval reference set
+    * (here the `doc_id % 10 == 0` slice, computed batch-side once).
+    * The stream side's MinHash signature runs entirely IN-ROW
+    * ([[graft.llm.Dedup.bandsInRow]] — array expressions, bit-identical
+    * band keys to the grouped batch path), so the stream stays
+    * STATELESS: no watermark, no state store, just a per-row map +
+    * a broadcast stream-static equi-join on (band, bh). An unbounded
+    * deployment gates at scan throughput and re-broadcasts when the
+    * reference set changes. Output: one row per (incoming doc, band
+    * collision, eval doc) — the append-mode-deterministic multiset
+    * (per-doc rollup is the consumer's batch-side count, x36's shape).
+    */
+  def decontamGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    val ref = Dedup.bands(Dedup.minhashSignature(
+        graft.core.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)))
+      .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
+    val incoming = fileStream(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    val hits = Dedup.bandsInRow(incoming)
+      .join(broadcast(ref), Seq("band", "bh"))
+      .select(col("doc_id"), col("band"), col("bh"), col("eval_id"))
+    runToTable(hits, "st_decontam_gate", "append")
+  }
 }

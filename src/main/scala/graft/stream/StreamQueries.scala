@@ -22,7 +22,8 @@ object StreamQueries extends QueryPack {
     "st06_enriched_counts" -> ((s, dir) => StreamOps.enrichedCounts(s, dir)),
     "st07_stream_stream_join" -> ((s, dir) =>
       StreamOps.clickPurchaseJoin(s, dir)),
-    "st08_stream_clean_docs" -> ((s, dir) => StreamOps.cleanDocs(s, dir))
+    "st08_stream_clean_docs" -> ((s, dir) => StreamOps.cleanDocs(s, dir)),
+    "st09_decontam_gate" -> ((s, dir) => StreamOps.decontamGate(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -136,6 +137,16 @@ object StreamQueries extends QueryPack {
            regexp_replace(regexp_replace(text,
              '${graft.llm.TextOps.EmailRe}', '[EMAIL]', 'g'),
              '${graft.llm.TextOps.PhoneRe}', '[PHONE]', 'g') AS redacted
-         FROM inj"""
+         FROM inj""",
+
+    // stream-static decontamination gate == x36's band collision join
+    // over the same bounded input, at band granularity (the stream's
+    // in-row signatures are bit-identical to the grouped batch path —
+    // DedupSpec asserts the equivalence); SIG_CTE's cand goes unused
+    "st09_decontam_gate" ->
+      s"""WITH ${graft.llm.LlmQueries.SIG_CTE}
+          SELECT t.doc_id, t.band, t.bh, e.doc_id AS eval_id
+          FROM bands t JOIN bands e ON t.band = e.band AND t.bh = e.bh
+          WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0"""
   )
 }

@@ -38,6 +38,23 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("in-row bands are bit-identical to the grouped signature path") {
+    // bandsInRow is the stateless streaming shape (st09); its band keys
+    // must equal bands(minhashSignature(...)) exactly — incl. the empty
+    // case (docs under 3 tokens produce no row on either path)
+    val rnd = new scala.util.Random(11)
+    val df = docsDf(Seq("xx", "a b") ++ (0 until 30).map(_ =>
+      Seq.fill(3 + rnd.nextInt(40))(s"w${rnd.nextInt(25)}").mkString(" ")))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[String]("bh"))).toSet
+    val grouped = key(Dedup.bands(Dedup.minhashSignature(df)))
+    val inRow = key(Dedup.bandsInRow(df))
+    assert(inRow == grouped)
+    assert(!inRow.exists(t => t._1 == 0L || t._1 == 1L),
+      "sub-shingle docs emit nothing on either path")
+  }
+
   test("degenerate bucket (identical-doc corpus) is capped and re-sharded") {
     // 1000 identical docs: every doc lands in the SAME band bucket 4×.
     // Uncapped, pair expansion would build all 499,500 pairs inside one
