@@ -128,6 +128,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def duplicatedSpans(docs: DataFrame, k: Int = 5,
       minDf: Int = 2): DataFrame =
     graft.llm.TextOps.dupSpans(docs, k, minDf)
+  def bigramLmScores(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.bigramLmScore(docs)
   def semDedup(embeddings: DataFrame, initIds: Seq[Long],
       tau: Double = 0.3): DataFrame =
     graft.llm.Similarity.semDedup(embeddings, initIds, tau)

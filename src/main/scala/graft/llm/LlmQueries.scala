@@ -92,7 +92,8 @@ object LlmQueries extends QueryPack {
     // KmeansSpec bounds it within 1e-9 of the exact path
     "x40_kmeans_scale" -> ((s, dir) =>
       Similarity.kmeansAtScale(embs(s, dir), CentroidIds, maxIters = 2)),
-    "x41_dup_spans" -> ((s, dir) => TextOps.dupSpans(docs(s, dir)))
+    "x41_dup_spans" -> ((s, dir) => TextOps.dupSpans(docs(s, dir))),
+    "x42_bigram_lm" -> ((s, dir) => TextOps.bigramLmScore(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -493,6 +494,28 @@ object LlmQueries extends QueryPack {
                / CAST(c.n_windows AS DOUBLE)
            ELSE 0.0 END AS dup_frac
          FROM cnt c LEFT JOIN per p USING (doc_id)""",
+
+    // bigram-LM fluency: the corpus is the LM, P(w2|w1)=cb/cw in exact
+    // BIGINT→DOUBLE rationals; the per-doc mean reduces value-sorted
+    // probabilities left-to-right (list_reduce ∘ list_sort == Spark
+    // aggregate ∘ sort_array), the x32 accumulation discipline
+    "x42_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+         bg AS (SELECT doc_id, tk[x.i] AS w1, tk[x.i + 1] AS w2
+                FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
+                WHERE len(tk) >= 2),
+         cbi AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+         p AS (SELECT doc_id, CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE) AS p
+               FROM bg JOIN cbi USING (w1, w2) JOIN cw USING (w1)),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   list_reduce(list_sort(list(p)), (a, b) -> a + b)
+                     / count(*) AS lm_score
+                 FROM p GROUP BY 1)
+         SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+           coalesce(per.lm_score, 0.0) AS lm_score
+         FROM documents d LEFT JOIN per USING (doc_id)""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

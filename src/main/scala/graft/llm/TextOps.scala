@@ -206,6 +206,44 @@ object TextOps {
           .otherwise(0.0).as("dup_frac"))
   }
 
+  /** bigram-LM fluency score — the distributable, rational-arithmetic
+    * analogue of the CCNet/Gopher LM-perplexity quality cut: the corpus
+    * itself is the language model (P(w2|w1) = c(w1 w2) / c(w1 ·) over
+    * corpus bigram counts), and each document scores the MEAN
+    * conditional probability of its own transitions — high = built
+    * from common word transitions, low = garbled/unnatural text. No
+    * `ln` (the cross-engine libm constraint of [[tfidfTopTerms]]); a
+    * true log-perplexity is the monotone ln wrap, the lnWeights
+    * precedent.
+    *
+    * Exactness: the per-doc mean reduces VALUE-SORTED probabilities
+    * left-to-right (the [[graft.llm.Similarity.kmeans]] discipline) —
+    * per-group memory is O(doc tokens), bounded by document length,
+    * never corpus-sized. Shuffles: two bigram-keyed count aggs + the
+    * doc-keyed mean — linear end-to-end.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("pos"), col("tk"))
+      .select(col("doc_id"), element_at(col("tk"), col("pos")).as("w1"),
+        element_at(col("tk"), col("pos") + 1).as("w2"))
+    val cBi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cW1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val p = bg.join(cBi, Seq("w1", "w2")).join(cW1, Seq("w1"))
+      .select(col("doc_id"),
+        (col("cb").cast("double") / col("cw").cast("double")).as("p"))
+    val perDoc = p.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("lm_score"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
   /** TF-IDF-style top terms per document: tf × rarity, ranked per doc.
     *
     * Two weight routes (r7 verdict task 4):

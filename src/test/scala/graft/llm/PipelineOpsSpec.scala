@@ -239,6 +239,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r0.getAs[Long]("longest_dup_run") == 1L)
   }
 
+  test("bigramLmScore: repeated transitions score high, garbled text low") {
+    // corpus bigram counts: "a b" appears 3x (docs 0+1), c(a ·)=3, so
+    // every "a b" transition has P=1.0; doc 2's transitions are all
+    // unique among FIRST-word groups shared with nobody → each P is
+    // 1/c(w1 ·) over its own occurrences only = 1.0 too... so make doc
+    // 2 share first words with different continuations: "a x" vs "a b"
+    val df = docsDf(Seq(
+      (0L, "a b a b", "s"), // transitions: (a b)x2, (b a)x1
+      (1L, "a b", "s"), // (a b)x1
+      (2L, "a x", "s"), // (a x): P = 1/c(a ·) = 1/4
+      (3L, "solo", "s"))) // < 2 tokens
+    val res = TextOps.bigramLmScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score")))).toMap
+    // c(a b)=3, c(a x)=1, c(a ·)=4; c(b a)=1, c(b ·)=1
+    assert(res(0L)._1 == 3L)
+    assert(res(0L)._2 == (3.0 / 4 + 3.0 / 4 + 1.0) / 3)
+    assert(res(1L) == ((1L, 3.0 / 4)))
+    assert(res(2L) == ((1L, 1.0 / 4)))
+    assert(res(3L) == ((0L, 0.0)))
+    assert(res(2L)._2 < res(1L)._2, "the rare transition scores lower")
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
