@@ -176,6 +176,27 @@ class PipelineOpsSpec extends SparkSpec {
       "the 2k default never splits the fixture")
   }
 
+  test("capped semDedup keeps a superset of the uncapped keeps") {
+    // dropping cross-shard pairs can only LOWER each vector's n_close,
+    // so keep (n_close == 0) is monotone in the cap: anything kept
+    // uncapped stays kept under any cap — the recall trade loses drops,
+    // never keeps
+    val rnd = new scala.util.Random(19)
+    val df = embDf((0L until 40L).map(i =>
+      i -> Seq.fill(4)(rnd.nextFloat() - 0.3f)))
+    def run(cap: Int) = Similarity.semDedup(df, initIds = Seq(0L, 1L, 2L),
+        tau = 0.8, maxCluster = cap).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_close"), r.getAs[Boolean]("keep")))).toMap
+    val uncapped = run(Dedup.MaxBucket)
+    val capped = run(3)
+    assert(uncapped.keySet == capped.keySet)
+    uncapped.foreach { case (id, (n, keep)) =>
+      assert(capped(id)._1 <= n, s"vec $id: capped n_close must not grow")
+      if (keep) assert(capped(id)._2, s"vec $id: uncapped keep must survive")
+    }
+  }
+
   test("oversizedVecBuckets surfaces the degenerate LSH bucket") {
     val v = Seq(0.6f, -0.2f, 0.7f, 0.1f)
     val df = embDf((0L until 600L).map(_ -> v))
