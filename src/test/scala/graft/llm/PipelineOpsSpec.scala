@@ -247,6 +247,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res(3L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("dupSpans: an exact copy makes every window duplicated, frac 1.0") {
+    val t = "one two three four five six"
+    val df = docsDf(Seq((0L, t, "s"), (1L, t, "s")))
+    TextOps.dupSpans(df, k = 3).collect().foreach { r =>
+      assert(r.getAs[Long]("n_windows") == 4L)
+      assert(r.getAs[Long]("n_dup_windows") == 4L)
+      assert(r.getAs[Long]("longest_dup_run") == 4L)
+      assert(r.getAs[Double]("dup_frac") == 1.0)
+    }
+  }
+
   test("dupSpans separates two disjoint duplicated runs in one doc") {
     // doc 0 shares "m n o" with doc 1 AND "x y z" with doc 2, with a
     // unique gap between: two islands of 1 window each, longest run 1
