@@ -21,6 +21,11 @@ object MetaQueries extends QueryPack {
   private val F = graft.meta.FixtureCatalog.DefaultDir
   private val A = Model.AsOfMs
   private val cat = graft.meta.FixtureCatalog.default
+  // S1/S2 client path: same population served through the Iceberg REST
+  // wire format (RestWire parse of LoadTableResponse et al.), so m23/m24
+  // drive the full catalog-connect path minus transport through the
+  // same DuckDB oracles as their parquet-fixture twins.
+  private val restCat = RestPayloadCatalog.default
   private val key = Seq("catalog", "namespace", "name")
 
   // time-travel pin: 3 days before asOf
@@ -154,6 +159,25 @@ object MetaQueries extends QueryPack {
         Transforms.dayT(col("ts")).as("ts_day"),
         Transforms.hourT(col("ts")).as("ts_hour"),
         Transforms.voidT.as("ts_void"))
+    }),
+
+    // S1/S2 — REST catalog connect: listing + classification derived by
+    // the load-probe semantics over parsed wire payloads
+    "m23_rest_listing" -> ((s, _) => {
+      restCat.listing(s)
+        .withColumn("full_name",
+          Normalize.fullName(col("namespace"), col("table_name")))
+        .withColumn("is_iceberg", col("table_type") === "iceberg")
+    }),
+
+    // S6/S7 through the wire format: LoadTableResponse JSON → normalized
+    // snapshot facts, identical to the parquet-fixture path
+    "m24_rest_snapshots" -> ((s, _) => {
+      restCat.snapshots(s).select(
+        col("catalog"), col("namespace"), col("name"), col("snapshot_id"),
+        col("ts"), col("op"), col("records_added"), col("size_change"),
+        coalesce(col("added_files"), lit(0L)).as("added_files_n"),
+        coalesce(col("total_size_bytes"), lit(0.0)).as("total_size_b"))
     })
   )
 
@@ -307,24 +331,36 @@ object MetaQueries extends QueryPack {
         (SELECT count(*) FROM read_parquet('$F/catalog_listing.parquet/*.parquet')
          WHERE contains(lower(table_name), '$q')) AS n_tables"""
 
-  override val oracles: Map[String, String] = Map(
-    "m01_list_tables" ->
-      s"""SELECT *, namespace || '.' || table_name AS full_name,
-          table_type = 'iceberg' AS is_iceberg
-          FROM read_parquet('$F/catalog_listing.parquet/*.parquet')""",
+  /** shared by m01 (parquet fixtures) and m23 (REST wire format) — the
+    * two client paths must serve the SAME catalog
+    */
+  private val ListingSql =
+    s"""SELECT *, namespace || '.' || table_name AS full_name,
+        table_type = 'iceberg' AS is_iceberg
+        FROM read_parquet('$F/catalog_listing.parquet/*.parquet')"""
 
-    "m02_snapshot_normalize" ->
-      s"""WITH $S_CTE
-          SELECT catalog, namespace, name, snapshot_id, epoch_ms(ts_ms) AS ts,
-            op, coalesce(summary['added-records'][1], '0') AS records_added,
-            CASE WHEN len(summary['added-files-size'])>0 AND len(summary['removed-files-size'])>0
-                 THEN '+' || summary['added-files-size'][1] || ' -' || summary['removed-files-size'][1]
-                 WHEN len(summary['added-files-size'])>0
-                 THEN '+' || summary['added-files-size'][1]
-                 ELSE 'N/A' END AS size_change,
-            coalesce(added_files, 0) AS added_files_n,
-            coalesce(total_size_bytes, 0.0) AS total_size_b
-          FROM s""",
+  /** shared by m02 and m24 for the same reason */
+  private val SnapNormSql =
+    s"""WITH $S_CTE
+        SELECT catalog, namespace, name, snapshot_id, epoch_ms(ts_ms) AS ts,
+          op, coalesce(summary['added-records'][1], '0') AS records_added,
+          CASE WHEN len(summary['added-files-size'])>0 AND len(summary['removed-files-size'])>0
+               THEN '+' || summary['added-files-size'][1] || ' -' || summary['removed-files-size'][1]
+               WHEN len(summary['added-files-size'])>0
+               THEN '+' || summary['added-files-size'][1]
+               ELSE 'N/A' END AS size_change,
+          coalesce(added_files, 0) AS added_files_n,
+          coalesce(total_size_bytes, 0.0) AS total_size_b
+        FROM s"""
+
+  override val oracles: Map[String, String] = Map(
+    "m01_list_tables" -> ListingSql,
+
+    "m02_snapshot_normalize" -> SnapNormSql,
+
+    "m23_rest_listing" -> ListingSql,
+
+    "m24_rest_snapshots" -> SnapNormSql,
 
     "m03_snapshot_filters" -> {
       val lo = MetaOps.dayMs(filterParams.dateStart.get, endOfDay = false).get
