@@ -1,60 +1,59 @@
 package graft.meta
 
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.{Files, Paths}
+import java.time.Duration
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import Model._
 
-/** [[MetaCatalog]] over Iceberg REST API response payloads on disk
-  * (S1/S2): the full client path MINUS transport. Directory layout (one
-  * file per endpoint response):
+/** The Iceberg REST catalog CLIENT (S1/S2): everything above the
+  * transport. Subclasses supply the three endpoint reads —
   *
-  * {{{
-  *   <dir>/catalogs.json                  // the connection registry (S3/S8)
-  *   <dir>/<catalog>/namespaces.json      // GET /v1/namespaces
-  *   <dir>/<catalog>/tables/<ns>.json     // GET /v1/namespaces/{ns}/tables
-  *   <dir>/<catalog>/load/<ns>.<t>.json   // GET .../tables/{t} (LoadTableResponse)
-  * }}}
+  *   - `GET /v1/{prefix}/namespaces`
+  *   - `GET /v1/{prefix}/namespaces/{ns}/tables`
+  *   - `GET /v1/{prefix}/namespaces/{ns}/tables/{t}` (LoadTableResponse)
   *
-  * Classification runs the reference's PROBE semantics
-  * (`src/catalog.rs:342-375`): an identifier listed by the tables
-  * endpoint whose load request has no metadata — here, no response
-  * file — classifies "unknown"; a loadable one is "iceberg". A live
-  * deployment replaces [[payload]] with an HTTP GET (+ auth header from
-  * the registry config) — every byte after the transport is exercised
-  * here, wire format included ([[RestWire]]), and m23/m24 drive it
-  * through the DuckDB oracle gate against the parquet-fixture catalog.
+  * — as `Option[String]` response bodies (`None` = 404). Wire-format
+  * parse ([[RestWire]]), the reference's PROBE classification
+  * (`src/catalog.rs:342-375`: an identifier whose load request finds no
+  * metadata classifies "unknown"; a loadable one "iceberg"), and the
+  * [[MetaCatalog]] surface all live here, so the file-backed and live
+  * HTTP transports serve byte-identical frames.
+  *
+  * Parsing runs DRIVER-SIDE (catalog metadata is KB-sized, mirroring the
+  * reference's in-memory client structs, `src/iceberg_adapter.rs:11-65`);
+  * the parse is memoized per instance like the reference's catalog cache.
   */
-class RestPayloadCatalog(dir: String) extends MetaCatalog {
+abstract class RestClientCatalog extends MetaCatalog {
 
-  /** the transport seam: response body for a path under `dir` */
-  protected def payload(rel: String): Option[String] = {
-    val p = Paths.get(dir, rel)
-    if (Files.exists(p)) Some(Files.readString(p)) else None
-  }
+  /** the connection registry this client serves (reference `AppConfig`) */
+  protected def registry: Seq[ConfigFx]
+
+  // ---- the transport seam: one method per REST endpoint ----------------
+  protected def namespacesDoc(cfg: ConfigFx): Option[String]
+  protected def tablesDoc(cfg: ConfigFx, ns: String): Option[String]
+  protected def loadTableDoc(cfg: ConfigFx, ns: String, t: String): Option[String]
 
   private case class Parsed(
       listing: Seq[ListingFx], meta: Seq[TableMetaFx],
       schemas: Seq[SchemaFx], specs: Seq[SpecFx], snaps: Seq[SnapshotFx],
       configs: Seq[ConfigFx])
 
-  /** one driver-side parse of every response payload (KB-sized, like
-    * the reference's in-memory catalog objects), memoized per instance
-    */
   private lazy val parsed: Parsed = {
-    val cfgJson = payload("catalogs.json").getOrElse("""{"catalogs":[]}""")
-    val configs = RestWire.parseCatalogs(cfgJson)
+    val configs = registry
     val acc = configs.map { cfg =>
       val cat = cfg.name
-      val nss = payload(s"$cat/namespaces.json")
+      val nss = namespacesDoc(cfg)
         .map(RestWire.parseNamespaces).getOrElse(Seq.empty)
       val idents = nss.flatMap { ns =>
-        payload(s"$cat/tables/$ns.json")
+        tablesDoc(cfg, ns)
           .map(RestWire.parseTableIdents).getOrElse(Seq.empty)
       }
       val loaded = idents.flatMap { case (ns, t) =>
-        payload(s"$cat/load/$ns.$t.json")
+        loadTableDoc(cfg, ns, t)
           .map(j => (ns, t) -> RestWire.parseLoadTable(cat, ns, t, j))
       }.toMap
       val listing = idents.map { case (ns, t) =>
@@ -87,9 +86,93 @@ class RestPayloadCatalog(dir: String) extends MetaCatalog {
     ds(spark, parsed.configs)
 }
 
+/** [[RestClientCatalog]] over response payloads on disk — the wire
+  * format without a server. Directory layout (one file per endpoint
+  * response):
+  *
+  * {{{
+  *   <dir>/catalogs.json                  // the connection registry (S3/S8)
+  *   <dir>/<catalog>/namespaces.json      // GET /v1/namespaces
+  *   <dir>/<catalog>/tables/<ns>.json     // GET /v1/namespaces/{ns}/tables
+  *   <dir>/<catalog>/load/<ns>.<t>.json   // GET .../tables/{t} (LoadTableResponse)
+  * }}}
+  *
+  * m23/m24 drive this path through the DuckDB oracle gate against the
+  * parquet-fixture catalog; an absent load file reproduces the
+  * 404-probe "unknown" classification.
+  */
+class RestPayloadCatalog(dir: String) extends RestClientCatalog {
+
+  protected def payload(rel: String): Option[String] = {
+    val p = Paths.get(dir, rel)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  override protected lazy val registry: Seq[ConfigFx] =
+    RestWire.parseCatalogs(
+      payload("catalogs.json").getOrElse("""{"catalogs":[]}"""))
+
+  override protected def namespacesDoc(cfg: ConfigFx): Option[String] =
+    payload(s"${cfg.name}/namespaces.json")
+  override protected def tablesDoc(cfg: ConfigFx, ns: String): Option[String] =
+    payload(s"${cfg.name}/tables/$ns.json")
+  override protected def loadTableDoc(cfg: ConfigFx, ns: String,
+      t: String): Option[String] =
+    payload(s"${cfg.name}/load/$ns.$t.json")
+}
+
 object RestPayloadCatalog {
   val DefaultDir = "/root/repo/fixtures/rest"
   def default: RestPayloadCatalog = new RestPayloadCatalog(DefaultDir)
+}
+
+/** LIVE S1: [[RestClientCatalog]] over real HTTP (`java.net.http`,
+  * JDK-native — no added dependency). Each `rest`-typed registry entry
+  * is served from its configured `uri` with `Authorization: Bearer
+  * <auth_token>` when the config carries a token; a 404 load response
+  * classifies the identifier "unknown" (the probe), any other non-200
+  * fails fast with the status in the message. Non-`rest` entries (Glue)
+  * contribute nothing here — that transport needs the AWS SDK, which
+  * stays the one documented seam (SURVEY §0, offline build).
+  *
+  * Spec-true simplifications: the `/v1/{prefix}` path prefix is empty
+  * (a server without a `prefix` in its `/v1/config` response), and
+  * namespace identifiers are single-level, so no `%1F` multipart
+  * encoding is needed. RestHttpCatalogSpec drives this client against a
+  * real localhost HTTP server serving the golden wire payloads —
+  * auth header, 404 probe, and error path included.
+  */
+class RestHttpCatalog(override protected val registry: Seq[ConfigFx])
+    extends RestClientCatalog {
+
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  private def get(cfg: ConfigFx, path: String): Option[String] = {
+    val base = cfg.config.getOrElse("uri",
+      sys.error(s"catalog ${cfg.name}: no uri in registry config"))
+    val b = HttpRequest.newBuilder(URI.create(base.stripSuffix("/") + path))
+      .timeout(Duration.ofSeconds(30)).GET()
+    cfg.config.get("auth_token")
+      .foreach(t => b.header("Authorization", s"Bearer $t"))
+    val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    r.statusCode() match {
+      case 200 => Some(r.body())
+      case 404 => None
+      case code => sys.error(s"GET $base$path -> HTTP $code")
+    }
+  }
+
+  private def rest(cfg: ConfigFx)(req: => Option[String]): Option[String] =
+    if (cfg.catalog_type == "rest") req else None
+
+  override protected def namespacesDoc(cfg: ConfigFx): Option[String] =
+    rest(cfg)(get(cfg, "/v1/namespaces"))
+  override protected def tablesDoc(cfg: ConfigFx, ns: String): Option[String] =
+    rest(cfg)(get(cfg, s"/v1/namespaces/$ns/tables"))
+  override protected def loadTableDoc(cfg: ConfigFx, ns: String,
+      t: String): Option[String] =
+    rest(cfg)(get(cfg, s"/v1/namespaces/$ns/tables/$t"))
 }
 
 /** Renders the golden fixture population ([[FixtureGen]]) as Iceberg
