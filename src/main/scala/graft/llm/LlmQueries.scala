@@ -93,7 +93,8 @@ object LlmQueries extends QueryPack {
     "x40_kmeans_scale" -> ((s, dir) =>
       Similarity.kmeansAtScale(embs(s, dir), CentroidIds, maxIters = 2)),
     "x41_dup_spans" -> ((s, dir) => TextOps.dupSpans(docs(s, dir))),
-    "x42_bigram_lm" -> ((s, dir) => TextOps.bigramLmScore(docs(s, dir)))
+    "x42_bigram_lm" -> ((s, dir) => TextOps.bigramLmScore(docs(s, dir))),
+    "x43_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -516,6 +517,46 @@ object LlmQueries extends QueryPack {
          SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
            coalesce(per.lm_score, 0.0) AS lm_score
          FROM documents d LEFT JOIN per USING (doc_id)""",
+
+    // DSIR hashed n-gram importance weights: add-one-smoothed bucket
+    // likelihood ratios in fixed-order double arithmetic, per-doc
+    // value-sorted mean (the x42 fold discipline); geometry constants
+    // interpolated from TextOps so the sides can't drift
+    "x43_dsir_weights" -> {
+      val B = TextOps.DsirBuckets
+      val M = TextOps.DsirTargetMod
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+          uni AS (SELECT doc_id, unnest(tk) AS gram FROM tk),
+          bi AS (SELECT doc_id, tk[x.i] || ' ' || tk[x.i + 1] AS gram
+                 FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
+                 WHERE len(tk) >= 2),
+          g AS (SELECT doc_id,
+                  (('0x' || substr(md5(gram), 1, 8))::BIGINT) % $B AS bucket,
+                  doc_id % $M = 0 AS is_target
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+          pb AS (SELECT bucket,
+                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS cq
+                 FROM g GROUP BY 1),
+          tot AS (SELECT CAST(sum(ct) AS BIGINT) AS st,
+                    CAST(sum(cq) AS BIGINT) AS sq
+                  FROM pb),
+          r AS (SELECT bucket,
+                  ((CAST(ct AS DOUBLE) + 1.0) * (CAST(sq AS DOUBLE) + $B.0)) /
+                  ((CAST(cq AS DOUBLE) + 1.0) * (CAST(st AS DOUBLE) + $B.0)) AS r
+                FROM pb, tot),
+          bdb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+                  FROM g WHERE NOT is_target GROUP BY 1, 2),
+          per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                    list_reduce(list_sort(list(CAST(c AS DOUBLE) * r)),
+                        (a, b) -> a + b)
+                      / CAST(sum(c) AS DOUBLE) AS dsir_score
+                  FROM bdb JOIN r USING (bucket) GROUP BY 1)
+          SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+            coalesce(per.dsir_score, 0.0) AS dsir_score
+          FROM documents d LEFT JOIN per USING (doc_id)
+          WHERE d.doc_id % $M <> 0""" },
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

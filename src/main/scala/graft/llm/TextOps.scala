@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** [[dsirWeights]] geometry — interpolated into the x43 oracle SQL so
+    * the two sides can't desynchronize (the x37 discipline)
+    */
+  val DsirBuckets = 1024
+  val DsirTargetMod = 10L
+
   /** whitespace tokens, one row per (doc_id, pos, tok); the canonical
     * exploded form used by dedup/lang-id. At scale this is a generate
     * (no shuffle) — downstream aggs shuffle on doc_id only.
@@ -242,6 +248,95 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw-corpus document by how target-domain-like its
+    * hashed n-gram feature distribution is, for importance resampling
+    * of pretraining data toward a target domain.
+    *
+    * Features are word unigrams AND bigrams hashed into [[DsirBuckets]]
+    * buckets (the paper's hashed n-gram generative model; md5-prefix
+    * bucket per the engine-wide convention). The bucket distributions
+    * fit on the target slice (the deterministic `doc_id % targetMod ==
+    * 0` stand-in, the [[decontaminate]] convention) and the raw rest,
+    * with add-one smoothing, so each bucket's likelihood ratio
+    *
+    *   r[k] = (ct[k]+1)·(Sq+B) / ((cq[k]+1)·(St+B))
+    *
+    * is two fixed-order double products and one division — IEEE-exact
+    * in both engines at any corpus size (no BIGINT overflow at 100 TB
+    * gram counts, unlike an integer cross-product).
+    *
+    * Two scoring routes (the [[tfidfTopTerms]] convention):
+    *   - `lnWeights = false` (the BIT-EXACT GATE route, x43): per-doc
+    *     score = mean of its grams' bucket ratios, folded as
+    *     VALUE-SORTED `count(doc, k) × r[k]` terms — the
+    *     [[bigramLmScore]] sorted-fold discipline (deterministic
+    *     left-to-right double accumulation, libm-free; equal terms make
+    *     tie order irrelevant under IEEE addition);
+    *   - `lnWeights = true` (the PRODUCTION route): the paper's
+    *     log-importance-weight Σ count·ln r[k] over the doc's grams
+    *     (same sorted fold over the ln terms; tolerance-spec'd).
+    *
+    * Scale shape: two gram generates (one per fit/score side — the
+    * [[decontaminate]] recompute trade), one bucket-keyed count agg
+    * (B = [[DsirBuckets]] groups — map-side combined to almost
+    * nothing) whose B-row output re-aggregates into the totals, a
+    * broadcast of the B-row ratio table, and one doc-keyed agg over
+    * (doc, bucket) COUNTS — per-group state is O(distinct buckets per
+    * doc) ≤ min(doc grams, B), bounded regardless of document length.
+    * The only corpus-sized shuffle keys are (doc_id, bucket) and
+    * doc_id — linear end-to-end.
+    */
+  def dsirWeights(docs: DataFrame, buckets: Int = DsirBuckets,
+      targetMod: Long = DsirTargetMod,
+      lnWeights: Boolean = false): DataFrame = {
+    val tk = col("tk")
+    val biArr = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = base.select(col("doc_id"), explode(tk).as("gram"))
+      .unionByName(base.select(col("doc_id"), explode(biArr).as("gram")))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"),
+        (col("doc_id") % targetMod === 0).as("is_target"))
+    val perBucket = grams.groupBy(col("bucket")).agg(
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
+      sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cq"))
+    // totals re-aggregate the B-row bucket table — integer-exact, and
+    // one fewer corpus-sized pass than a separate grams scan
+    val totals = perBucket.agg(
+      sum(col("ct")).as("st"), sum(col("cq")).as("sq"))
+    val b = lit(buckets.toDouble)
+    val ratio =
+      ((col("ct").cast("double") + lit(1.0)) *
+        (col("sq").cast("double") + b)) /
+      ((col("cq").cast("double") + lit(1.0)) *
+        (col("st").cast("double") + b))
+    val rates = perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"), ratio.as("r"))
+    val byDocBucket = grams.filter(!col("is_target"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val term = col("c").cast("double") *
+      (if (lnWeights) log(col("r")) else col("r"))
+    val fold = aggregate(sort_array(collect_list(col("v"))), lit(0.0),
+      (acc, x) => acc + x)
+    val score = if (lnWeights) fold
+      else fold / sum(col("c")).cast("double")
+    val perDoc = byDocBucket.join(broadcast(rates), Seq("bucket"))
+      .select(col("doc_id"), col("c"), term.as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), score.as("dsir_score"))
+    docs.filter(col("doc_id") % targetMod =!= 0).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
   }
 
   /** TF-IDF-style top terms per document: tf × rarity, ranked per doc.

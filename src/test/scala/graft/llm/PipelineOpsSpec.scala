@@ -294,6 +294,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res(2L)._2 < res(1L)._2, "the rare transition scores lower")
   }
 
+  private val dsirCorpus = docsDf(Seq(
+    // target slice (doc_id % 10 == 0): the "alpha beta" domain
+    (0L, "alpha beta alpha beta alpha", "s"),
+    (10L, "alpha beta alpha beta", "s"),
+    (20L, "beta alpha beta alpha", "s"),
+    // raw docs: 1 and 3 target-like, 2 fully off-domain
+    (1L, "alpha beta alpha", "s"),
+    (2L, "gamma delta epsilon zeta", "s"),
+    (3L, "alpha beta", "s")))
+
+  test("dsirWeights: target-like raw docs outscore the off-domain one") {
+    val res = TextOps.dsirWeights(dsirCorpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("dsir_score")))).toMap
+    // the target slice never appears in the output
+    assert(res.keySet == Set(1L, 2L, 3L))
+    // n_grams = unigrams + bigrams
+    assert(res(1L)._1 == 5L) // 3 + 2
+    assert(res(2L)._1 == 7L) // 4 + 3
+    assert(res(3L)._1 == 3L) // 2 + 1
+    // grams shared with the target push the likelihood ratio above the
+    // never-in-target buckets' sub-1 smoothed ratio
+    assert(res(1L)._2 > res(2L)._2)
+    assert(res(3L)._2 > res(2L)._2)
+  }
+
+  test("dsirWeights ln route: the paper's log-weight keeps the ordering") {
+    val res = TextOps.dsirWeights(dsirCorpus, lnWeights = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score"))
+      .toMap
+    assert(res(1L) > res(2L) && res(3L) > res(2L))
+    // every gram of doc 2 has ct = 0 -> ratio < 1 -> each ln term < 0
+    assert(res(2L) < 0.0)
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
