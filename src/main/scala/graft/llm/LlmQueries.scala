@@ -546,13 +546,11 @@ object LlmQueries extends QueryPack {
                   ((CAST(ct AS DOUBLE) + 1.0) * (CAST(sq AS DOUBLE) + $B.0)) /
                   ((CAST(cq AS DOUBLE) + 1.0) * (CAST(st AS DOUBLE) + $B.0)) AS r
                 FROM pb, tot),
-          bdb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
-                  FROM g WHERE NOT is_target GROUP BY 1, 2),
-          per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-                    list_reduce(list_sort(list(CAST(c AS DOUBLE) * r)),
-                        (a, b) -> a + b)
-                      / CAST(sum(c) AS DOUBLE) AS dsir_score
-                  FROM bdb JOIN r USING (bucket) GROUP BY 1)
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                    list_reduce(list_sort(list(r)), (a, b) -> a + b)
+                      / count(*) AS dsir_score
+                  FROM g JOIN r USING (bucket)
+                  WHERE NOT is_target GROUP BY 1)
           SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
             coalesce(per.dsir_score, 0.0) AS dsir_score
           FROM documents d LEFT JOIN per USING (doc_id)

@@ -271,24 +271,25 @@ object TextOps {
     *
     * Two scoring routes (the [[tfidfTopTerms]] convention):
     *   - `lnWeights = false` (the BIT-EXACT GATE route, x43): per-doc
-    *     score = mean of its grams' bucket ratios, folded as
-    *     VALUE-SORTED `count(doc, k) × r[k]` terms — the
+    *     score = VALUE-SORTED mean of its grams' bucket ratios — the
     *     [[bigramLmScore]] sorted-fold discipline (deterministic
     *     left-to-right double accumulation, libm-free; equal terms make
     *     tie order irrelevant under IEEE addition);
     *   - `lnWeights = true` (the PRODUCTION route): the paper's
-    *     log-importance-weight Σ count·ln r[k] over the doc's grams
-    *     (same sorted fold over the ln terms; tolerance-spec'd).
+    *     log-importance-weight Σ ln r[k] over the doc's grams (same
+    *     sorted fold over the ln terms; tolerance-spec'd).
     *
-    * Scale shape: two gram generates (one per fit/score side — the
-    * [[decontaminate]] recompute trade), one bucket-keyed count agg
-    * (B = [[DsirBuckets]] groups — map-side combined to almost
-    * nothing) whose B-row output re-aggregates into the totals, a
-    * broadcast of the B-row ratio table, and one doc-keyed agg over
-    * (doc, bucket) COUNTS — per-group state is O(distinct buckets per
-    * doc) ≤ min(doc grams, B), bounded regardless of document length.
-    * The only corpus-sized shuffle keys are (doc_id, bucket) and
-    * doc_id — linear end-to-end.
+    * Scale shape — fit collects, score streams (the
+    * [[graft.llm.Similarity]] centroid discipline): the FIT pass is one
+    * gram generate + a bucket-keyed count agg that collapses map-side
+    * to B = [[DsirBuckets]] rows, whose totals re-aggregate those same
+    * B rows; the B-double ratio table then collects to the driver
+    * (KB-sized at any corpus size, like k-means centroids) and
+    * constant-folds into a literal lookup array. The SCORE pass is one
+    * shuffle-free, join-free codegen projection over the raw slice —
+    * gram array, bucket indexes, and the sorted fold all in-row, state
+    * bounded by document length. Total: one corpus-sized shuffle
+    * (map-combined to ≤ B rows per task) + one scan.
     */
   def dsirWeights(docs: DataFrame, buckets: Int = DsirBuckets,
       targetMod: Long = DsirTargetMod,
@@ -298,45 +299,45 @@ object TextOps {
       transform(sequence(lit(1), size(tk) - 1), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val grams = base.select(col("doc_id"), explode(tk).as("gram"))
-      .unionByName(base.select(col("doc_id"), explode(biArr).as("gram")))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bucket"),
-        (col("doc_id") % targetMod === 0).as("is_target"))
+    def bucketOf(g: Column): Column =
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    // ---- fit: corpus -> B-row counts -> driver-side ratio array ------
+    // one scan + one generate: unigrams and bigrams concat in-row
+    val grams = docs
+      .select((col("doc_id") % targetMod === 0).as("is_target"),
+        split(col("text"), " ").as("tk"))
+      .select(col("is_target"), explode(concat(tk, biArr)).as("gram"))
+      .select(bucketOf(col("gram")).as("bucket"), col("is_target"))
     val perBucket = grams.groupBy(col("bucket")).agg(
       sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
       sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cq"))
-    // totals re-aggregate the B-row bucket table — integer-exact, and
-    // one fewer corpus-sized pass than a separate grams scan
-    val totals = perBucket.agg(
-      sum(col("ct")).as("st"), sum(col("cq")).as("sq"))
-    val b = lit(buckets.toDouble)
-    val ratio =
-      ((col("ct").cast("double") + lit(1.0)) *
-        (col("sq").cast("double") + b)) /
-      ((col("cq").cast("double") + lit(1.0)) *
-        (col("st").cast("double") + b))
-    val rates = perBucket.crossJoin(broadcast(totals))
-      .select(col("bucket"), ratio.as("r"))
-    val byDocBucket = grams.filter(!col("is_target"))
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
-    val term = col("c").cast("double") *
-      (if (lnWeights) log(col("r")) else col("r"))
-    val fold = aggregate(sort_array(collect_list(col("v"))), lit(0.0),
-      (acc, x) => acc + x)
-    val score = if (lnWeights) fold
-      else fold / sum(col("c")).cast("double")
-    val perDoc = byDocBucket.join(broadcast(rates), Seq("bucket"))
-      .select(col("doc_id"), col("c"), term.as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_grams"), score.as("dsir_score"))
-    docs.filter(col("doc_id") % targetMod =!= 0).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // totals from the B-row counts — integer-exact, no second corpus pass
+    val st = perBucket.valuesIterator.map(_._1).sum
+    val sq = perBucket.valuesIterator.map(_._2).sum
+    val bD = buckets.toDouble
+    val rArr = Array.tabulate(buckets) { k =>
+      val (ct, cq) = perBucket.getOrElse(k, (0L, 0L))
+      ((ct.toDouble + 1.0) * (sq.toDouble + bD)) /
+        ((cq.toDouble + 1.0) * (st.toDouble + bD))
+    }
+    // constant-folds into one array literal — a KB-sized broadcast-free
+    // lookup table inside whole-stage codegen
+    val rLit = array(rArr.map(x => lit(if (lnWeights) math.log(x) else x))
+      .toSeq: _*)
+    // ---- score: one in-row projection over the raw slice -------------
+    val gramArr = concat(tk, biArr)
+    val terms = transform(gramArr,
+      g => element_at(rLit, bucketOf(g).cast("int") + 1))
+    val fold = aggregate(sort_array(terms), lit(0.0), (acc, x) => acc + x)
+    docs.filter(col("doc_id") % targetMod =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+        size(gramArr).cast("long").as("n_grams"),
+        (if (lnWeights) fold
+         else fold / size(gramArr).cast("double")).as("dsir_score"))
   }
 
   /** TF-IDF-style top terms per document: tf × rarity, ranked per doc.
