@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimI8(children.head, children(1))
       }))
     ext.injectFunction(IcebergHash.info)
+    ext.injectFunction(ZOrder2.info)
   }
 }

@@ -515,6 +515,17 @@ object RelQueries extends QueryPack {
           count(lit(1)).as("n_events"),
           sum($"value".cast("decimal(18,2)")).cast("double")
             .as("total_value"))
+    }),
+
+    // the multi-dimensional clustering code behind Sinks.writeZOrdered:
+    // the native zorder2 expression interleaves (user_id, epoch-second)
+    // into the 62-bit Morton code files get range-sorted by. The oracle
+    // recomputes it bit-by-bit (an INDEPENDENT sum-over-bit-positions
+    // formulation of the same code, the m21 discipline).
+    "q32_zorder" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").select($"event_id",
+        call_function("zorder2", $"user_id", $"ts".cast("long")).as("zval"))
     })
   )
 
@@ -802,6 +813,21 @@ object RelQueries extends QueryPack {
          SELECT user_id, session_seq, min(ts) AS session_start,
            max(ts) AS session_end, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM g GROUP BY 1, 2"""
+         FROM g GROUP BY 1, 2""",
+
+    // Morton code by explicit bit-position sum — independent of the
+    // engine's magic-number spreading; 31 bits per column keeps every
+    // shift below the sign bit in both engines
+    "q32_zorder" ->
+      """WITH e AS (SELECT event_id, user_id & 2147483647 AS ua,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        & 2147483647 AS ub
+                    FROM events),
+         bits AS (SELECT CAST(x.i AS BIGINT) AS i
+                  FROM unnest(generate_series(0, 30)) AS x(i))
+         SELECT event_id,
+           CAST(sum((((ua >> i) & 1) << (2 * i))
+                  + (((ub >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zval
+         FROM e, bits GROUP BY 1"""
   )
 }
