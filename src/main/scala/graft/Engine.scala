@@ -141,6 +141,12 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Dedup.fuzzyDecontam(docs, evalMod)
   def heavyHitterAudit(docs: DataFrame, phiDen: Long = 100L): DataFrame =
     graft.llm.Sketches.cmsHeavyHitters(docs, phiDen)
+  def dsirImportanceWeights(docs: DataFrame,
+      lnWeights: Boolean = false): DataFrame =
+    graft.llm.TextOps.dsirWeights(docs, lnWeights = lnWeights)
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      path: String, nFiles: Int): Unit =
+    graft.sources.Sinks.writeZOrdered(df, colA, colB, path, nFiles)
 
   // ---- streaming (T3-T7) ---------------------------------------------
   def streamingTumblingCounts(eventsDir: String): DataFrame =
@@ -161,4 +167,15 @@ object Engine {
   /** engine over the golden fixtures (the offline catalog) */
   def fixture(spark: SparkSession): Engine =
     new Engine(spark, graft.meta.FixtureCatalog.default)
+
+  /** engine over on-disk Iceberg REST payloads (S1 client, no server) */
+  def restPayload(spark: SparkSession, dir: String): Engine =
+    new Engine(spark, new graft.meta.RestPayloadCatalog(dir))
+
+  /** engine over LIVE Iceberg REST catalogs — one HTTP-backed
+    * connection per `rest`-typed registry entry (S1 end-to-end)
+    */
+  def restHttp(spark: SparkSession,
+      registry: Seq[graft.meta.Model.ConfigFx]): Engine =
+    new Engine(spark, new graft.meta.RestHttpCatalog(registry))
 }
