@@ -157,6 +157,48 @@ object LlmQueries extends QueryPack {
            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)"""
   }
 
+  /** the DSIR oracle (mirror of [[TextOps.dsirWeights]]): add-one-
+    * smoothed bucket likelihood ratios in fixed-order double
+    * arithmetic, per-doc value-sorted mean — the x42 fold discipline.
+    * Geometry constants interpolate from TextOps so the two sides
+    * can't drift. Shared by x43 (batch) and st10 (batch-fit,
+    * stream-score over the same bounded input → identical rows).
+    */
+  private[graft] val DsirSql = {
+    val B = TextOps.DsirBuckets
+    val M = TextOps.DsirTargetMod
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents),
+        uni AS (SELECT doc_id, unnest(tk) AS gram FROM tk),
+        bi AS (SELECT doc_id, tk[x.i] || ' ' || tk[x.i + 1] AS gram
+               FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
+               WHERE len(tk) >= 2),
+        g AS (SELECT doc_id,
+                (('0x' || substr(md5(gram), 1, 8))::BIGINT) % $B AS bucket,
+                doc_id % $M = 0 AS is_target
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        pb AS (SELECT bucket,
+                 CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS cq
+               FROM g GROUP BY 1),
+        tot AS (SELECT CAST(sum(ct) AS BIGINT) AS st,
+                  CAST(sum(cq) AS BIGINT) AS sq
+                FROM pb),
+        r AS (SELECT bucket,
+                ((CAST(ct AS DOUBLE) + 1.0) * (CAST(sq AS DOUBLE) + $B.0)) /
+                ((CAST(cq AS DOUBLE) + 1.0) * (CAST(st AS DOUBLE) + $B.0)) AS r
+              FROM pb, tot),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  list_reduce(list_sort(list(r)), (a, b) -> a + b)
+                    / count(*) AS dsir_score
+                FROM g JOIN r USING (bucket)
+                WHERE NOT is_target GROUP BY 1)
+        SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+          coalesce(per.dsir_score, 0.0) AS dsir_score
+        FROM documents d LEFT JOIN per USING (doc_id)
+        WHERE d.doc_id % $M <> 0"""
+  }
+
   /** winnowing fingerprints as a reusable CTE (mirror of
     * [[TextOps.winnowFingerprints]], k=5 w=16): per-digit positional
     * hex→u32 k-gram hashes, windowed running min, valid window starts
@@ -521,40 +563,10 @@ object LlmQueries extends QueryPack {
     // DSIR hashed n-gram importance weights: add-one-smoothed bucket
     // likelihood ratios in fixed-order double arithmetic, per-doc
     // value-sorted mean (the x42 fold discipline); geometry constants
-    // interpolated from TextOps so the sides can't drift
-    "x43_dsir_weights" -> {
-      val B = TextOps.DsirBuckets
-      val M = TextOps.DsirTargetMod
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
-                      FROM documents),
-          uni AS (SELECT doc_id, unnest(tk) AS gram FROM tk),
-          bi AS (SELECT doc_id, tk[x.i] || ' ' || tk[x.i + 1] AS gram
-                 FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
-                 WHERE len(tk) >= 2),
-          g AS (SELECT doc_id,
-                  (('0x' || substr(md5(gram), 1, 8))::BIGINT) % $B AS bucket,
-                  doc_id % $M = 0 AS is_target
-                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-          pb AS (SELECT bucket,
-                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-                   CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT) AS cq
-                 FROM g GROUP BY 1),
-          tot AS (SELECT CAST(sum(ct) AS BIGINT) AS st,
-                    CAST(sum(cq) AS BIGINT) AS sq
-                  FROM pb),
-          r AS (SELECT bucket,
-                  ((CAST(ct AS DOUBLE) + 1.0) * (CAST(sq AS DOUBLE) + $B.0)) /
-                  ((CAST(cq AS DOUBLE) + 1.0) * (CAST(st AS DOUBLE) + $B.0)) AS r
-                FROM pb, tot),
-          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                    list_reduce(list_sort(list(r)), (a, b) -> a + b)
-                      / count(*) AS dsir_score
-                  FROM g JOIN r USING (bucket)
-                  WHERE NOT is_target GROUP BY 1)
-          SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-            coalesce(per.dsir_score, 0.0) AS dsir_score
-          FROM documents d LEFT JOIN per USING (doc_id)
-          WHERE d.doc_id % $M <> 0""" },
+    // interpolated from TextOps so the sides can't drift. Shared with
+    // st10 — the batch-fit/stream-score run over the same bounded input
+    // produces exactly these rows.
+    "x43_dsir_weights" -> DsirSql,
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

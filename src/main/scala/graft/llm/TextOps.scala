@@ -293,22 +293,35 @@ object TextOps {
     */
   def dsirWeights(docs: DataFrame, buckets: Int = DsirBuckets,
       targetMod: Long = DsirTargetMod,
-      lnWeights: Boolean = false): DataFrame = {
-    val tk = col("tk")
-    val biArr = when(size(tk) >= 2,
+      lnWeights: Boolean = false): DataFrame =
+    dsirScore(docs.filter(col("doc_id") % targetMod =!= 0),
+      dsirRatios(docs, buckets, targetMod), buckets, lnWeights)
+
+  private def dsirBiArr(tk: Column): Column =
+    when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
-    def bucketOf(g: Column): Column =
-      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
-        lit(buckets.toLong))
-    // ---- fit: corpus -> B-row counts -> driver-side ratio array ------
-    // one scan + one generate: unigrams and bigrams concat in-row
+
+  private def dsirBucketOf(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** the FIT half of [[dsirWeights]]: corpus → B-row bucket counts →
+    * the add-one-smoothed likelihood-ratio lookup (KB-sized at any
+    * corpus size). One scan + one generate (uni+bi concat in-row,
+    * single explode); totals re-aggregate the collected B rows.
+    */
+  def dsirRatios(docs: DataFrame, buckets: Int = DsirBuckets,
+      targetMod: Long = DsirTargetMod): Array[Double] = {
+    val tk = col("tk")
     val grams = docs
       .select((col("doc_id") % targetMod === 0).as("is_target"),
         split(col("text"), " ").as("tk"))
-      .select(col("is_target"), explode(concat(tk, biArr)).as("gram"))
-      .select(bucketOf(col("gram")).as("bucket"), col("is_target"))
+      .select(col("is_target"),
+        explode(concat(tk, dsirBiArr(tk))).as("gram"))
+      .select(dsirBucketOf(col("gram"), buckets).as("bucket"),
+        col("is_target"))
     val perBucket = grams.groupBy(col("bucket")).agg(
       sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("ct"),
       sum(when(!col("is_target"), lit(1L)).otherwise(lit(0L))).as("cq"))
@@ -318,22 +331,28 @@ object TextOps {
     val st = perBucket.valuesIterator.map(_._1).sum
     val sq = perBucket.valuesIterator.map(_._2).sum
     val bD = buckets.toDouble
-    val rArr = Array.tabulate(buckets) { k =>
+    Array.tabulate(buckets) { k =>
       val (ct, cq) = perBucket.getOrElse(k, (0L, 0L))
       ((ct.toDouble + 1.0) * (sq.toDouble + bD)) /
         ((cq.toDouble + 1.0) * (st.toDouble + bD))
     }
-    // constant-folds into one array literal — a KB-sized broadcast-free
-    // lookup table inside whole-stage codegen
-    val rLit = array(rArr.map(x => lit(if (lnWeights) math.log(x) else x))
+  }
+
+  /** the SCORE half of [[dsirWeights]]: one shuffle-free, join-free,
+    * STATELESS projection — the fitted ratios constant-fold into an
+    * array literal inside whole-stage codegen, so this applies to a
+    * STREAMING frame unchanged (st10: batch-fit, stream-score).
+    */
+  def dsirScore(raw: DataFrame, ratios: Array[Double],
+      buckets: Int = DsirBuckets, lnWeights: Boolean = false): DataFrame = {
+    val tk = col("tk")
+    val rLit = array(ratios.map(x => lit(if (lnWeights) math.log(x) else x))
       .toSeq: _*)
-    // ---- score: one in-row projection over the raw slice -------------
-    val gramArr = concat(tk, biArr)
+    val gramArr = concat(tk, dsirBiArr(tk))
     val terms = transform(gramArr,
-      g => element_at(rLit, bucketOf(g).cast("int") + 1))
+      g => element_at(rLit, dsirBucketOf(g, buckets).cast("int") + 1))
     val fold = aggregate(sort_array(terms), lit(0.0), (acc, x) => acc + x)
-    docs.filter(col("doc_id") % targetMod =!= 0)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    raw.select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
         size(gramArr).cast("long").as("n_grams"),
         (if (lnWeights) fold

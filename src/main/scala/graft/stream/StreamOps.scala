@@ -245,4 +245,24 @@ object StreamOps {
       .select(col("doc_id"), col("band"), col("bh"), col("eval_id"))
     runToTable(hits, "st_decontam_gate", "append")
   }
+
+  /** st10 — batch-fit, stream-score: DSIR importance weights fit ONCE
+    * on the static corpus ([[graft.llm.TextOps.dsirRatios]]), then
+    * every incoming raw document scores in-flight — the train/serve
+    * composition a crawl-ingest pipeline runs on new shards. The
+    * fitted ratios are a constant-folded literal, so the streaming
+    * plan has NO stateful operator, no state store, and no join: each
+    * micro-batch is one codegen projection (the st08/st09 discipline),
+    * and the model refreshes by restarting the query with re-fit
+    * ratios.
+    */
+  def dsirGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    val ratios = TextOps.dsirRatios(
+      graft.core.Tables.load(spark, dir, "documents"))
+    val incoming = fileStream(spark, dir, "documents")
+      .filter(col("doc_id") % TextOps.DsirTargetMod =!= 0)
+    runToTable(TextOps.dsirScore(incoming, ratios), "st_dsir_gate",
+      "append")
+  }
 }

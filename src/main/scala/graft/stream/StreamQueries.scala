@@ -23,7 +23,8 @@ object StreamQueries extends QueryPack {
     "st07_stream_stream_join" -> ((s, dir) =>
       StreamOps.clickPurchaseJoin(s, dir)),
     "st08_stream_clean_docs" -> ((s, dir) => StreamOps.cleanDocs(s, dir)),
-    "st09_decontam_gate" -> ((s, dir) => StreamOps.decontamGate(s, dir))
+    "st09_decontam_gate" -> ((s, dir) => StreamOps.decontamGate(s, dir)),
+    "st10_dsir_gate" -> ((s, dir) => StreamOps.dsirGate(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -147,6 +148,11 @@ object StreamQueries extends QueryPack {
       s"""WITH ${graft.llm.LlmQueries.SIG_CTE}
           SELECT t.doc_id, t.band, t.bh, e.doc_id AS eval_id
           FROM bands t JOIN bands e ON t.band = e.band AND t.bh = e.bh
-          WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0"""
+          WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0""",
+
+    // batch-fit/stream-score DSIR == the x43 batch computation over the
+    // same bounded input: the fitted ratio literal makes the streaming
+    // side a pure projection, so the appended rows are exactly x43's
+    "st10_dsir_gate" -> graft.llm.LlmQueries.DsirSql
   )
 }

@@ -25,4 +25,20 @@ class StreamCleanSpec extends SparkSpec {
     assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0),
       "the injection must exercise both patterns")
   }
+
+  test("dsirGate: the batch-fit stream-score rows equal batch dsirWeights") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.dsirGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val batch = graft.llm.TextOps.dsirWeights(
+        graft.core.Tables.load(spark, dir, "documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    // bit-identical, including the sorted double fold
+    assert(streamed.toSeq == batch.toSeq)
+    // the target slice never reaches the stream output
+    assert(streamed.forall(_._1 % 10 != 0))
+  }
 }
