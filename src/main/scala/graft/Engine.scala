@@ -144,6 +144,10 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def dsirImportanceWeights(docs: DataFrame,
       lnWeights: Boolean = false): DataFrame =
     graft.llm.TextOps.dsirWeights(docs, lnWeights = lnWeights)
+  def dsirResample(docs: DataFrame): DataFrame =
+    graft.llm.Sampling.dsirResample(docs)
+  def streamingDsirGate(docsDir: String): DataFrame =
+    graft.stream.StreamOps.dsirGate(spark, docsDir)
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
       path: String, nFiles: Int): Unit =
     graft.sources.Sinks.writeZOrdered(df, colA, colB, path, nFiles)

@@ -94,7 +94,8 @@ object LlmQueries extends QueryPack {
       Similarity.kmeansAtScale(embs(s, dir), CentroidIds, maxIters = 2)),
     "x41_dup_spans" -> ((s, dir) => TextOps.dupSpans(docs(s, dir))),
     "x42_bigram_lm" -> ((s, dir) => TextOps.bigramLmScore(docs(s, dir))),
-    "x43_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir)))
+    "x43_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
+    "x44_dsir_resample" -> ((s, dir) => Sampling.dsirResample(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -567,6 +568,19 @@ object LlmQueries extends QueryPack {
     // st10 — the batch-fit/stream-score run over the same bounded input
     // produces exactly these rows.
     "x43_dsir_weights" -> DsirSql,
+
+    // the DSIR resample: Bernoulli thinning at u·w_max < w over the x43
+    // weights; u is the md5('dsir:'||doc_id) uniform, w_max an
+    // unpartitioned window max (oracle-only spelling — the engine uses
+    // agg + broadcast, same value, scale-safe)
+    "x44_dsir_resample" ->
+      s"""SELECT doc_id, n_grams, dsir_score, u
+          FROM (SELECT w.*,
+                  (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+                    / 4294967296.0 AS u,
+                  max(dsir_score) OVER () AS w_max
+                FROM ($DsirSql) w)
+          WHERE u * w_max < dsir_score""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

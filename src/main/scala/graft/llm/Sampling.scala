@@ -88,4 +88,30 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_source"), col("cap"),
         col("rk"), (col("rk") <= col("cap")).as("kept"))
   }
+
+  /** the RESAMPLE half of DSIR (Xie et al. 2023 §2: sample the raw
+    * corpus with probability ∝ importance weight): deterministic
+    * Bernoulli thinning — doc kept iff `u · w_max < w`, where
+    * `u = hashU32("dsir", doc_id) / 2³²` is the reproducible per-doc
+    * uniform and `w` is [[TextOps.dsirWeights]]' rational score. The
+    * max-weight doc is always kept (u < 1); expected keep fraction is
+    * mean(w)/max(w). Same acceptance set on every run, cluster size,
+    * and engine — the [[hashSplit]] reproducibility discipline applied
+    * to weighted sampling.
+    *
+    * Scale shape: the weights plan (fit-collect + one projection) plus
+    * a 1-row broadcast max and a per-row accept test — no new
+    * corpus-sized shuffle. (A window `max() OVER ()` would collapse to
+    * one partition; the agg + broadcast cross join is the scale-safe
+    * spelling.)
+    */
+  def dsirResample(docs: DataFrame): DataFrame = {
+    val w = TextOps.dsirWeights(docs)
+    val wMax = w.agg(max(col("dsir_score")).as("w_max"))
+    w.crossJoin(broadcast(wMax))
+      .withColumn("u",
+        hashU32(col("doc_id"), "dsir").cast("double") / lit(4294967296.0))
+      .filter(col("u") * col("w_max") < col("dsir_score"))
+      .select(col("doc_id"), col("n_grams"), col("dsir_score"), col("u"))
+  }
 }

@@ -329,6 +329,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res(2L) < 0.0)
   }
 
+  test("dsirResample: deterministic thinning, max-weight doc always kept") {
+    val res = Sampling.dsirResample(dsirCorpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("dsir_score"), r.getAs[Double]("u")))).toMap
+    val weights = TextOps.dsirWeights(dsirCorpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score"))
+      .toMap
+    val wMax = weights.values.max
+    // every kept row satisfies the rule; the argmax doc is kept (u < 1)
+    res.foreach { case (id, (w, u)) =>
+      assert(u >= 0.0 && u < 1.0)
+      assert(u * wMax < w)
+    }
+    val argmax = weights.maxBy(_._2)._1
+    assert(res.contains(argmax), "max-weight doc must always survive")
+    // repeatable: a second run keeps the identical set
+    val again = Sampling.dsirResample(dsirCorpus).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == res.keySet)
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
