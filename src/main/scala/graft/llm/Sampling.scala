@@ -99,19 +99,25 @@ object Sampling {
     * and engine — the [[hashSplit]] reproducibility discipline applied
     * to weighted sampling.
     *
-    * Scale shape: the weights plan (fit-collect + one projection) plus
-    * a 1-row broadcast max and a per-row accept test — no new
-    * corpus-sized shuffle. (A window `max() OVER ()` would collapse to
-    * one partition; the agg + broadcast cross join is the scale-safe
-    * spelling.)
+    * Scale shape — fit collects, accept streams: the weights frame
+    * PERSISTS (doc_id + two numbers per doc — the artifact a pipeline
+    * stores anyway), the max agg materializes it and collects `w_max`
+    * (one double) at construction, and the accept filter then reads
+    * cached columns. Without the persist, Catalyst substitutes the
+    * whole score fold into the pushed-down accept predicate and
+    * re-evaluates it interpreted per row (measured 5.2 s vs 0.9 s exec
+    * at sf0.1); a window `max() OVER ()` or broadcast cross join is
+    * worse still (single-partition collapse / codegen-hostile BNLJ).
+    * Caller runs `spark.catalog.clearCache()` when done — the
+    * [[graft.llm.Dedup.fuzzyDecontam]] convention.
     */
   def dsirResample(docs: DataFrame): DataFrame = {
     val w = TextOps.dsirWeights(docs)
-    val wMax = w.agg(max(col("dsir_score")).as("w_max"))
-    w.crossJoin(broadcast(wMax))
-      .withColumn("u",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wMax = w.agg(max(col("dsir_score"))).head().getDouble(0)
+    w.withColumn("u",
         hashU32(col("doc_id"), "dsir").cast("double") / lit(4294967296.0))
-      .filter(col("u") * col("w_max") < col("dsir_score"))
+      .filter(col("u") * lit(wMax) < col("dsir_score"))
       .select(col("doc_id"), col("n_grams"), col("dsir_score"), col("u"))
   }
 }
