@@ -95,7 +95,8 @@ object LlmQueries extends QueryPack {
     "x41_dup_spans" -> ((s, dir) => TextOps.dupSpans(docs(s, dir))),
     "x42_bigram_lm" -> ((s, dir) => TextOps.bigramLmScore(docs(s, dir))),
     "x43_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
-    "x44_dsir_resample" -> ((s, dir) => Sampling.dsirResample(docs(s, dir)))
+    "x44_dsir_resample" -> ((s, dir) => Sampling.dsirResample(docs(s, dir))),
+    "x45_vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -581,6 +582,24 @@ object LlmQueries extends QueryPack {
                   max(dsir_score) OVER () AS w_max
                 FROM ($DsirSql) w)
           WHERE u * w_max < dsir_score""",
+
+    // vocabulary coverage: deterministic (count desc, token asc) rank +
+    // integer cumsum over the minCount survivors; one double division
+    "x45_vocab_coverage" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                 FROM c GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+         r AS (SELECT tok, c,
+                 CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+                   AS rank,
+                 CAST(sum(c) OVER (ORDER BY c DESC, tok
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM cnt WHERE c >= 2)
+         SELECT rank, tok, c, cum,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+         FROM r, tot WHERE rank <= 200""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

@@ -359,6 +359,45 @@ object TextOps {
          else fold / size(gramArr).cast("double")).as("dsir_score"))
   }
 
+  /** vocabulary coverage — the tokenizer-training precursor: rank
+    * corpus tokens by frequency and report each candidate's cumulative
+    * share of all token occurrences, answering "how large a vocabulary
+    * covers X% of the corpus" before committing to a BPE/unigram vocab
+    * size. Rank and cumulative sum run over `(count desc, token asc)` —
+    * fully deterministic in both engines; the share is one integer
+    * cumsum divided by the integer total (a single double division).
+    *
+    * Scale shape: one token hash agg (map-side combined), PERSISTED —
+    * the count table is vocabulary-sized, and both the total and the
+    * ranking read it without a second corpus pass (the x44 lesson:
+    * a branched frame recomputes its subtree). The global window runs
+    * over the `count >= minCount` survivors only — the tail never
+    * enters the sort, so the single-partition window is bounded by the
+    * candidate-vocabulary size (millions at worst), not the corpus.
+    * The final filter keeps the top `topK`. Caller runs
+    * `spark.catalog.clearCache()` when done.
+    */
+  def vocabCoverage(docs: DataFrame, topK: Int = 200,
+      minCount: Long = 2L): DataFrame = {
+    val counts = tokens(docs).groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("c")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    counts.filter(col("c") >= minCount)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("c"), col("cum"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_frac"))
+  }
+
   /** TF-IDF-style top terms per document: tf × rarity, ranked per doc.
     *
     * Two weight routes (r7 verdict task 4):

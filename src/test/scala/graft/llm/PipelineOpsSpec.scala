@@ -350,6 +350,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == res.keySet)
   }
 
+  test("vocabCoverage: deterministic rank, exact cumulative shares") {
+    val df = docsDf(Seq(
+      (0L, "a a a b b c", "s"),
+      (1L, "a b d", "s"),
+      (2L, "a", "s")))
+    // counts: a=5, b=3, c=1, d=1; total=10; minCount=2 keeps a, b
+    val res = TextOps.vocabCoverage(df, topK = 10, minCount = 2)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("tok"),
+        r.getAs[Long]("c"), r.getAs[Long]("cum"),
+        r.getAs[Double]("cum_frac")))
+    assert(res.toSeq == Seq(
+      (1L, "a", 5L, 5L, 0.5),
+      (2L, "b", 3L, 8L, 0.8)))
+    spark.catalog.clearCache()
+  }
+
+  test("vocabCoverage: count ties rank alphabetically, topK truncates") {
+    val df = docsDf(Seq((0L, "z z y y x", "s")))
+    val res = TextOps.vocabCoverage(df, topK = 1, minCount = 1)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("tok")))
+    // y and z tie at 2 — y wins alphabetically; topK=1 keeps only it
+    assert(res.toSeq == Seq((1L, "y")))
+    spark.catalog.clearCache()
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
