@@ -96,7 +96,8 @@ object LlmQueries extends QueryPack {
     "x42_bigram_lm" -> ((s, dir) => TextOps.bigramLmScore(docs(s, dir))),
     "x43_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
     "x44_dsir_resample" -> ((s, dir) => Sampling.dsirResample(docs(s, dir))),
-    "x45_vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(docs(s, dir)))
+    "x45_vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(docs(s, dir))),
+    "x46_temperature_mix" -> ((s, dir) => Sampling.temperatureResample(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -600,6 +601,24 @@ object LlmQueries extends QueryPack {
          SELECT rank, tok, c, cum,
            CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
          FROM r, tot WHERE rank <= 200""",
+
+    // α=1/2 temperature flattening: p_keep = sqrt(n_min/n_s) — integer
+    // counts, one IEEE division + sqrt (both correctly rounded, no
+    // libm); accept uniform is the positional-hex u32 / 2^32
+    "x46_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+                    FROM documents GROUP BY 1),
+         m AS (SELECT CAST(min(n_source) AS BIGINT) AS n_min FROM c),
+         j AS (SELECT d.doc_id, d.source, c.n_source, m.n_min,
+                 sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n_source AS DOUBLE))
+                   AS p_keep,
+                 CAST((('0x' || substr(md5('temp:' ||
+                     CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT) AS DOUBLE)
+                   / 4294967296.0 AS u
+               FROM documents d JOIN c USING (source), m)
+         SELECT doc_id, source, n_source, n_min, p_keep, u,
+           u < p_keep AS kept
+         FROM j""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

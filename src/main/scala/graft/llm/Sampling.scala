@@ -89,6 +89,43 @@ object Sampling {
         col("rk"), (col("rk") <= col("cap")).as("kept"))
   }
 
+  /** temperature-flattened mixture resampling at α = 1/2 — the
+    * multilingual/multi-domain mixture staple (mBERT, XLM-R, Gopher):
+    * target share q_s ∝ p_s^α flattens head domains, so per-doc keep
+    * probability ∝ p_s^(α-1) = 1/√p_s. Normalized so the smallest
+    * domain keeps everything: `p_keep(s) = √(n_min / n_s)`, giving an
+    * expected kept count of √(n_s · n_min) — the geometric-mean
+    * interpolation between "natural" and "uniform" mixtures. The
+    * accept test is the [[dsirResample]] discipline: doc kept iff
+    * `u < p_keep` with `u = hashU32("temp", doc_id)/2³²` — same
+    * acceptance set on every run, cluster size, and engine. Division
+    * and sqrt are IEEE-correctly-rounded in every engine, so `p_keep`
+    * is bit-exact cross-engine with no libm transcendental.
+    *
+    * Scale shape — fit collects, accept streams: the per-source count
+    * agg collapses map-side to one row per domain (a handful), is
+    * PERSISTED, and `n_min` (one long) collects at construction; the
+    * accept pass is then one broadcast join of the tiny count table
+    * onto the corpus + a pure-map predicate — one corpus shuffle-free
+    * pass, no window, no global sort. Caller runs
+    * `spark.catalog.clearCache()` when done (the
+    * [[graft.llm.Dedup.fuzzyDecontam]] convention).
+    */
+  def temperatureResample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nMin = counts.agg(min(col("n_source"))).head().getLong(0)
+    docs.join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        lit(nMin).as("n_min"),
+        sqrt(lit(nMin.toDouble) / col("n_source").cast("double"))
+          .as("p_keep"),
+        (hashU32(col("doc_id"), "temp").cast("double") /
+          lit(4294967296.0)).as("u"))
+      .withColumn("kept", col("u") < col("p_keep"))
+  }
+
   /** the RESAMPLE half of DSIR (Xie et al. 2023 §2: sample the raw
     * corpus with probability ∝ importance weight): deterministic
     * Bernoulli thinning — doc kept iff `u · w_max < w`, where

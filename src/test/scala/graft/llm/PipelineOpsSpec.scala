@@ -375,6 +375,28 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("temperatureResample: smallest domain keeps all, p_keep = sqrt ratio") {
+    val rows = (0L until 16L).map(i => (i, s"text $i", "big")) ++
+      (100L until 104L).map(i => (i, s"t $i", "small"))
+    val res = Sampling.temperatureResample(docsDf(rows)).collect()
+    val bySrc = res.groupBy(_.getAs[String]("source"))
+    // small is the min domain: p_keep = 1.0, every doc kept
+    assert(bySrc("small").forall(r =>
+      r.getAs[Double]("p_keep") == 1.0 && r.getAs[Boolean]("kept")))
+    // big: p_keep = sqrt(4/16) = 0.5 exactly; n_min/n_source recorded
+    assert(bySrc("big").forall(r =>
+      r.getAs[Double]("p_keep") == 0.5 &&
+        r.getAs[Long]("n_source") == 16L && r.getAs[Long]("n_min") == 4L))
+    // kept iff u < p_keep, and the acceptance set is run-stable
+    assert(res.forall(r =>
+      r.getAs[Boolean]("kept") == (r.getAs[Double]("u") < r.getAs[Double]("p_keep"))))
+    val again = Sampling.temperatureResample(docsDf(rows)).collect()
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    assert(again == res.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("doc_id")).toSet)
+    spark.catalog.clearCache()
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
