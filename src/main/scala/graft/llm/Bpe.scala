@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016) — the
+  * third leg of the tokenizer-prep stool next to the vocabulary-coverage
+  * curve (x45) and token statistics (x08).
+  *
+  * Scale shape — the corpus collapses ONCE: BPE never iterates over
+  * documents, it iterates over the word-frequency dict (`word → count`),
+  * which is vocabulary-sized. One corpus-sized token shuffle builds the
+  * dict; every merge round after that is a vocab-sized pair count
+  * (map-side combined) + a 1-row argmax collect + a pure-map regex
+  * rewrite of the symbol sequences. At 100 TB the dict is millions of
+  * rows — each round is a small job, and the merge loop's cost is
+  * independent of corpus size.
+  *
+  * Determinism: merge winners order by `(count desc, pair asc)` — ties
+  * break identically on every run and engine; greedy leftmost merge
+  * application is Java regex's non-overlapping left-to-right replace
+  * with space-boundary lookarounds (the boundary spaces are NOT
+  * consumed, so back-to-back occurrences like `a a a a` merge to
+  * `aa aa`, matching the reference BPE behavior).
+  */
+object Bpe {
+
+  /** word-frequency dict with the initial symbol sequence (one symbol
+    * per character, space-joined). `regexp_extract_all("(?s).")` splits
+    * to code points without the trailing-empty artifact of
+    * `split(word, "")`.
+    */
+  def initDict(docs: DataFrame): DataFrame =
+    TextOps.tokens(docs)
+      .groupBy(col("tok").as("word"))
+      .agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        concat_ws(" ",
+          regexp_extract_all(col("word"), lit("(?s)."), lit(0))).as("seq"))
+
+  /** adjacent symbol-pair counts over a dict's current sequences,
+    * weighted by word count — overlapping occurrences all count
+    * (`a a a` contributes `(a,a)` twice), per the reference algorithm.
+    * Output is candidate-pair-sized (≤ vocab × max word length).
+    */
+  def pairCounts(dict: DataFrame): DataFrame = {
+    val sym = split(col("seq"), " ")
+    val pairs = when(size(sym) >= 2,
+      transform(sequence(lit(1), size(sym) - 1), i =>
+        concat(element_at(sym, i), lit(" "), element_at(sym, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    dict.select(col("wc"), explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+  }
+
+  /** the x47 query surface: round-1 BPE merge candidates — character
+    * pairs ranked by corpus-weighted frequency, `(cnt desc, pair asc)`.
+    * The global window runs over the candidate-pair table only (bounded
+    * by vocab × word length, never the corpus) — the x45 discipline.
+    */
+  def pairRanking(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair").asc)
+    pairCounts(initDict(docs))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+
+  /** run `nMerges` BPE merge rounds over the corpus; returns the merge
+    * table `(rank, left, right, merged, cnt)` — the trained tokenizer
+    * artifact. Stops early if no pair occurs twice (cnt < 2 means every
+    * remaining pair is unique — merging it buys nothing).
+    *
+    * Each round: vocab-sized pair count → 1-row argmax collect (the
+    * k-means centroid discipline: the collect truncates lineage and
+    * drives the loop) → one `regexp_replace` map over the dict with the
+    * winner quoted (`Pattern.quote`) and space-boundary lookarounds.
+    * Round N's argmax is also round N's materializer: dict N caches on
+    * that collect, and only THEN does dict N−1 unpersist — one job per
+    * round, never a dedicated `count()`, and the live set stays at two
+    * vocab-sized tables with O(1) recompute depth. Caller runs
+    * `spark.catalog.clearCache()` when done.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var dict = initDict(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val top = pairCounts(dict)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < 2L) done = true
+      else {
+        val pair = top(0).getAs[String]("pair")
+        val cnt = top(0).getAs[Long]("cnt")
+        val Array(l, r) = pair.split(" ", 2)
+        val merged = l + r
+        merges += ((round.toLong, l, r, merged, cnt))
+        val pat = "(?<= )" + java.util.regex.Pattern.quote(pair) + "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(merged)
+        val next = dict.withColumn("seq",
+          trim(regexp_replace(concat(lit(" "), col("seq"), lit(" ")),
+            lit(pat), lit(rep))))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        prev = dict
+        dict = next
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+  }
+
+  /** apply a trained merge list to a corpus — the tokenizer ENCODE step.
+    * Per word (BPE never merges across word boundaries): char-split,
+    * then fold the merges in rank order, each one the same quoted
+    * lookaround `regexp_replace` the trainer used — encode(train corpus)
+    * reproduces the trainer's final symbol sequences exactly (spec'd).
+    * The whole thing is one codegen'd projection — `nMerges` nested
+    * regex replaces inside a `transform` lambda; no shuffle, no join,
+    * no state. At 100 TB this is the ideal operator shape: a pure map
+    * whose cost is per-row work × a constant.
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val spaced: Column => Column = w =>
+      concat_ws(" ", regexp_extract_all(w, lit("(?s)."), lit(0)))
+    val applyAll: Column => Column = w =>
+      merges.foldLeft(spaced(w)) { case (acc, (l, r)) =>
+        val pat = "(?<= )" +
+          java.util.regex.Pattern.quote(l + " " + r) + "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(l + r)
+        trim(regexp_replace(concat(lit(" "), acc, lit(" ")),
+          lit(pat), lit(rep)))
+      }
+    docs.select(col("doc_id"),
+      flatten(transform(split(col("text"), " "),
+        w => split(applyAll(w), " "))).as("bpe_tokens"))
+  }
+}

@@ -97,7 +97,13 @@ object LlmQueries extends QueryPack {
     "x43_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(docs(s, dir))),
     "x44_dsir_resample" -> ((s, dir) => Sampling.dsirResample(docs(s, dir))),
     "x45_vocab_coverage" -> ((s, dir) => TextOps.vocabCoverage(docs(s, dir))),
-    "x46_temperature_mix" -> ((s, dir) => Sampling.temperatureResample(docs(s, dir)))
+    "x46_temperature_mix" -> ((s, dir) => Sampling.temperatureResample(docs(s, dir))),
+    "x47_bpe_pairs" -> ((s, dir) => Bpe.pairRanking(docs(s, dir))),
+    // rows-only (no oracle, like x40): the merge loop's round-N winners
+    // depend on round-(N-1)'s regex rewrite, which needs lookaround
+    // replace semantics DuckDB's RE2 lacks — BpeSpec hand-verifies the
+    // merge table and encode/train equivalence on a known corpus
+    "x48_bpe_train" -> ((s, dir) => Bpe.bpeTrain(docs(s, dir), nMerges = 12))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -619,6 +625,27 @@ object LlmQueries extends QueryPack {
          SELECT doc_id, source, n_source, n_min, p_keep, u,
            u < p_keep AS kept
          FROM j""",
+
+    // round-1 BPE merge candidates: corpus-weighted adjacent char-pair
+    // counts over the word dict (overlaps count, per the reference
+    // algorithm), ranked (cnt desc, pair asc) — all integers
+    "x47_bpe_pairs" ->
+      """WITH w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY 1),
+         i AS (SELECT word, wc,
+                 unnest(generate_series(1, length(word) - 1)) AS i
+               FROM w),
+         p AS (SELECT substring(word, i, 1) || ' ' ||
+                 substring(word, i + 1, 1) AS pair, wc
+               FROM i),
+         c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+               FROM p GROUP BY 1),
+         r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+                 AS BIGINT) AS rank, pair, cnt
+               FROM c)
+         SELECT rank, pair, cnt FROM r WHERE rank <= 20""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

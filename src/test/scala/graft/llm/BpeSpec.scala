@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** BPE tokenizer training: hand-computed merge tables on tiny corpora,
+  * greedy leftmost application semantics, regex-metachar safety, and
+  * the encode/train equivalence (encoding the training corpus with the
+  * learned merges reproduces the trainer's final symbol sequences).
+  */
+class BpeSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("bpeTrain: hand-computed merge table (Sennrich counts, overlaps)") {
+    // words: aaab ×3 → "a a a b"; ab ×2 → "a b"
+    // r1: (a,a) = 2·3 = 6 beats (a,b) = 3+2 = 5 → merge "aa"
+    // r2: aaab is now "aa a b": (aa,a)=3, (a,b)=3+2=5 → merge "ab"
+    // r3: aaab is "aa ab": (aa,ab)=3 → merge "aaab"
+    val df = docsDf(Seq(
+      (0L, "aaab aaab ab", "s"), (1L, "aaab ab", "s")))
+    val m = Bpe.bpeTrain(df, nMerges = 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("cnt"))).sortBy(_._1)
+    assert(m.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 5L),
+      (3L, "aa", "ab", "aaab", 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("bpeTrain: greedy leftmost — a run of four merges to two pairs") {
+    // "aaaa" ×2 → r1 (a,a) cnt 6 (overlapping count: 3 per word × 2);
+    // after the merge the seq must be "aa aa", NOT "aa a a" (the
+    // boundary space is shared between back-to-back occurrences)
+    val df = docsDf(Seq((0L, "aaaa aaaa", "s")))
+    val m1 = Bpe.bpeTrain(df, nMerges = 2).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("merged"),
+        r.getAs[Long]("cnt"))).sortBy(_._1)
+    // r1: (a,a)=6 → "aa"; r2 over "aa aa": (aa,aa)=2 → "aaaa"
+    assert(m1.toSeq == Seq((1L, "aa", 6L), (2L, "aaaa", 2L)))
+    spark.catalog.clearCache()
+  }
+
+  test("bpeTrain: regex metacharacters in symbols are inert") {
+    val df = docsDf(Seq((0L, "$$ $$ ..", "s")))
+    val m = Bpe.bpeTrain(df, nMerges = 2).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[String]("merged"), r.getAs[Long]("cnt")))
+    // ($,$) cnt 2 merges first; (.,.) cnt 1 stops the loop (< 2)
+    assert(m.toSeq == Seq(("$", "$", "$$", 2L)))
+    spark.catalog.clearCache()
+  }
+
+  test("encode with trained merges reproduces the trainer's sequences") {
+    val df = docsDf(Seq(
+      (0L, "aaab aaab ab", "s"), (1L, "aaab ab", "s")))
+    val merges = Bpe.bpeTrain(df, nMerges = 2).collect().sortBy(
+      _.getAs[Long]("rank")).map(r =>
+      (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val enc = Bpe.encode(df, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1)).toMap
+    // after (a,a) then (a,b): aaab → [aa, ab]; ab → [ab]
+    assert(enc(0L) == Seq("aa", "ab", "aa", "ab", "ab"))
+    assert(enc(1L) == Seq("aa", "ab", "ab"))
+    spark.catalog.clearCache()
+  }
+
+  test("pairRanking: overlap counting and deterministic tie order") {
+    val df = docsDf(Seq((0L, "aaa bc bc", "s")))
+    val res = Bpe.pairRanking(df, topK = 10).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt"))).sortBy(_._1)
+    // aaa → (a,a)×2; bc ×2 → (b,c)=2; tie at 2 breaks "a a" < "b c"
+    assert(res.toSeq == Seq((1L, "a a", 2L), (2L, "b c", 2L)))
+  }
+
+  test("single-char and empty-tail words produce no pairs") {
+    val df = docsDf(Seq((0L, "x y z", "s")))
+    assert(Bpe.pairRanking(df, topK = 10).collect().isEmpty)
+    assert(Bpe.bpeTrain(df, nMerges = 3).collect().isEmpty)
+    spark.catalog.clearCache()
+  }
+}
