@@ -146,6 +146,15 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.TextOps.dsirWeights(docs, lnWeights = lnWeights)
   def dsirResample(docs: DataFrame): DataFrame =
     graft.llm.Sampling.dsirResample(docs)
+  def temperatureResample(docs: DataFrame): DataFrame =
+    graft.llm.Sampling.temperatureResample(docs)
+  def vocabularyCoverage(docs: DataFrame, topK: Int = 200,
+      minCount: Long = 2L): DataFrame =
+    graft.llm.TextOps.vocabCoverage(docs, topK, minCount)
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
+    graft.llm.Bpe.bpeTrain(docs, nMerges)
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.llm.Bpe.encode(docs, merges)
   def streamingDsirGate(docsDir: String): DataFrame =
     graft.stream.StreamOps.dsirGate(spark, docsDir)
   def writeZOrdered(df: DataFrame, colA: String, colB: String,

@@ -35,5 +35,13 @@ class EngineSpec extends SparkSpec {
     assert(eng.exactDupGroups(docs).count() == 500)
     assert(eng.tokenStats(docs).count() == 500)
     assert(eng.similarTopK(embs, nQueries = 2, k = 3).count() == 6)
+    assert(eng.temperatureResample(docs).count() == 500)
+    assert(eng.vocabularyCoverage(docs, topK = 10).count() == 10)
+    val merges = eng.bpeTrain(docs, nMerges = 2).collect()
+    assert(merges.length == 2)
+    val pairs = merges.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(eng.bpeEncode(docs, pairs).count() == 500)
+    spark.catalog.clearCache()
   }
 }
