@@ -97,4 +97,93 @@ class PipelinePropsSpec extends SparkSpec {
         .map(_.getAs[Long]("rk")).sorted.toSeq == (1L to cap).toSeq)
     }
   }
+
+  // plain-Scala Sennrich BPE: a second, independent implementation —
+  // same overlap counting, (cnt desc, pair asc) winner order, and
+  // greedy leftmost non-overlapping merge application
+  private def refBpe(wordCounts: Map[String, Long], nMerges: Int)
+      : Seq[(String, String, String, Long)] = {
+    def applyMerge(syms: Vector[String], l: String, r: String,
+        m: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += m; i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    var dict: Map[Vector[String], Long] = wordCounts.map {
+      case (w, c) => w.map(_.toString).toVector -> c
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long)]
+    var done = false
+    while (out.length < nMerges && !done) {
+      val pairs = dict.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(p => p -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val best = pairs.toSeq
+        .sortBy { case ((l, r), c) => (-c, s"$l $r") }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= 2L =>
+          out += ((l, r, l + r, c))
+          dict = dict.toSeq.map { case (syms, wc) =>
+            applyMerge(syms, l, r, l + r) -> wc
+          }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches an independent plain-Scala BPE on random corpora") {
+    val rnd = new Random(45)
+    for (trial <- 0 until 3) {
+      val alpha = "abcd"
+      val rows = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        val words = Seq.fill(n)(
+          Seq.fill(1 + rnd.nextInt(5))(
+            alpha(rnd.nextInt(alpha.length))).mkString)
+        (i.toLong, words.mkString(" "), "s")
+      }
+      val wordCounts = rows.flatMap(_._2.split(" "))
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val expected = refBpe(wordCounts, nMerges = 8)
+      val got = Bpe.bpeTrain(docsDf(rows), nMerges = 8).collect()
+        .sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+          r.getAs[String]("merged"), r.getAs[Long]("cnt"))).toSeq
+      assert(got == expected, s"trial $trial: merge tables diverge")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("temperatureResample: every column re-derivable from an " +
+      "independent md5 + sqrt recomputation") {
+    val rows = randCorpus(seed = 46, nDocs = 150, vocab = 40, maxLen = 8)
+    val bySrc = rows.groupBy(_._3).map { case (s, xs) => s -> xs.size.toLong }
+    val nMin = bySrc.values.min
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def refU(id: Long): Double = {
+      val h = mdig.digest(s"temp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    val out = Sampling.temperatureResample(docsDf(rows)).collect()
+    assert(out.length == rows.length)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val u = refU(r.getAs[Long]("doc_id"))
+      val pKeep = math.sqrt(nMin.toDouble / bySrc(src).toDouble)
+      assert(r.getAs[Long]("n_source") == bySrc(src))
+      assert(r.getAs[Long]("n_min") == nMin)
+      assert(r.getAs[Double]("p_keep") == pKeep)
+      assert(r.getAs[Double]("u") == u)
+      assert(r.getAs[Boolean]("kept") == (u < pKeep))
+    }
+    spark.catalog.clearCache()
+  }
 }
