@@ -148,6 +148,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Sampling.dsirResample(docs)
   def temperatureResample(docs: DataFrame): DataFrame =
     graft.llm.Sampling.temperatureResample(docs)
+  def sourceVocabularyOverlap(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.sourceOverlap(docs)
   def vocabularyCoverage(docs: DataFrame, topK: Int = 200,
       minCount: Long = 2L): DataFrame =
     graft.llm.TextOps.vocabCoverage(docs, topK, minCount)

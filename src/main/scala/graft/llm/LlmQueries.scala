@@ -103,7 +103,8 @@ object LlmQueries extends QueryPack {
     // depend on round-(N-1)'s regex rewrite, which needs lookaround
     // replace semantics DuckDB's RE2 lacks — BpeSpec hand-verifies the
     // merge table and encode/train equivalence on a known corpus
-    "x48_bpe_train" -> ((s, dir) => Bpe.bpeTrain(docs(s, dir), nMerges = 12))
+    "x48_bpe_train" -> ((s, dir) => Bpe.bpeTrain(docs(s, dir), nMerges = 12)),
+    "x49_source_overlap" -> ((s, dir) => TextOps.sourceOverlap(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -646,6 +647,30 @@ object LlmQueries extends QueryPack {
                  AS BIGINT) AS rank, pair, cnt
                FROM c)
          SELECT rank, pair, cnt FROM r WHERE rank <= 20""",
+
+    // pairwise source-vocabulary Jaccard: integer set sizes, one final
+    // double division; triangle via src_a < src_b
+    "x49_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, tok
+                     FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS tok
+                           FROM documents)),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab
+                FROM st GROUP BY 1),
+         inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+                   FROM st a JOIN st b
+                     ON a.tok = b.tok AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT sa.source AS src_a, sb.source AS src_b,
+           sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+             CAST(sa.n_vocab + sb.n_vocab - coalesce(i.n_inter, 0)
+               AS DOUBLE) AS jaccard
+         FROM sz sa JOIN sz sb ON sa.source < sb.source
+         LEFT JOIN inter i
+           ON i.src_a = sa.source AND i.src_b = sb.source""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

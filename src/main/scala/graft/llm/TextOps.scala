@@ -359,6 +359,47 @@ object TextOps {
          else fold / size(gramArr).cast("double")).as("dsir_score"))
   }
 
+  /** pairwise source-vocabulary Jaccard — the mixture-design audit:
+    * two sources with near-identical vocabularies are candidates for
+    * merging (or one is a scrape of the other), and a source whose
+    * vocabulary barely overlaps anything may be noise. Exact set
+    * Jaccard `|A∩B| / (|A|+|B|−|A∩B|)` over distinct token sets — all
+    * integers until one final double division, so bit-exact
+    * cross-engine.
+    *
+    * Scale shape: the corpus collapses to distinct `(source, token)`
+    * rows (vocab × sources at worst) in one map-side-combined agg,
+    * PERSISTED — four branches read it (both self-join sides and both
+    * size aggs), and without the persist each would rescan the corpus
+    * (the x45 lesson). The self-join on token produces at most
+    * `vocab × sources²` rows (each token appears once per source) —
+    * never corpus-sized. Source count is assumed small (dozens);
+    * output is the source-pair triangle. Caller runs
+    * `spark.catalog.clearCache()` when done.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    val inter = st.as("a")
+      .join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.as("sa").join(broadcast(sizes.as("sb")),
+        col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
+        col("sa.n_vocab").as("n_a"), col("sb.n_vocab").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("jaccard"))
+  }
+
   /** vocabulary coverage — the tokenizer-training precursor: rank
     * corpus tokens by frequency and report each candidate's cumulative
     * share of all token occurrences, answering "how large a vocabulary

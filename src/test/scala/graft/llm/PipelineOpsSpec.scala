@@ -397,6 +397,22 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sourceOverlap: exact pairwise Jaccard incl. a zero-overlap pair") {
+    val df = docsDf(Seq(
+      (0L, "a b c", "s1"), (1L, "b c d", "s1"),   // s1 vocab {a,b,c,d}
+      (2L, "c d e", "s2"),                        // s2 vocab {c,d,e}
+      (3L, "x y", "s3")))                         // s3 vocab {x,y}
+    val res = TextOps.sourceOverlap(df).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))).toMap
+    assert(res.size == 3)
+    assert(res(("s1", "s2")) == ((4L, 3L, 2L, 0.4)))       // {c,d} / 5
+    assert(res(("s1", "s3")) == ((4L, 2L, 0L, 0.0)))
+    assert(res(("s2", "s3")) == ((3L, 2L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
