@@ -150,6 +150,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Sampling.temperatureResample(docs)
   def sourceVocabularyOverlap(docs: DataFrame): DataFrame =
     graft.llm.TextOps.sourceOverlap(docs)
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    graft.llm.Dedup.incrementalDedup(corpus, batch)
   def vocabularyCoverage(docs: DataFrame, topK: Int = 200,
       minCount: Long = 2L): DataFrame =
     graft.llm.TextOps.vocabCoverage(docs, topK, minCount)

@@ -420,4 +420,52 @@ object Dedup {
         col("first_eval"),
         (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** incremental (batch-vs-corpus) near-dup gate — the production ingest
+    * shape: a daily increment is deduped against the EXISTING corpus
+    * without re-signing the corpus per ingest. The corpus collapses to
+    * its distinct LSH bucket-KEY set — membership is an exists-check, so
+    * no doc-level corpus join is needed and the key set (not signatures,
+    * not docs) is what a deployment stores between ingests, appending
+    * the kept batch docs' keys after each gate. Per batch doc:
+    *   - `dup_vs_corpus`: shares ≥1 band bucket with any corpus doc;
+    *   - `dup_in_batch`: shares ≥1 band bucket with a LOWER-id batch doc
+    *     (the [[fuzzyDecontam]]/SemDeDup one-pass lower-id convention —
+    *     deliberately non-transitive: the ingest path gates in one pass,
+    *     no CC loop; run [[dupClusters]] offline for exact clusters);
+    *   - `keep` = neither. Docs under 3 tokens emit no bands and are
+    *     never duplicates (matching [[candidatePairs]]).
+    *
+    * Scale: the corpus pass is one signature agg + a distinct on
+    * (band, bh) — both linear, and amortized to ZERO on the stored-index
+    * path. The batch side is increment-sized: its bands persist (two
+    * branches read them), the vs-corpus check is a (band, bh)-keyed
+    * left-semi join (AQE broadcasts the increment side when small — the
+    * [[fuzzyDecontam]] discipline, no force-broadcast), and the in-batch
+    * check is a per-bucket min-id window on the bands' own shuffle — no
+    * self-join, so a degenerate bucket costs O(bucket), not O(bucket²).
+    * Caller runs `spark.catalog.clearCache()` when done (the
+    * [[fuzzyDecontam]] convention).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val nb = bands(minhashSignature(batch))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusKeys = bands(minhashSignature(corpus))
+      .select(col("band"), col("bh")).distinct()
+    val vsCorpus = nb.join(corpusKeys, Seq("band", "bh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val inBatch = nb.withColumn("mn", min(col("doc_id")).over(wb))
+      .filter(col("mn") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(vsCorpus.withColumn("dvc", lit(true)), Seq("doc_id"), "left")
+      .join(inBatch.withColumn("dib", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dvc"), lit(false)).as("dup_vs_corpus"),
+        coalesce(col("dib"), lit(false)).as("dup_in_batch"),
+        (!coalesce(col("dvc"), lit(false)) &&
+          !coalesce(col("dib"), lit(false))).as("keep"))
+  }
 }

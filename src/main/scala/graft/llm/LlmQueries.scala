@@ -104,7 +104,14 @@ object LlmQueries extends QueryPack {
     // replace semantics DuckDB's RE2 lacks — BpeSpec hand-verifies the
     // merge table and encode/train equivalence on a known corpus
     "x48_bpe_train" -> ((s, dir) => Bpe.bpeTrain(docs(s, dir), nMerges = 12)),
-    "x49_source_overlap" -> ((s, dir) => TextOps.sourceOverlap(docs(s, dir)))
+    "x49_source_overlap" -> ((s, dir) => TextOps.sourceOverlap(docs(s, dir))),
+    // the ingest slice is the deterministic doc_id % 10 = 0 stand-in for
+    // "today's batch"; the other 90% plays the existing corpus
+    "x50_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+    })
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -671,6 +678,31 @@ object LlmQueries extends QueryPack {
          FROM sz sa JOIN sz sb ON sa.source < sb.source
          LEFT JOIN inter i
            ON i.src_a = sa.source AND i.src_b = sb.source""",
+
+    // incremental batch-vs-corpus gate: bands from the shared SIG_CTE
+    // pass, batch = doc_id % 10 = 0; corpus membership is an exists on
+    // the distinct corpus bucket-key set, in-batch dup is the per-bucket
+    // min-id rule (SIG_CTE's cand CTE goes unused here)
+    "x50_incremental_dedup" ->
+      s"""WITH $SIG_CTE,
+          nb AS (SELECT doc_id, band, bh FROM bands WHERE doc_id % 10 = 0),
+          cbk AS (SELECT DISTINCT band, bh FROM bands
+                  WHERE doc_id % 10 != 0),
+          vc AS (SELECT DISTINCT nb.doc_id
+                 FROM nb JOIN cbk ON nb.band = cbk.band AND nb.bh = cbk.bh),
+          ib AS (SELECT DISTINCT doc_id FROM (
+                   SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY band, bh) AS mn
+                   FROM nb) t
+                 WHERE mn < doc_id)
+          SELECT d.doc_id,
+            (vc.doc_id IS NOT NULL) AS dup_vs_corpus,
+            (ib.doc_id IS NOT NULL) AS dup_in_batch,
+            (vc.doc_id IS NULL AND ib.doc_id IS NULL) AS keep
+          FROM documents d
+          LEFT JOIN vc ON vc.doc_id = d.doc_id
+          LEFT JOIN ib ON ib.doc_id = d.doc_id
+          WHERE d.doc_id % 10 = 0""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

@@ -413,6 +413,29 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incrementalDedup: corpus hit, lower-id in-batch rule, short-doc pass") {
+    val corpus = docsDf(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "s"),
+      (101L, "completely different corpus material here today", "s")))
+    val batch = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"), // = corpus 100
+      (2L, "fresh unseen batch text alpha beta gamma", "s"),
+      (3L, "fresh unseen batch text alpha beta gamma", "s"),    // = batch 2
+      (4L, "another novel document with original words", "s"),
+      (5L, "hi there", "s")))                                    // <3 tokens
+    val res = Dedup.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("dup_vs_corpus"), r.getAs[Boolean]("dup_in_batch"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(res.size == 5)
+    assert(res(1L) == ((true, false, false)))
+    assert(res(2L) == ((false, false, true)))  // lower id of the pair kept
+    assert(res(3L) == ((false, true, false)))
+    assert(res(4L) == ((false, false, true)))
+    assert(res(5L) == ((false, false, true))) // no bands, never a dup
+    spark.catalog.clearCache()
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
