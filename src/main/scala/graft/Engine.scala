@@ -152,6 +152,9 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.TextOps.sourceOverlap(docs)
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     graft.llm.Dedup.incrementalDedup(corpus, batch)
+  /** shannon=true adds the entropy column (libm ln production route) */
+  def tokenDiversity(docs: DataFrame, shannon: Boolean = false): DataFrame =
+    graft.llm.TextOps.tokenDiversity(docs, shannon)
   def vocabularyCoverage(docs: DataFrame, topK: Int = 200,
       minCount: Long = 2L): DataFrame =
     graft.llm.TextOps.vocabCoverage(docs, topK, minCount)

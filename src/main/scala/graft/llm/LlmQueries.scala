@@ -111,7 +111,10 @@ object LlmQueries extends QueryPack {
       val d = docs(s, dir)
       Dedup.incrementalDedup(d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0))
-    })
+    }),
+    // the bit-exact rational route; the shannon=true entropy route is
+    // tolerance-spec'd in TextOpsSpec (lnWeights discipline)
+    "x51_token_diversity" -> ((s, dir) => TextOps.tokenDiversity(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -703,6 +706,20 @@ object LlmQueries extends QueryPack {
           LEFT JOIN vc ON vc.doc_id = d.doc_id
           LEFT JOIN ib ON ib.doc_id = d.doc_id
           WHERE d.doc_id % 10 = 0""",
+
+    // lexical diversity: all-integer Σc²/n² until the final double
+    // division + IEEE subtraction — bit-exact with no libm
+    "x51_token_diversity" ->
+      s"""WITH $TOKS_CTE,
+          tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sumsq
+                FROM tc GROUP BY 1)
+          SELECT doc_id, n_tokens, n_types,
+            CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+            1.0 - CAST(sumsq AS DOUBLE) /
+              CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+          FROM a""",
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

@@ -39,6 +39,48 @@ object TextOps {
         .as("n_bpe_ish"),
       ceil(length(col("text")) / 4.0).as("n_tokens_c4"))
 
+  /** per-doc token-distribution diversity — the lexical-diversity
+    * quality signals: type-token ratio, Gini–Simpson index
+    * `1 − Σ(c_t/n)²`, and (production route) Shannon entropy. A
+    * low-diversity doc is boilerplate or keyword stuffing; diversity
+    * complements the n-gram repetition signals (x23) by looking at the
+    * whole token DISTRIBUTION, not adjacent runs. Simpson stays
+    * ALL-RATIONAL — `Σc²` and `n²` are exact integers, one
+    * correctly-rounded double division and one IEEE subtraction — so
+    * the oracle gate is bit-exact. Entropy
+    * (`H = ln n − (Σ c·ln c)/n`) needs libm `ln`, whose last-ulp bits
+    * differ cross-engine, so it ships only on the `shannon = true`
+    * production route, tolerance-spec'd (the lnWeights discipline,
+    * x22/x24 precedent).
+    *
+    * Scale: one (doc_id, tok) hash agg — map-side combine collapses
+    * token multiplicities before the shuffle — then one doc_id agg;
+    * both linear, no window, no amplification beyond the tokenizer
+    * generate.
+    */
+  def tokenDiversity(docs: DataFrame, shannon: Boolean = false): DataFrame = {
+    val tc = tokens(docs).groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val aggs = Seq(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(col("c") * col("c")).as("sumsq")) ++
+      (if (shannon)
+        Seq(sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clnc"))
+      else Nil)
+    val agg = tc.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val n = col("n_tokens")
+    agg.select(Seq(col("doc_id"), n, col("n_types"),
+      (col("n_types").cast("double") / n.cast("double")).as("ttr"),
+      (lit(1.0) - col("sumsq").cast("double") / (n * n).cast("double"))
+        .as("simpson")) ++
+      (if (shannon)
+        Seq((log(n.cast("double")) - col("clnc") / n.cast("double"))
+          .as("entropy"))
+      else Nil): _*)
+  }
+
   /** tiny per-language stopword table for the lang-ID heuristic — joined
     * as a broadcast dimension, never a per-row closure.
     */

@@ -597,6 +597,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenDiversity: exact ttr/simpson; shannon entropy within 1e-12") {
+    val df = docsDf(Seq(
+      (0L, "a a b c", "en"),      // n=4 types=3 sumsq=6
+      (1L, "x x x x", "en"),      // degenerate: one type
+      (2L, "p q r s t", "en")))   // all distinct
+    val out = TextOps.tokenDiversity(df, shannon = true).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("ttr"), r.getAs[Double]("simpson"),
+          r.getAs[Double]("entropy")))).toMap
+    assert(out(0L)._1 == 4L && out(0L)._2 == 3L)
+    assert(out(0L)._3 == 0.75 && out(0L)._4 == 1.0 - 6.0 / 16.0)
+    val h0 = math.log(4.0) - (2.0 * math.log(2.0)) / 4.0
+    assert(math.abs(out(0L)._5 - h0) / h0 <= 1e-12)
+    assert(out(1L)._4 == 0.0 && math.abs(out(1L)._5) <= 1e-12)
+    assert(out(2L)._3 == 1.0 && out(2L)._4 == 1.0 - 5.0 / 25.0)
+    val h2 = math.log(5.0)
+    assert(math.abs(out(2L)._5 - h2) / h2 <= 1e-12)
+    // the oracle-gated route has no entropy column
+    assert(!TextOps.tokenDiversity(df).columns.contains("entropy"))
+  }
+
   test("quality gate: first failing rule wins; passing docs keep=true") {
     val longEn = (1 to 30).map(_ => "the cat of a house is in").mkString(" ")
     val df = docsDf(Seq(
