@@ -155,6 +155,10 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   /** shannon=true adds the entropy column (libm ln production route) */
   def tokenDiversity(docs: DataFrame, shannon: Boolean = false): DataFrame =
     graft.llm.TextOps.tokenDiversity(docs, shannon)
+  def lshRecallAudit(docs: DataFrame, sampleMod: Long = 20): DataFrame =
+    graft.llm.Dedup.lshRecallAudit(docs, sampleMod)
+  def splitLeakageAudit(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.splitLeakage(docs)
   def vocabularyCoverage(docs: DataFrame, topK: Int = 200,
       minCount: Long = 2L): DataFrame =
     graft.llm.TextOps.vocabCoverage(docs, topK, minCount)

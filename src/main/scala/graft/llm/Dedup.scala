@@ -468,4 +468,80 @@ object Dedup {
         (!coalesce(col("dvc"), lit(false)) &&
           !coalesce(col("dib"), lit(false))).as("keep"))
   }
+
+  /** LSH recall audit — the band-geometry tuning instrument: on a
+    * deterministic doc sample, compare every pair's EXACT shingle
+    * Jaccard against whether the banded MinHash pipeline surfaced it as
+    * a candidate, bucketed by J decile. The empirical hit rate per
+    * decile is the measured S-curve to hold against the theoretical
+    * `1 − (1 − J^r)^b` when choosing bands×rows for a recall target —
+    * the number you need BEFORE trusting a 100 TB dedup run, measured
+    * on the corpus's own text, not an iid model.
+    *
+    * Deliberate scale exception: the audit enumerates ALL pairs within
+    * the sample — the one place this library does quadratic work — so
+    * the sample must stay audit-sized (`sampleMod` keeps 1/sampleMod of
+    * docs; 250 docs → ~31k pairs). LSH collision is a pairwise property
+    * (signatures are per-doc), so banding the sample alone reproduces
+    * exactly the full-corpus collision outcome for sample pairs; pairs
+    * where either doc has no shingles (<3 tokens) have no defined J and
+    * are excluded. The shingle table persists — three branches (sizes +
+    * both sides of the intersection self-join) read it; caller runs
+    * `spark.catalog.clearCache()` (the [[fuzzyDecontam]] convention).
+    */
+  def lshRecallAudit(docs: DataFrame, sampleMod: Long = 20): DataFrame = {
+    val sample = docs.filter(col("doc_id") % sampleMod === 0)
+    val dsh = shingles(sample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // audit-sized all-pairs base (see scaladoc) — broadcastable by size
+    val pairsBase = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        col("doc_a") < col("doc_b"))
+    val inter = dsh.as("x")
+      .join(dsh.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val cand = candidatePairs(sample)
+      .withColumn("is_cand", lit(1L))
+    val i0 = coalesce(col("i"), lit(0L))
+    val jt = pairsBase
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(
+        least(floor(i0.cast("double") /
+          (col("sz_a") + col("sz_b") - i0).cast("double") * 10)
+          .cast("int"), lit(9)).as("j_bucket"),
+        coalesce(col("is_cand"), lit(0L)).as("is_cand"))
+    jt.groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("is_cand")).as("n_cand"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_cand"),
+        (col("n_cand").cast("double") / col("n_pairs").cast("double"))
+          .as("hit_rate"))
+  }
+
+  /** split-leakage audit — near-dup pairs that STRADDLE dataset splits:
+    * after [[graft.llm.Sampling.hashSplit]] assigns train/val/test, a
+    * near-duplicate pair with one foot in train and one in an eval
+    * split silently inflates eval scores (the within-corpus twin of
+    * [[fuzzyDecontam]]'s external-benchmark check). Emits each
+    * straddling candidate pair with both splits — run it green (or
+    * explain every row) before trusting a held-out number.
+    *
+    * Scale: candidate generation is the bucketed [[candidatePairs]]
+    * pass; split assignment is a pure per-row hash — two id-keyed
+    * joins of split labels onto the pair set, linear throughout.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val sp = docs.select(col("doc_id"),
+      Sampling.hashSplit(col("doc_id"), "split").as("split"))
+    candidatePairs(docs)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
 }

@@ -114,7 +114,9 @@ object LlmQueries extends QueryPack {
     }),
     // the bit-exact rational route; the shannon=true entropy route is
     // tolerance-spec'd in TextOpsSpec (lnWeights discipline)
-    "x51_token_diversity" -> ((s, dir) => TextOps.tokenDiversity(docs(s, dir)))
+    "x51_token_diversity" -> ((s, dir) => TextOps.tokenDiversity(docs(s, dir))),
+    "x52_lsh_recall_audit" -> ((s, dir) => Dedup.lshRecallAudit(docs(s, dir))),
+    "x53_split_leakage" -> ((s, dir) => Dedup.splitLeakage(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -720,6 +722,59 @@ object LlmQueries extends QueryPack {
             1.0 - CAST(sumsq AS DOUBLE) /
               CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
           FROM a""",
+
+    // LSH S-curve audit on the doc_id % 20 = 0 sample: exact shingle
+    // Jaccard per sample pair (both docs must have shingles) vs banded
+    // candidate membership; collision is pairwise, so full-corpus cand
+    // restricted to the sample equals sample-only banding
+    "x52_lsh_recall_audit" ->
+      s"""WITH $SIG_CTE,
+          dsh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+          sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+          pairs AS (SELECT a.doc_id AS doc_a, a.sz AS sz_a,
+                      b.doc_id AS doc_b, b.sz AS sz_b
+                    FROM sz a JOIN sz b ON a.doc_id < b.doc_id),
+          inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      count(*) AS i
+                    FROM dsh x JOIN dsh y
+                      ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2),
+          c2 AS (SELECT doc_a, doc_b, 1 AS is_cand FROM cand
+                 WHERE doc_a % 20 = 0 AND doc_b % 20 = 0),
+          jt AS (SELECT least(CAST(floor(
+                     CAST(coalesce(i.i, 0) AS DOUBLE) /
+                     CAST(p.sz_a + p.sz_b - coalesce(i.i, 0) AS DOUBLE)
+                     * 10) AS INT), 9) AS j_bucket,
+                   CAST(coalesce(c.is_cand, 0) AS BIGINT) AS is_cand
+                 FROM pairs p
+                 LEFT JOIN inter i
+                   ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+                 LEFT JOIN c2 c
+                   ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+          SELECT j_bucket, count(*) AS n_pairs,
+            CAST(sum(is_cand) AS BIGINT) AS n_cand,
+            CAST(sum(is_cand) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              AS hit_rate
+          FROM jt GROUP BY 1""",
+
+    // near-dup pairs straddling the x17 hash split — the within-corpus
+    // leakage audit
+    "x53_split_leakage" -> {
+      def u32(expr: String) =
+        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+      def splitOf(idCol: String) = {
+        val u = u32(s"'split' || ':' || CAST($idCol AS VARCHAR)")
+        s"""CASE WHEN $u < ${math.floor(0.8 * 4294967296.0).toLong} THEN 'train'
+                 WHEN $u < ${math.floor(0.9 * 4294967296.0).toLong} THEN 'val'
+                 ELSE 'test' END"""
+      }
+      s"""WITH $SIG_CTE
+          SELECT doc_a, doc_b,
+            ${splitOf("doc_a")} AS split_a,
+            ${splitOf("doc_b")} AS split_b
+          FROM cand
+          WHERE ${splitOf("doc_a")} != ${splitOf("doc_b")}"""
+    },
 
     // REAL mp4 frame decode: the engine demuxes the raw-luma track
     // (stsd/stts/stsz/stco) and slices frames out of mdat; the oracle

@@ -436,6 +436,50 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lshRecallAudit: identical pair hits decile 9, disjoint pairs miss") {
+    val df = docsDf(Seq(
+      (0L, "w1 w2 w3 w4 w5 w6", "s"),
+      (1L, "w1 w2 w3 w4 w5 w6", "s"),    // J(0,1) = 1 and a sure candidate
+      (2L, "z1 z2 z3 z4", "s"),          // J vs 0/1 = 0, no collision
+      (3L, "a b", "s")))                 // no shingles — excluded
+    val out = Dedup.lshRecallAudit(df, sampleMod = 1).collect()
+      .map(r => r.getAs[Int]("j_bucket") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_cand"),
+          r.getAs[Double]("hit_rate")))).toMap
+    assert(out.size == 2)
+    assert(out(9) == ((1L, 1L, 1.0)))
+    assert(out(0) == ((2L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
+
+  /** independent md5 reference for Sampling.hashSplit (seed "split") */
+  private def splitOf(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    if (u < math.floor(0.8 * 4294967296.0).toLong) "train"
+    else if (u < math.floor(0.9 * 4294967296.0).toLong) "val"
+    else "test"
+  }
+
+  test("splitLeakage: exactly the cross-split near-dup pairs surface") {
+    // 0, 1 → train; 10 → test; 31 → val (independent reference below)
+    val ids = Seq(0L, 1L, 10L, 31L)
+    assert(ids.map(splitOf).toSet.size == 3)
+    val df = docsDf(
+      ids.map(i => (i, "shared leaking passage one two three four", "s")) :+
+        (2L, "entirely different innocent content here", "s"))
+    val out = Dedup.splitLeakage(df).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"))).toSet
+    val expected = (for {
+      a <- ids; b <- ids if a < b && splitOf(a) != splitOf(b)
+    } yield (a, b, splitOf(a), splitOf(b))).toSet
+    assert(expected.size == 5) // (0,1) train-train stays out
+    assert(out == expected)
+  }
+
   test("pipeline manifest equals the manual composition of its gates") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map { i =>
