@@ -91,10 +91,11 @@ object Bench {
   }
 
   /** the headline doc-pipeline queries the amplified mode times — the
-    * most expensive queries of BENCH_r07, all reading `documents` only
+    * most expensive queries of BENCH_r07 plus the round-8 ingest/leakage
+    * gates (x50/x53), all reading `documents` only
     */
   private val AmplifySet =
-    "^(x02|x03|x16|x21|x22|x23|x30|x33|x36|x38)"
+    "^(x02|x03|x16|x21|x22|x23|x30|x33|x36|x38|x50|x53)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
