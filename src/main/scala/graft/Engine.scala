@@ -152,11 +152,19 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.TextOps.sourceOverlap(docs)
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     graft.llm.Dedup.incrementalDedup(corpus, batch)
+  /** storable ingest index (distinct band bucket keys) for the form below */
+  def dedupBandIndex(corpus: DataFrame): DataFrame =
+    graft.llm.Dedup.bandKeyIndex(corpus)
+  def incrementalDedupWithIndex(index: DataFrame, batch: DataFrame): DataFrame =
+    graft.llm.Dedup.incrementalDedupWithIndex(index, batch)
   /** shannon=true adds the entropy column (libm ln production route) */
   def tokenDiversity(docs: DataFrame, shannon: Boolean = false): DataFrame =
     graft.llm.TextOps.tokenDiversity(docs, shannon)
   def lshRecallAudit(docs: DataFrame, sampleMod: Long = 20): DataFrame =
     graft.llm.Dedup.lshRecallAudit(docs, sampleMod)
+  def corpusDrift(docsA: DataFrame, docsB: DataFrame, topK: Int = 100,
+      minCount: Long = 5L): DataFrame =
+    graft.llm.TextOps.corpusDrift(docsA, docsB, topK, minCount)
   def splitLeakageAudit(docs: DataFrame): DataFrame =
     graft.llm.Dedup.splitLeakage(docs)
   def vocabularyCoverage(docs: DataFrame, topK: Int = 200,

@@ -447,11 +447,26 @@ object Dedup {
     * Caller runs `spark.catalog.clearCache()` when done (the
     * [[fuzzyDecontam]] convention).
     */
-  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    incrementalDedupWithIndex(bandKeyIndex(corpus), batch)
+
+  /** the storable ingest index: the corpus's distinct (band, bh) bucket
+    * keys. Write it once (plain parquet), reload for every ingest, and
+    * append the kept batch docs' keys after each [[incrementalDedupWithIndex]]
+    * gate — the corpus text is never re-signed.
+    */
+  def bandKeyIndex(corpus: DataFrame): DataFrame =
+    bands(minhashSignature(corpus))
+      .select(col("band"), col("bh")).distinct()
+
+  /** [[incrementalDedup]] against a pre-built [[bandKeyIndex]] — the
+    * form a deployment actually runs per ingest (index loaded from
+    * storage, corpus-signature cost amortized to zero).
+    */
+  def incrementalDedupWithIndex(corpusKeys: DataFrame,
+      batch: DataFrame): DataFrame = {
     val nb = bands(minhashSignature(batch))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusKeys = bands(minhashSignature(corpus))
-      .select(col("band"), col("bh")).distinct()
     val vsCorpus = nb.join(corpusKeys, Seq("band", "bh"), "left_semi")
       .select(col("doc_id")).distinct()
     val wb = org.apache.spark.sql.expressions.Window

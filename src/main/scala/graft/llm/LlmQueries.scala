@@ -116,7 +116,13 @@ object LlmQueries extends QueryPack {
     // tolerance-spec'd in TextOpsSpec (lnWeights discipline)
     "x51_token_diversity" -> ((s, dir) => TextOps.tokenDiversity(docs(s, dir))),
     "x52_lsh_recall_audit" -> ((s, dir) => Dedup.lshRecallAudit(docs(s, dir))),
-    "x53_split_leakage" -> ((s, dir) => Dedup.splitLeakage(docs(s, dir)))
+    "x53_split_leakage" -> ((s, dir) => Dedup.splitLeakage(docs(s, dir))),
+    // slice stand-ins for "crawl N vs crawl N+1": doc_id parity
+    "x54_corpus_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.corpusDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+    })
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -756,6 +762,35 @@ object LlmQueries extends QueryPack {
             CAST(sum(is_cand) AS DOUBLE) / CAST(count(*) AS DOUBLE)
               AS hit_rate
           FROM jt GROUP BY 1""",
+
+    // per-token chi-square drift between the doc_id-parity slices:
+    // integer counts; expected values + contributions are fixed-order
+    // double arithmetic mirrored op-for-op against the Spark plan
+    "x54_corpus_drift" ->
+      s"""WITH $TOKS_CTE,
+          ca AS (SELECT tok, count(*) AS c FROM toks
+                 WHERE doc_id % 2 = 0 GROUP BY 1),
+          cb AS (SELECT tok, count(*) AS c FROM toks
+                 WHERE doc_id % 2 = 1 GROUP BY 1),
+          tc AS (SELECT tok, CAST(coalesce(ca.c, 0) AS BIGINT) AS c_a,
+                   CAST(coalesce(cb.c, 0) AS BIGINT) AS c_b
+                 FROM ca FULL OUTER JOIN cb USING (tok)),
+          tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                    CAST(sum(c_b) AS BIGINT) AS n_b FROM tc),
+          r AS (SELECT tok, c_a, c_b,
+                  row_number() OVER (ORDER BY c_a + c_b DESC, tok) AS rank
+                FROM tc WHERE c_a + c_b >= 5),
+          e AS (SELECT rank, tok, c_a, c_b,
+                  CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE) /
+                    CAST(n_a + n_b AS DOUBLE) AS e_a,
+                  CAST(c_a + c_b AS DOUBLE) * CAST(n_b AS DOUBLE) /
+                    CAST(n_a + n_b AS DOUBLE) AS e_b
+                FROM r, tot WHERE rank <= 100)
+          SELECT CAST(rank AS BIGINT) AS rank, tok, c_a, c_b,
+            (CAST(c_a AS DOUBLE) - e_a) * (CAST(c_a AS DOUBLE) - e_a) / e_a
+              + (CAST(c_b AS DOUBLE) - e_b) * (CAST(c_b AS DOUBLE) - e_b)
+                / e_b AS chi2
+          FROM e""",
 
     // near-dup pairs straddling the x17 hash split — the within-corpus
     // leakage audit

@@ -81,6 +81,53 @@ object TextOps {
       else Nil): _*)
   }
 
+  /** corpus drift monitor — per-token chi-square contributions between
+    * two corpus slices (yesterday's ingest vs today's, crawl N vs
+    * crawl N+1): for each high-frequency token, how far its observed
+    * split count deviates from the expected proportional split. The
+    * top-K contributors ARE the drift report — a changed boilerplate
+    * header, a new spam campaign, or a source mix shift surfaces as
+    * named tokens, which is what an operator acts on (a single scalar
+    * divergence would only say "something changed"). All-integer counts;
+    * expected values and contributions are fixed-order double
+    * arithmetic mirrored operation-for-operation in the oracle —
+    * bit-exact with no libm.
+    *
+    * Scale: one (tok) hash agg per slice (map-side combined), a
+    * vocab-sized full-outer merge, and a 1-row totals broadcast. The
+    * global rank window runs only over tokens with combined count ≥
+    * `minCount` — the long tail never enters the single-partition sort
+    * (the [[vocabCoverage]] discipline), so its input is bounded by the
+    * head vocabulary, not the corpus. The merged count table persists —
+    * totals and ranking both read it. Caller runs
+    * `spark.catalog.clearCache()`.
+    */
+  def corpusDrift(docsA: DataFrame, docsB: DataFrame, topK: Int = 100,
+      minCount: Long = 5L): DataFrame = {
+    val ca = tokens(docsA).groupBy(col("tok")).agg(count(lit(1)).as("c_a"))
+    val cb = tokens(docsB).groupBy(col("tok")).agg(count(lit(1)).as("c_b"))
+    val tc = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = tc.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy((col("c_a") + col("c_b")).desc, col("tok").asc)
+    val t = (col("c_a") + col("c_b")).cast("double")
+    val dA = col("c_a").cast("double") - col("e_a")
+    val dB = col("c_b").cast("double") - col("e_b")
+    tc.filter(col("c_a") + col("c_b") >= minCount)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(totals))
+      .withColumn("e_a", t * col("n_a").cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("e_b", t * col("n_b").cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .select(col("rank"), col("tok"), col("c_a"), col("c_b"),
+        (dA * dA / col("e_a") + dB * dB / col("e_b")).as("chi2"))
+  }
+
   /** tiny per-language stopword table for the lang-ID heuristic — joined
     * as a broadcast dimension, never a per-row closure.
     */

@@ -436,6 +436,25 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incrementalDedup ≡ gate against a parquet-round-tripped band index") {
+    val corpus = docsDf(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "s"),
+      (101L, "completely different corpus material here today", "s")))
+    val batch = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"),
+      (2L, "fresh unseen batch text alpha beta gamma", "s")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("band_index").toString + "/idx.parquet"
+    Dedup.bandKeyIndex(corpus).write.parquet(dir)
+    val viaIndex = Dedup
+      .incrementalDedupWithIndex(spark.read.parquet(dir), batch)
+      .collect().map(_.toSeq).toSet
+    val direct = Dedup.incrementalDedup(corpus, batch)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("lshRecallAudit: identical pair hits decile 9, disjoint pairs miss") {
     val df = docsDf(Seq(
       (0L, "w1 w2 w3 w4 w5 w6", "s"),
@@ -449,6 +468,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.size == 2)
     assert(out(9) == ((1L, 1L, 1.0)))
     assert(out(0) == ((2L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
+
+  test("corpusDrift: hand-computed chi-square, count-then-token ranking") {
+    val a = docsDf(Seq((0L, "a a a b", "s")))
+    val b = docsDf(Seq((1L, "a b b b", "s")))
+    val out = TextOps.corpusDrift(a, b, topK = 10, minCount = 1L).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+          r.getAs[Double]("chi2")))).toMap
+    // e_a = e_b = 2 for both tokens; chi2 = 1/2 + 1/2 = 1 exactly
+    assert(out.size == 2)
+    assert(out("a") == ((1L, 3L, 1L, 1.0)))  // tie on count → token asc
+    assert(out("b") == ((2L, 1L, 3L, 1.0)))
     spark.catalog.clearCache()
   }
 
