@@ -265,4 +265,31 @@ object StreamOps {
     runToTable(TextOps.dsirScore(incoming, ratios), "st_dsir_gate",
       "append")
   }
+
+  /** st11 — the streaming twin of x50's incremental ingest gate, closing
+    * the production loop: the batch side builds the corpus
+    * [[graft.llm.Dedup.bandKeyIndex]] ONCE (in deployment: loaded from
+    * parquet, re-broadcast when the corpus grows), and new documents
+    * stream through a STATELESS near-dup check against it — in-row band
+    * signatures ([[graft.llm.Dedup.bandsInRow]], bit-identical to the
+    * grouped batch path), one broadcast equi-join on (band, bh), no
+    * watermark, no state store. Emits the colliding band rows
+    * (doc_id, band, bh) — the append-mode-deterministic multiset, st09's
+    * shape; the consumer's batch-side rollup of distinct doc_ids is the
+    * drop list (x50's `dup_vs_corpus` exactly). In-batch duplicates are
+    * deliberately out of streaming scope (they need per-doc state); the
+    * batch [[graft.llm.Dedup.incrementalDedup]] covers them per ingest.
+    */
+  def ingestDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    val index = Dedup.bandKeyIndex(
+      graft.core.Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 0))
+    val incoming = fileStream(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val hits = Dedup.bandsInRow(incoming)
+      .join(broadcast(index), Seq("band", "bh"), "left_semi")
+      .select(col("doc_id"), col("band"), col("bh"))
+    runToTable(hits, "st_ingest_dedup_gate", "append")
+  }
 }

@@ -24,7 +24,9 @@ object StreamQueries extends QueryPack {
       StreamOps.clickPurchaseJoin(s, dir)),
     "st08_stream_clean_docs" -> ((s, dir) => StreamOps.cleanDocs(s, dir)),
     "st09_decontam_gate" -> ((s, dir) => StreamOps.decontamGate(s, dir)),
-    "st10_dsir_gate" -> ((s, dir) => StreamOps.dsirGate(s, dir))
+    "st10_dsir_gate" -> ((s, dir) => StreamOps.dsirGate(s, dir)),
+    "st11_ingest_dedup_gate" -> ((s, dir) =>
+      StreamOps.ingestDedupGate(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -153,6 +155,17 @@ object StreamQueries extends QueryPack {
     // batch-fit/stream-score DSIR == the x43 batch computation over the
     // same bounded input: the fitted ratio literal makes the streaming
     // side a pure projection, so the appended rows are exactly x43's
-    "st10_dsir_gate" -> graft.llm.LlmQueries.DsirSql
+    "st10_dsir_gate" -> graft.llm.LlmQueries.DsirSql,
+
+    // streaming ingest gate == x50's dup_vs_corpus at band granularity:
+    // batch docs' band rows that exist in the corpus bucket-key set
+    "st11_ingest_dedup_gate" ->
+      s"""WITH ${graft.llm.LlmQueries.SIG_CTE}
+          SELECT t.doc_id, t.band, t.bh
+          FROM bands t
+          WHERE t.doc_id % 10 = 0 AND EXISTS (
+            SELECT 1 FROM bands c
+            WHERE c.doc_id % 10 != 0
+              AND c.band = t.band AND c.bh = t.bh)"""
   )
 }

@@ -41,4 +41,17 @@ class StreamCleanSpec extends SparkSpec {
     // the target slice never reaches the stream output
     assert(streamed.forall(_._1 % 10 != 0))
   }
+
+  test("ingestDedupGate distinct doc_ids equal x50's dup_vs_corpus set") {
+    val dir = "/root/testdata/sf0.001"
+    val streamedDocs = StreamOps.ingestDedupGate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val d = graft.core.Tables.load(spark, dir, "documents")
+    import org.apache.spark.sql.functions.col
+    val batchDup = graft.llm.Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+      .filter(col("dup_vs_corpus")).collect().map(_.getLong(0)).toSet
+    assert(streamedDocs == batchDup && streamedDocs.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
