@@ -186,4 +186,93 @@ class PipelinePropsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("sourceOverlap matches an independent set-Jaccard on random corpora") {
+    val rows = randCorpus(seed = 47, nDocs = 80, vocab = 25, maxLen = 12)
+    val vocabBySrc = rows.groupBy(_._3)
+      .map { case (s, xs) => s -> xs.flatMap(_._2.split(" ")).toSet }
+    val out = TextOps.sourceOverlap(docsDf(rows)).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))).toMap
+    val srcs = vocabBySrc.keys.toSeq.sorted
+    val expPairs = for (a <- srcs; b <- srcs if a < b) yield (a, b)
+    assert(out.keySet == expPairs.toSet)
+    expPairs.foreach { case (a, b) =>
+      val (va, vb) = (vocabBySrc(a), vocabBySrc(b))
+      val inter = (va & vb).size.toLong
+      val j = inter.toDouble / (va.size + vb.size - inter).toDouble
+      assert(out((a, b)) == ((va.size.toLong, vb.size.toLong, inter, j)))
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("tokenDiversity matches an independent count-based recomputation") {
+    val rows = randCorpus(seed = 48, nDocs = 100, vocab = 12, maxLen = 20)
+    val out = TextOps.tokenDiversity(docsDf(rows)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("ttr"), r.getAs[Double]("simpson")))).toMap
+    rows.foreach { case (id, text, _) =>
+      val counts = text.split(" ").groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val sumsq = counts.map(c => c * c).sum
+      val exp = (n, counts.size.toLong,
+        counts.size.toLong.toDouble / n.toDouble,
+        1.0 - sumsq.toDouble / (n * n).toDouble)
+      assert(out(id) == exp, s"doc $id")
+      assert(exp._4 >= 0.0 && exp._4 < 1.0)
+    }
+  }
+
+  test("incrementalDedup invariants: exact cover of the batch, copied " +
+      "text always flagged vs corpus, keep = neither flag") {
+    val corpusRows = randCorpus(seed = 49, nDocs = 40, vocab = 20,
+      maxLen = 15)
+    val rnd = new Random(50)
+    // half the batch copies corpus texts (re-keyed), half is fresh
+    val batchRows = (0 until 20).map { i =>
+      val id = 1000L + i
+      if (i % 2 == 0) (id, corpusRows(rnd.nextInt(corpusRows.size))._2, "b")
+      else (id, Seq.fill(5)(s"fresh${rnd.nextInt(50)}").mkString(" "), "b")
+    }
+    val res = Dedup.incrementalDedup(docsDf(corpusRows), docsDf(batchRows))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("dup_vs_corpus"), r.getAs[Boolean]("dup_in_batch"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(res.keySet == batchRows.map(_._1).toSet)
+    batchRows.foreach { case (id, text, _) =>
+      val (dvc, dib, keep) = res(id)
+      assert(keep == (!dvc && !dib), s"doc $id")
+      // an exact copy of a >=3-token corpus doc shares every band
+      if (id % 2 == 0 && text.split(" ").length >= 3)
+        assert(dvc, s"copied doc $id must flag vs corpus")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("corpusDrift: chi2 >= 0 and bitwise-symmetric under slice swap") {
+    val rows = randCorpus(seed = 51, nDocs = 120, vocab = 15, maxLen = 10)
+    val (a, b) = rows.partition(_._1 % 2 == 0)
+    val fwd = TextOps.corpusDrift(docsDf(a), docsDf(b), topK = 50,
+      minCount = 1L).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+          r.getAs[Double]("chi2")))).toMap
+    val rev = TextOps.corpusDrift(docsDf(b), docsDf(a), topK = 50,
+      minCount = 1L).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+          r.getAs[Double]("chi2")))).toMap
+    assert(fwd.nonEmpty && fwd.keySet == rev.keySet)
+    fwd.foreach { case (tok, (rank, ca, cb, chi2)) =>
+      assert(chi2 >= 0.0, s"$tok")
+      // swapped slices: counts swap, rank and chi2 identical (IEEE
+      // addition is commutative; both expected values swap roles)
+      assert(rev(tok) == ((rank, cb, ca, chi2)), s"$tok")
+    }
+    spark.catalog.clearCache()
+  }
 }
