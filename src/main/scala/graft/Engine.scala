@@ -165,6 +165,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def corpusDrift(docsA: DataFrame, docsB: DataFrame, topK: Int = 100,
       minCount: Long = 5L): DataFrame =
     graft.llm.TextOps.corpusDrift(docsA, docsB, topK, minCount)
+  def embeddingDrift(embeddings: DataFrame, centroidIds: Seq[Long]): DataFrame =
+    graft.llm.Similarity.embeddingDrift(embeddings, centroidIds)
   def splitLeakageAudit(docs: DataFrame): DataFrame =
     graft.llm.Dedup.splitLeakage(docs)
   def vocabularyCoverage(docs: DataFrame, topK: Int = 200,

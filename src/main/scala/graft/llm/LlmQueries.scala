@@ -122,7 +122,10 @@ object LlmQueries extends QueryPack {
       val d = docs(s, dir)
       TextOps.corpusDrift(d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 === 1))
-    })
+    }),
+    // vec_id parity slices against the pinned reference centroids
+    "x55_embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(embs(s, dir), CentroidIds))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -791,6 +794,45 @@ object LlmQueries extends QueryPack {
               + (CAST(c_b AS DOUBLE) - e_b) * (CAST(c_b AS DOUBLE) - e_b)
                 / e_b AS chi2
           FROM e""",
+
+    // embedding-space drift: x32's nearest-centroid assignment (the
+    // native cosine_sim ≡ list_reduce equivalence is the x15/x32
+    // precedent), then x54's chi-square pipeline over cluster occupancy
+    "x55_embedding_drift" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, v AS cv FROM ev
+                 WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          a1 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                   FROM (SELECT e.vec_id, c.cid,
+                           ${cos("e.v", "c.cv")} AS ccos
+                         FROM ev e, c0 c))
+                 WHERE rn = 1),
+          tc AS (SELECT cid,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c_a,
+                   CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c_b
+                 FROM a1 GROUP BY cid),
+          tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                    CAST(sum(c_b) AS BIGINT) AS n_b FROM tc),
+          e AS (SELECT cid, c_a, c_b,
+                  CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE) /
+                    CAST(n_a + n_b AS DOUBLE) AS e_a,
+                  CAST(c_a + c_b AS DOUBLE) * CAST(n_b AS DOUBLE) /
+                    CAST(n_a + n_b AS DOUBLE) AS e_b
+                FROM tc, tot)
+          SELECT cid AS cluster, c_a, c_b,
+            (CAST(c_a AS DOUBLE) - e_a) * (CAST(c_a AS DOUBLE) - e_a) / e_a
+              + (CAST(c_b AS DOUBLE) - e_b) * (CAST(c_b AS DOUBLE) - e_b)
+                / e_b AS chi2
+          FROM e"""
+    },
 
     // near-dup pairs straddling the x17 hash split — the within-corpus
     // leakage audit

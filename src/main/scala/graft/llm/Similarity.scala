@@ -568,4 +568,46 @@ object Similarity {
       .groupBy(col("cid")).agg(count(lit(1)).as("csz"))
       .filter(col("csz") > maxCluster)
   }
+
+  /** embedding-space drift monitor — the vector twin of
+    * [[graft.llm.TextOps.corpusDrift]]: both slices (crawl N vs N+1,
+    * `isA` picks the membership) are assigned to the SAME fixed
+    * reference centroids, and each cluster's chi-square contribution
+    * measures how far the new slice's occupancy deviates from the
+    * expected proportional split. A topic/modality shift the token
+    * monitor can't see (same vocabulary, different semantics) surfaces
+    * as named clusters — actionable like x54's named tokens. Counts are
+    * exact integers; the chi-square arithmetic is the identical
+    * fixed-order double pipeline as x54 — bit-exact, no libm (cosine
+    * assignment uses only +,*,/,sqrt — all IEEE-correctly-rounded).
+    *
+    * Scale: one corpus scan for the broadcast-centroid 1-NN assignment
+    * (the [[kmeansAtScale]] assignment discipline), one centroid-sized
+    * count agg (map-side combined), a 1-row totals broadcast. The tiny
+    * count table persists (totals + output both read it); caller runs
+    * `spark.catalog.clearCache()`.
+    */
+  def embeddingDrift(embeddings: DataFrame, initIds: Seq[Long],
+      isA: Column = col("vec_id") % 2 === 0): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val tc = assign1nn(e, cents)
+      .groupBy(col("cid"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("c_a"),
+        sum(when(isA, 0L).otherwise(1L)).as("c_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = tc.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val t = (col("c_a") + col("c_b")).cast("double")
+    val dA = col("c_a").cast("double") - col("e_a")
+    val dB = col("c_b").cast("double") - col("e_b")
+    tc.crossJoin(broadcast(totals))
+      .withColumn("e_a", t * col("n_a").cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("e_b", t * col("n_b").cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .select(col("cid").as("cluster"), col("c_a"), col("c_b"),
+        (dA * dA / col("e_a") + dB * dB / col("e_b")).as("chi2"))
+  }
 }

@@ -485,6 +485,23 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("embeddingDrift: hand-computed cluster-occupancy chi-square") {
+    val df = embDf(Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),        // the two centroids
+      (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.2f)), // cluster 0, slice A
+      (5L, Seq(0.7f, 0.3f)),                        // cluster 0, slice B
+      (3L, Seq(0.1f, 0.9f))))                       // cluster 1, slice B
+    val out = Similarity.embeddingDrift(df, Seq(0L, 1L)).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+          r.getAs[Double]("chi2")))).toMap
+    assert(out.size == 2)
+    // cluster 0: {0,2,4 | 5}: e=2 each → 1/2 + 1/2; cluster 1: {∅ | 1,3}
+    assert(out(0L) == ((3L, 1L, 1.0)))
+    assert(out(1L) == ((0L, 2L, 2.0)))
+    spark.catalog.clearCache()
+  }
+
   /** independent md5 reference for Sampling.hashSplit (seed "split") */
   private def splitOf(id: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
