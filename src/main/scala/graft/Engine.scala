@@ -137,6 +137,9 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Multimodal.videoFrames(media)
   def capDomains(docs: DataFrame): DataFrame =
     graft.llm.Sampling.domainCap(docs)
+  /** bit-identical to capDomains with bounded window partitions */
+  def capDomainsAtScale(docs: DataFrame, shards: Int = 16): DataFrame =
+    graft.llm.Sampling.domainCapAtScale(docs, shards)
   def fuzzyDecontaminate(docs: DataFrame, evalMod: Long = 10): DataFrame =
     graft.llm.Dedup.fuzzyDecontam(docs, evalMod)
   def heavyHitterAudit(docs: DataFrame, phiDen: Long = 100L): DataFrame =

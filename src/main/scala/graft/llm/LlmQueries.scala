@@ -82,7 +82,10 @@ object LlmQueries extends QueryPack {
     "x33_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(docs(s, dir))),
     "x34_semdedup" -> ((s, dir) =>
       Similarity.semDedup(embs(s, dir), CentroidIds)),
-    "x35_domain_cap" -> ((s, dir) => Sampling.domainCap(docs(s, dir))),
+    // exercises the sharded 100 TB path — bit-identical to domainCap
+    // (DedupSpec asserts the equality), so the same oracle gates both
+    "x35_domain_cap" -> ((s, dir) =>
+      Sampling.domainCapAtScale(docs(s, dir))),
     "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir))),
     "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir))),
     "x38_pipeline_manifest" -> ((s, dir) => Pipeline.manifest(docs(s, dir))),

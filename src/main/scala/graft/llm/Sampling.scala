@@ -71,8 +71,8 @@ object Sampling {
     *
     * One shuffle on `source` (the two windows share its partitioning);
     * everything else is per-row hash/integer arithmetic. A pathological
-    * mega-domain is ONE window partition — at 100 TB pre-shard such
-    * domains by a secondary hash prefix (same cap math per shard).
+    * mega-domain is ONE window partition here — [[domainCapAtScale]] is
+    * the 100 TB default: bit-identical output, bounded partitions.
     */
   def domainCap(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -84,6 +84,50 @@ object Sampling {
           .as("u32"))
       .withColumn("n_source", count(lit(1)).over(wc))
       .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cap", ceil(sqrt(col("n_source"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("cap"),
+        col("rk"), (col("rk") <= col("cap")).as("kept"))
+  }
+
+  /** [[domainCap]] with BOUNDED window partitions — the 100 TB default,
+    * BIT-IDENTICAL output (spec-asserted and oracle-green on x35): the
+    * rank hash's high bits pre-shard every source into `shards`
+    * contiguous u32 ranges, so a source's global hash rank decomposes
+    * exactly as (count in lower shards) + (rank within own shard) —
+    * shard = u32 prefix means the per-shard (u32, doc_id) order IS the
+    * global order restricted to the shard. The per-(source, shard)
+    * count table is sources × shards rows (tiny → broadcast), and the
+    * ranking window partitions by (source, shard): a mega-domain
+    * becomes `shards` bounded partitions instead of one. Raise
+    * `shards` (power of two) with corpus size; the cap math never
+    * changes.
+    */
+  def domainCapAtScale(docs: DataFrame, shards: Int = 16): DataFrame = {
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      "shards must be a power of two (u32-prefix ranges)")
+    val width = 4294967296L / shards
+    val base = docs.select(col("doc_id"), col("source"),
+        hashU32(concat(col("source"), lit("/"), col("doc_id")), "cap")
+          .as("u32"))
+      .withColumn("shard", expr(s"u32 div $width").cast("int"))
+    val wsrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("shard"))
+    val wtot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val shardCounts = base.groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("sc"))
+      .withColumn("cum_before", coalesce(sum(col("sc")).over(
+        wsrc.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_source", sum(col("sc")).over(wtot))
+      .select(col("source"), col("shard"), col("cum_before"),
+        col("n_source"))
+    val wns = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard"))
+      .orderBy(col("u32"), col("doc_id"))
+    base.join(broadcast(shardCounts), Seq("source", "shard"))
+      .withColumn("rk",
+        (col("cum_before") + row_number().over(wns)).cast("long"))
       .withColumn("cap", ceil(sqrt(col("n_source"))).cast("long"))
       .select(col("doc_id"), col("source"), col("n_source"), col("cap"),
         col("rk"), (col("rk") <= col("cap")).as("kept"))

@@ -187,6 +187,19 @@ class PipelinePropsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("domainCapAtScale is bitwise-identical to domainCap on random " +
+      "corpora, at several shard counts") {
+    val rows = randCorpus(seed = 52, nDocs = 200, vocab = 30, maxLen = 6)
+    val df = docsDf(rows)
+    val plain = Sampling.domainCap(df).collect()
+      .map(_.toSeq).toSet
+    Seq(2, 16, 256).foreach { shards =>
+      val sharded = Sampling.domainCapAtScale(df, shards).collect()
+        .map(_.toSeq).toSet
+      assert(sharded == plain, s"shards=$shards")
+    }
+  }
+
   test("sourceOverlap matches an independent set-Jaccard on random corpora") {
     val rows = randCorpus(seed = 47, nDocs = 80, vocab = 25, maxLen = 12)
     val vocabBySrc = rows.groupBy(_._3)
