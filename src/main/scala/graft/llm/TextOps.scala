@@ -95,12 +95,15 @@ object TextOps {
     *
     * Scale: one (tok) hash agg per slice (map-side combined), a
     * vocab-sized full-outer merge, and a 1-row totals broadcast. The
-    * global rank window runs only over tokens with combined count ≥
-    * `minCount` — the long tail never enters the single-partition sort
-    * (the [[vocabCoverage]] discipline), so its input is bounded by the
-    * head vocabulary, not the corpus. The merged count table persists —
-    * totals and ranking both read it. Caller runs
-    * `spark.catalog.clearCache()`.
+    * top-K contributors come from a distributed
+    * `orderBy(...).limit(topK)` (`TakeOrderedAndProject` — bounded
+    * per-partition heaps, r8 verdict task 1; the previous global rank
+    * window pushed every `minCount` survivor through one task's sort,
+    * and at corpus scale `minCount = 5` bounds nothing). The rank
+    * window then orders only the ≤ topK survivors — same
+    * `(combined desc, tok asc)` tie-break, bit-identical output. The
+    * merged count table persists — totals and ranking both read it.
+    * Caller runs `spark.catalog.clearCache()`.
     */
   def corpusDrift(docsA: DataFrame, docsB: DataFrame, topK: Int = 100,
       minCount: Long = 5L): DataFrame = {
@@ -117,8 +120,8 @@ object TextOps {
     val dA = col("c_a").cast("double") - col("e_a")
     val dB = col("c_b").cast("double") - col("e_b")
     tc.filter(col("c_a") + col("c_b") >= minCount)
+      .orderBy((col("c_a") + col("c_b")).desc, col("tok").asc).limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
       .crossJoin(broadcast(totals))
       .withColumn("e_a", t * col("n_a").cast("double") /
         (col("n_a") + col("n_b")).cast("double"))
@@ -500,12 +503,18 @@ object TextOps {
     * Scale shape: one token hash agg (map-side combined), PERSISTED —
     * the count table is vocabulary-sized, and both the total and the
     * ranking read it without a second corpus pass (the x44 lesson:
-    * a branched frame recomputes its subtree). The global window runs
-    * over the `count >= minCount` survivors only — the tail never
-    * enters the sort, so the single-partition window is bounded by the
-    * candidate-vocabulary size (millions at worst), not the corpus.
-    * The final filter keeps the top `topK`. Caller runs
-    * `spark.catalog.clearCache()` when done.
+    * a branched frame recomputes its subtree). The top-K cut is a
+    * distributed `orderBy(...).limit(topK)` — Spark plans a
+    * `TakeOrderedAndProject` (per-partition bounded heaps, then a
+    * topK-sized driver merge), so NO task ever sorts more than its own
+    * partition's survivors (r8 verdict task 1: the previous global rank
+    * window funneled every `count >= minCount` token — hundreds of
+    * millions at corpus scale — into ONE task's sort). The rank and
+    * cumulative-share window then runs over the ≤ topK survivors only;
+    * the same `(count desc, token asc)` tie-break makes the pre-cut
+    * bit-identical to ranking the full table, and the cumulative sum
+    * at rank r ≤ topK only ever reads rows with rank ≤ r — all
+    * survivors. Caller runs `spark.catalog.clearCache()` when done.
     */
   def vocabCoverage(docs: DataFrame, topK: Int = 200,
       minCount: Long = 2L): DataFrame = {
@@ -516,12 +525,12 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("tok").asc)
     counts.filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("tok").asc).limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum", sum(col("c")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window
           .currentRow)))
-      .filter(col("rank") <= topK)
       .crossJoin(broadcast(total))
       .select(col("rank"), col("tok"), col("c"), col("cum"),
         (col("cum").cast("double") / col("total").cast("double"))
