@@ -128,7 +128,20 @@ object LlmQueries extends QueryPack {
     }),
     // vec_id parity slices against the pinned reference centroids
     "x55_embedding_drift" -> ((s, dir) =>
-      Similarity.embeddingDrift(embs(s, dir), CentroidIds))
+      Similarity.embeddingDrift(embs(s, dir), CentroidIds)),
+    // the kmeans-refined SemDeDup composition, oracle-exact form (the
+    // production route is semDedupRefined/kmeansAtScale, tied to this
+    // one by KmeansSpec — the x40-vs-x32 discipline)
+    "x56_semdedup_refined" -> ((s, dir) =>
+      Similarity.semDedupRefinedExact(embs(s, dir), CentroidIds)),
+    // ingest slice stand-in: vec_id % 10 = 0 plays "today's batch",
+    // the rest the existing corpus; demo 8-bit bands so collisions exist
+    "x57_emb_ingest_gate" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.embIngestGate(e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0), minCos = 0.3,
+        nBands = LshBands, bitsPerBand = LshBits)
+    })
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -138,11 +151,13 @@ object LlmQueries extends QueryPack {
   private val CentroidIds = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
 
   /** x06 LSH geometry: 4 bands × 8 md5-seeded hyperplane bits (32 distinct
-    * hyperplanes) over the 64-dim embeddings
+    * hyperplanes) over the 64-dim embeddings.
+    * private[graft]: the st12 streaming gate pins the same demo geometry
+    * so its oracle and the Spark side cannot drift.
     */
-  private val LshBands = 4
-  private val LshBits = 8
-  private val EmbDim = 64
+  private[graft] val LshBands = 4
+  private[graft] val LshBits = 8
+  private[graft] val EmbDim = 64
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -282,6 +297,26 @@ object LlmQueries extends QueryPack {
       }
     }.mkString(",\n")
 
+  /** hyperplane-sign band buckets (mirror of [[Similarity.vecBandRows]]
+    * at the x06 demo geometry) as a reusable CTE chain ev/planes/proj/bb
+    * — shared by x06, x57, and st12 so the three oracles cannot drift
+    */
+  private[graft] val VecBbCte: String = {
+    val planes = Similarity.hyperplanes(LshBands, LshBits, EmbDim)
+    s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        planes(band, bit, w) AS (VALUES ${sqlPlaneValues(planes.map(_.toSeq))}),
+        proj AS (
+          SELECT e.vec_id, p.band, p.bit,
+            list_reduce(list_transform(generate_series(1, $EmbDim),
+              i -> e.v[i] * p.w[i]), (x,y) -> x+y) AS pr
+          FROM ev e, planes p),
+        bb AS (
+          SELECT vec_id, band,
+            string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+              ORDER BY bit) AS bucket
+          FROM proj GROUP BY vec_id, band)"""
+  }
+
   override val oracles: Map[String, String] = Map(
     "x01_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
@@ -347,20 +382,8 @@ object LlmQueries extends QueryPack {
               ORDER BY cos DESC, vec_id) AS rank FROM scored)
           WHERE rank <= 5""",
 
-    "x06_lsh_neardup" -> {
-      val planes = Similarity.hyperplanes(LshBands, LshBits, EmbDim)
-      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          planes(band, bit, w) AS (VALUES ${sqlPlaneValues(planes.map(_.toSeq))}),
-          proj AS (
-            SELECT e.vec_id, p.band, p.bit,
-              list_reduce(list_transform(generate_series(1, $EmbDim),
-                i -> e.v[i] * p.w[i]), (x,y) -> x+y) AS pr
-            FROM ev e, planes p),
-          bb AS (
-            SELECT vec_id, band,
-              string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
-                ORDER BY bit) AS bucket
-            FROM proj GROUP BY vec_id, band),
+    "x06_lsh_neardup" ->
+      s"""WITH $VecBbCte,
           cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM bb a JOIN bb b
@@ -373,8 +396,7 @@ object LlmQueries extends QueryPack {
             JOIN ev eb ON eb.vec_id = c.vec_b)
           SELECT vec_a, vec_b, cos FROM (
             SELECT vec_a, vec_b, $COS AS cos FROM pv)
-          WHERE cos > 0.3"""
-    },
+          WHERE cos > 0.3""",
 
     "x07_ivf_topk" ->
       s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1313,6 +1335,70 @@ object LlmQueries extends QueryPack {
             coalesce(c.n_close, 0) = 0 AS keep
           FROM a1 LEFT JOIN close c USING (vec_id)"""
     },
+
+    // x32's exact two-round Lloyd refinement (sorted left-to-right
+    // means), then x34's within-cluster lower-id scan on the REFINED
+    // assignment — the composed semDedupRefinedExact
+    "x56_semdedup_refined" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, v AS cv FROM ev
+                 WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          a1 AS (SELECT vec_id, v, cid FROM (
+                   SELECT vec_id, v, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                   FROM (SELECT e.vec_id, e.v, c.cid,
+                           ${cos("e.v", "c.cv")} AS ccos
+                         FROM ev e, c0 c))
+                 WHERE rn = 1),
+          dims AS (SELECT cid, x.i AS dim, v[x.i] AS x
+                   FROM a1, unnest(generate_series(1, len(v))) AS x(i)),
+          m1 AS (SELECT cid, dim,
+                   list_reduce(list_sort(list(x)), (a, b) -> a + b)
+                     / count(*) AS m
+                 FROM dims GROUP BY cid, dim),
+          cm AS (SELECT cid, list(m ORDER BY dim) AS mcv FROM m1
+                 GROUP BY cid),
+          c1 AS (SELECT c0.cid, coalesce(cm.mcv, c0.cv) AS cv
+                 FROM c0 LEFT JOIN cm USING (cid)),
+          a2 AS (SELECT vec_id, v, cid FROM (
+                   SELECT vec_id, v, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                   FROM (SELECT e.vec_id, e.v, c.cid,
+                           ${cos("e.v", "c.cv")} AS ccos
+                         FROM ev e, c1 c))
+                 WHERE rn = 1),
+          close AS (
+            SELECT b.vec_id, count(*) AS n_close, min(a.vec_id) AS first_dup
+            FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${cos("a.v", "b.v")} >= 0.3 GROUP BY 1)
+          SELECT a2.vec_id, a2.cid AS cluster,
+            coalesce(c.n_close, 0) AS n_close, c.first_dup,
+            coalesce(c.n_close, 0) = 0 AS keep
+          FROM a2 LEFT JOIN close c USING (vec_id)"""
+    },
+
+    // band-collision candidates crossed batch × corpus on the shared
+    // bucket CTE, then the exact-cosine verify — embIngestGate's shape
+    "x57_emb_ingest_gate" ->
+      s"""WITH $VecBbCte,
+          cand AS (
+            SELECT DISTINCT t.vec_id, c.vec_id AS corpus_id
+            FROM bb t JOIN bb c
+              ON t.band = c.band AND t.bucket = c.bucket
+            WHERE t.vec_id % 10 = 0 AND c.vec_id % 10 != 0),
+          pv AS (
+            SELECT cand.vec_id, cand.corpus_id, eb.v AS qv, ec.v AS v
+            FROM cand
+            JOIN ev eb ON eb.vec_id = cand.vec_id
+            JOIN ev ec ON ec.vec_id = cand.corpus_id)
+          SELECT vec_id, corpus_id, cos FROM (
+            SELECT vec_id, corpus_id, $COS AS cos FROM pv)
+          WHERE cos >= 0.3""",
 
     // sqrt cap per source, rank by the seeded positional-hex hash (same
     // u32 as x17); row_number is BIGINT in DuckDB already, ceil(sqrt)

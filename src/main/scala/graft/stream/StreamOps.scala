@@ -292,4 +292,35 @@ object StreamOps {
       .select(col("doc_id"), col("band"), col("bh"))
     runToTable(hits, "st_ingest_dedup_gate", "append")
   }
+
+  /** st12 — the EMBEDDING ingest gate, closing the vector loop the way
+    * st11 closes the text loop: the batch side builds the corpus's
+    * hyperplane band-key set ([[graft.llm.Similarity.vecBandKeys]] —
+    * nBands · 2^bitsPerBand rows max, corpus-size-independent; in
+    * deployment the [[graft.llm.Similarity.buildVecBandIndex]] artifact
+    * reloaded from parquet), and new vectors stream through a STATELESS
+    * collision check: the in-row band projection
+    * ([[graft.llm.Similarity.vecBandRows]] is pure array expressions —
+    * bit-identical batch/stream), one broadcast equi-join on
+    * (band, bucket), no watermark, no state store. Emits the colliding
+    * band rows (vec_id, band, bucket) — st11's shape; the consumer's
+    * rollup + exact-cosine verify is the batch-side
+    * [[graft.llm.Similarity.embIngestGate]] (x57). Demo 8-bit bands
+    * (the x06 geometry) so the near-random toy corpus collides.
+    */
+  def embIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{LlmQueries, Similarity}
+    val corpus = graft.core.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+    val keys = Similarity.vecBandKeys(corpus, nBands = LlmQueries.LshBands,
+      bitsPerBand = LlmQueries.LshBits, dim = LlmQueries.EmbDim)
+    val incoming = fileStream(spark, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+    val hits = Similarity.vecBandRows(incoming,
+        nBands = LlmQueries.LshBands, bitsPerBand = LlmQueries.LshBits,
+        dim = LlmQueries.EmbDim)
+      .join(broadcast(keys), Seq("band", "bucket"), "left_semi")
+      .select(col("vec_id"), col("band"), col("bucket"))
+    runToTable(hits, "st_emb_ingest_gate", "append")
+  }
 }

@@ -26,7 +26,9 @@ object StreamQueries extends QueryPack {
     "st09_decontam_gate" -> ((s, dir) => StreamOps.decontamGate(s, dir)),
     "st10_dsir_gate" -> ((s, dir) => StreamOps.dsirGate(s, dir)),
     "st11_ingest_dedup_gate" -> ((s, dir) =>
-      StreamOps.ingestDedupGate(s, dir))
+      StreamOps.ingestDedupGate(s, dir)),
+    "st12_emb_ingest_gate" -> ((s, dir) =>
+      StreamOps.embIngestGate(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -166,6 +168,18 @@ object StreamQueries extends QueryPack {
           WHERE t.doc_id % 10 = 0 AND EXISTS (
             SELECT 1 FROM bands c
             WHERE c.doc_id % 10 != 0
-              AND c.band = t.band AND c.bh = t.bh)"""
+              AND c.band = t.band AND c.bh = t.bh)""",
+
+    // streaming embedding ingest gate == the band-collision half of
+    // x57 over the same bounded input: batch vectors' band rows whose
+    // (band, bucket) exists in the corpus slice's key set
+    "st12_emb_ingest_gate" ->
+      s"""WITH ${graft.llm.LlmQueries.VecBbCte}
+          SELECT t.vec_id, t.band, t.bucket
+          FROM bb t
+          WHERE t.vec_id % 10 = 0 AND EXISTS (
+            SELECT 1 FROM bb c
+            WHERE c.vec_id % 10 != 0
+              AND c.band = t.band AND c.bucket = t.bucket)"""
   )
 }

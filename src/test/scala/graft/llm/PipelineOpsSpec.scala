@@ -559,4 +559,89 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty && !got.keys.exists { case (_, sp) =>
       !Set("train", "val", "test")(sp) })
   }
+
+  private def semKey(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+    r.getAs[Long]("vec_id") -> ((r.getAs[Long]("cluster"),
+      r.getAs[Long]("n_close"), r.getAs[Boolean]("keep")))).toMap
+
+  test("semDedupRefined (atScale) matches the exact-kmeans composition") {
+    // two tight groups + an in-group near-dup; inits deliberately poor
+    // (both from group A) so the refinement has real work: Lloyd pulls
+    // one centroid onto group B, and only the REFINED assignment puts
+    // 10/11 in their own cluster
+    val df = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.98f, 0.02f, 0f, 0f),
+      2L -> Seq(0.97f, 0f, 0.03f, 0f),
+      10L -> Seq(0f, 1f, 0f, 0f), 11L -> Seq(0f, 0.99f, 0.01f, 0f)))
+    val inits = Seq(0L, 1L)
+    val exact = semKey(Similarity.semDedupRefinedExact(df, inits,
+      iters = 3, tau = 0.9).collect())
+    spark.catalog.clearCache()
+    val scaled = semKey(Similarity.semDedupRefined(df, inits, tau = 0.9,
+      maxIters = 3).collect())
+    spark.catalog.clearCache()
+    assert(scaled == exact, "partial-agg means land in the same clusters")
+    // the refinement separated the groups: 10's cluster differs from 0's
+    assert(exact(10L)._1 != exact(0L)._1)
+    // in-group near-dups dropped, exemplars kept
+    assert(exact(0L)._3 && exact(10L)._3 && !exact(11L)._3)
+  }
+
+  test("sem index: build/reuse at two taus matches one-shots; close unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    val rnd = new scala.util.Random(11)
+    val df = embDf((0L until 30L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() - 0.5f)))
+    val inits = Seq(0L, 7L, 14L)
+    val strict = semKey(Similarity.semDedup(df, inits, tau = 0.95).collect())
+    spark.catalog.clearCache()
+    val loose = semKey(Similarity.semDedup(df, inits, tau = 0.5).collect())
+    spark.catalog.clearCache()
+    val e = df.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id").isin(inits: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val idx = Similarity.buildSemIndex(df, cents)
+    assert(idx.assigned.storageLevel != StorageLevel.NONE)
+    assert(semKey(Similarity.semDedup(idx, 0.95,
+      Dedup.MaxBucket).collect()) == strict)
+    assert(semKey(Similarity.semDedup(idx, 0.5,
+      Dedup.MaxBucket).collect()) == loose)
+    idx.close()
+    assert(idx.assigned.storageLevel == StorageLevel.NONE)
+  }
+
+  test("vec band index: build/query matches one-shot; close unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    val rnd = new scala.util.Random(5)
+    val df = embDf((0L until 60L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val oneShot = key(Similarity.lshNearDup(df, minCos = 0.2, nBands = 2,
+      bitsPerBand = 4, dim = 8).collect())
+    val idx = Similarity.buildVecBandIndex(df, nBands = 2, bitsPerBand = 4,
+      dim = 8)
+    assert(idx.vecs.storageLevel != StorageLevel.NONE)
+    assert(idx.buckets.storageLevel != StorageLevel.NONE)
+    assert(key(Similarity.lshNearDup(idx, 0.2,
+      Dedup.MaxBucket).collect()) == oneShot)
+    idx.close()
+    assert(idx.vecs.storageLevel == StorageLevel.NONE)
+    assert(idx.buckets.storageLevel == StorageLevel.NONE)
+  }
+
+  test("embIngestGate flags only batch vectors with a close corpus neighbor") {
+    val corpus = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f)))
+    val batch = embDf(Seq(
+      10L -> Seq(0.999f, 0.001f, 0f, 0f), // near-dup of corpus 0
+      11L -> Seq(0f, 0f, 1f, 0f))) // orthogonal to everything
+    val out = Similarity.embIngestGate(corpus, batch, minCos = 0.9,
+      nBands = 2, bitsPerBand = 4, dim = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("cos")))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((10L, 0L)))
+    assert(out.head._3 > 0.99)
+  }
 }
