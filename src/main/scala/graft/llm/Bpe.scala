@@ -39,20 +39,27 @@ object Bpe {
         concat_ws(" ",
           regexp_extract_all(col("word"), lit("(?s)."), lit(0))).as("seq"))
 
+  /** adjacent pair array of one space-joined symbol sequence — the
+    * explode source shared by [[pairCounts]] and the incremental
+    * trainer's delta
+    */
+  private def seqPairs(seqCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sym = split(seqCol, " ")
+    when(size(sym) >= 2,
+      transform(sequence(lit(1), size(sym) - 1), i =>
+        concat(element_at(sym, i), lit(" "), element_at(sym, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** adjacent symbol-pair counts over a dict's current sequences,
     * weighted by word count — overlapping occurrences all count
     * (`a a a` contributes `(a,a)` twice), per the reference algorithm.
     * Output is candidate-pair-sized (≤ vocab × max word length).
     */
-  def pairCounts(dict: DataFrame): DataFrame = {
-    val sym = split(col("seq"), " ")
-    val pairs = when(size(sym) >= 2,
-      transform(sequence(lit(1), size(sym) - 1), i =>
-        concat(element_at(sym, i), lit(" "), element_at(sym, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    dict.select(col("wc"), explode(pairs).as("pair"))
+  def pairCounts(dict: DataFrame): DataFrame =
+    dict.select(col("wc"), explode(seqPairs(col("seq"))).as("pair"))
       .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
-  }
 
   /** the x47 query surface: round-1 BPE merge candidates — character
     * pairs ranked by corpus-weighted frequency, `(cnt desc, pair asc)`.
@@ -115,6 +122,82 @@ object Bpe {
           .persist(StorageLevel.MEMORY_AND_DISK)
         prev = dict
         dict = next
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+  }
+
+  /** [[bpeTrain]] with INCREMENTAL pair counts (r8 advice item 5) —
+    * bit-identical merge tables (spec-asserted), different round shape:
+    * instead of re-exploding EVERY word's pair list each round, the
+    * pair-count table carries over and only the words containing the
+    * winning pair (the `" l r "` substring test on the space-padded
+    * sequence is exact — symbols are space-bounded) contribute a delta:
+    * minus their old pairs, plus their rewritten pairs. That is the
+    * classic learn-BPE dict-update, Spark-shaped: per-round explode work
+    * is AFFECTED-words-sized (merges quickly become rare → tiny deltas)
+    * and the only vocab-sized jobs are the carried count table's
+    * full-outer merge and the flag-guarded rewrite projection (a pure
+    * map, no shuffle). At a 100 TB corpus's million-row dict this is the
+    * difference between re-shuffling every symbol per round and
+    * shuffling a few thousand delta rows.
+    *
+    * Persistence discipline: the delta's positive side reads the
+    * PERSISTED next dict, so round N+1's argmax (the only job) fills
+    * both the next count table's and next dict's caches in one pass —
+    * only then do round N−1's tables unpersist; recompute depth stays
+    * O(1) like [[bpeTrain]]. Caller runs `spark.catalog.clearCache()`.
+    */
+  def bpeTrainIncremental(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    var dict = initDict(docs).persist(lvl)
+    var pc = pairCounts(dict).persist(lvl)
+    var prevDict: DataFrame = null
+    var prevPc: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val top = pc.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (prevDict != null) { prevDict.unpersist(blocking = false); prevDict = null }
+      if (prevPc != null) { prevPc.unpersist(blocking = false); prevPc = null }
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < 2L) done = true
+      else {
+        val pair = top(0).getAs[String]("pair")
+        val cnt = top(0).getAs[Long]("cnt")
+        val Array(l, r) = pair.split(" ", 2)
+        val merged = l + r
+        merges += ((round.toLong, l, r, merged, cnt))
+        val pat = "(?<= )" + java.util.regex.Pattern.quote(pair) + "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(merged)
+        val padded = concat(lit(" "), col("seq"), lit(" "))
+        val hit = padded.contains(" " + pair + " ")
+        val newSeq = trim(regexp_replace(padded, lit(pat), lit(rep)))
+        val nextDict = dict
+          .withColumn("hit", hit)
+          .withColumn("seq", when(col("hit"), newSeq).otherwise(col("seq")))
+          .persist(lvl)
+        val delta = nextDict.filter(col("hit"))
+          .select(col("wc").as("w"), explode(seqPairs(col("seq"))).as("pair"))
+          .unionAll(dict.filter(hit)
+            .select((-col("wc")).as("w"),
+              explode(seqPairs(col("seq"))).as("pair")))
+          .groupBy(col("pair")).agg(sum(col("w")).as("d"))
+          .filter(col("d") =!= 0L)
+        val nextPc = pc.join(delta, Seq("pair"), "full_outer")
+          .select(col("pair"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L)))
+              .as("cnt"))
+          .filter(col("cnt") > 0L)
+          .persist(lvl)
+        prevDict = dict
+        prevPc = pc
+        dict = nextDict
+        pc = nextPc
         round += 1
       }
     }

@@ -105,8 +105,12 @@ object LlmQueries extends QueryPack {
     // rows-only (no oracle, like x40): the merge loop's round-N winners
     // depend on round-(N-1)'s regex rewrite, which needs lookaround
     // replace semantics DuckDB's RE2 lacks — BpeSpec hand-verifies the
-    // merge table and encode/train equivalence on a known corpus
-    "x48_bpe_train" -> ((s, dir) => Bpe.bpeTrain(docs(s, dir), nMerges = 12)),
+    // merge table and encode/train equivalence on a known corpus.
+    // Routes the incremental-delta trainer (the x35 discipline: the
+    // scale path is exercised; BpeSpec asserts it's bit-identical to
+    // the recount path)
+    "x48_bpe_train" -> ((s, dir) =>
+      Bpe.bpeTrainIncremental(docs(s, dir), nMerges = 12)),
     "x49_source_overlap" -> ((s, dir) => TextOps.sourceOverlap(docs(s, dir))),
     // the ingest slice is the deterministic doc_id % 10 = 0 stand-in for
     // "today's batch"; the other 90% plays the existing corpus

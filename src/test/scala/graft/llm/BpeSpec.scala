@@ -87,4 +87,36 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.bpeTrain(df, nMerges = 3).collect().isEmpty)
     spark.catalog.clearCache()
   }
+
+  private def mergeTable(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+      r.getAs[String]("right"), r.getAs[String]("merged"),
+      r.getAs[Long]("cnt"))).sortBy(_._1).toSeq
+
+  test("bpeTrainIncremental: bit-identical merge table to the recount path") {
+    // corpus with overlapping runs, shared prefixes, ties, and regex
+    // metachars — everything that exercises the delta bookkeeping
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("alpha", "alps", "beta", "bet", "aaaa", "a$b", "ab",
+      "banana", "bandana", "ana")
+    val rows = (0L until 40L).map { i =>
+      (i, Seq.fill(6)(vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
+    }
+    val df = docsDf(rows)
+    val full = mergeTable(Bpe.bpeTrain(df, nMerges = 10))
+    spark.catalog.clearCache()
+    val inc = mergeTable(Bpe.bpeTrainIncremental(df, nMerges = 10))
+    spark.catalog.clearCache()
+    assert(full.nonEmpty && inc == full)
+  }
+
+  test("bpeTrainIncremental: early stop and empty corpus behave like bpeTrain") {
+    val single = docsDf(Seq((0L, "x y z", "s")))
+    assert(Bpe.bpeTrainIncremental(single, nMerges = 3).collect().isEmpty)
+    spark.catalog.clearCache()
+    val df = docsDf(Seq((0L, "$$ $$ ..", "s")))
+    assert(mergeTable(Bpe.bpeTrainIncremental(df, nMerges = 2)) ==
+      Seq((1L, "$", "$", "$$", 2L)))
+    spark.catalog.clearCache()
+  }
 }
