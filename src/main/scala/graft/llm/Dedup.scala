@@ -559,4 +559,30 @@ object Dedup {
       .filter(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
   }
+
+  /** corpus snapshot diff — classify every doc_id across two corpus
+    * versions (crawl N vs crawl N+1) as added / removed / changed /
+    * unchanged by exact content hash. The incremental-refresh staple:
+    * the changed+added set is what re-enters the ingest gates
+    * ([[incrementalDedup]], [[graft.llm.Similarity.embIngestGate]]) and
+    * the removed set is what re-training must forget — without the
+    * diff, every refresh re-processes 100 TB instead of the delta.
+    *
+    * The hash is md5 of the RAW text (not the whitespace-normalized
+    * [[fingerprint]]): a version diff must see every byte change; near-dup
+    * tolerance is the gates' job downstream. Scale: one projection per
+    * side + a doc_id-keyed full outer join — at deployment both sides'
+    * (doc_id, fp) come from the stored manifest (the x38 artifact), so
+    * the diff never rereads text at all.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_fp"), col("new_fp"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

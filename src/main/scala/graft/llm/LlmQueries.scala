@@ -145,6 +145,29 @@ object LlmQueries extends QueryPack {
       Similarity.embIngestGate(e.filter(col("vec_id") % 10 =!= 0),
         e.filter(col("vec_id") % 10 === 0), minCos = 0.3,
         nBands = LshBands, bitsPerBand = LshBits)
+    }),
+    // product quantization: codebooks pinned to the same 8 init vectors
+    // as x32 (8 codewords × 4 subspaces over the 64-dim embeddings),
+    // one Lloyd refinement round, ADC top-5 for the 10-query demo set
+    "x58_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(embs(s, dir), CentroidIds, nQueries = 10, k = 5)),
+    // measured recall@5 of the int8-quantized scan and the 1-probe IVF
+    // against the exact brute-force ranking — the ANN tuning instrument
+    "x59_ann_recall_audit" -> ((s, dir) =>
+      Similarity.annRecallAudit(embs(s, dir), CentroidIds, nQueries = 10,
+        k = 5)),
+    // crawl-N vs crawl-N+1 stand-in derived deterministically from the
+    // one documents table: N+1 drops doc_id%7=3, byte-edits (uppercases)
+    // doc_id%5=0, and adds doc_id%9=4 back under fresh ids
+    "x60_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newS = d.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(d.filter(col("doc_id") % 9 === 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(d, newS)
     })
   )
 
@@ -1403,6 +1426,158 @@ object LlmQueries extends QueryPack {
           SELECT vec_id, corpus_id, cos FROM (
             SELECT vec_id, corpus_id, $COS AS cos FROM pv)
           WHERE cos >= 0.3""",
+
+    // product quantization: x32's exactness discipline per subspace —
+    // pinned init codewords, one unrolled Lloyd round with value-sorted
+    // left-to-right means, argmin encode (ties → lowest cid), ADC sums
+    // the per-sub table distances in sub order (list ORDER BY sub ==
+    // Spark's zip_with over the sub-major arrays)
+    "x58_pq_topk" -> {
+      def l2(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+          sv AS (SELECT vec_id, x.i AS sub,
+                   list_slice(v, (x.i - 1) * 16 + 1, x.i * 16) AS sv
+                 FROM ev, unnest(generate_series(1, 4)) AS x(i)),
+          c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
+                 WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          a1 AS (SELECT vec_id, sub, sv, cid FROM (
+                   SELECT vec_id, sub, sv, cid, row_number() OVER (
+                     PARTITION BY vec_id, sub
+                     ORDER BY d ASC, cid ASC) AS rn
+                   FROM (SELECT s.vec_id, s.sub, s.sv, c.cid,
+                           ${l2("s.sv", "c.cv")} AS d
+                         FROM sv s JOIN c0 c ON s.sub = c.sub))
+                 WHERE rn = 1),
+          dims AS (SELECT sub, cid, x.i AS dim, sv[x.i] AS x
+                   FROM a1, unnest(generate_series(1, 16)) AS x(i)),
+          m1 AS (SELECT sub, cid, dim,
+                   list_reduce(list_sort(list(x)), (a, b) -> a + b)
+                     / count(*) AS m
+                 FROM dims GROUP BY 1, 2, 3),
+          cm AS (SELECT sub, cid, list(m ORDER BY dim) AS mcv FROM m1
+                 GROUP BY 1, 2),
+          c1 AS (SELECT c0.sub, c0.cid, coalesce(cm.mcv, c0.cv) AS cv
+                 FROM c0 LEFT JOIN cm
+                   ON c0.sub = cm.sub AND c0.cid = cm.cid),
+          code AS (SELECT vec_id, sub, cid FROM (
+                     SELECT vec_id, sub, cid, row_number() OVER (
+                       PARTITION BY vec_id, sub
+                       ORDER BY d ASC, cid ASC) AS rn
+                     FROM (SELECT s.vec_id, s.sub, c.cid,
+                             ${l2("s.sv", "c.cv")} AS d
+                           FROM sv s JOIN c1 c ON s.sub = c.sub))
+                   WHERE rn = 1),
+          dt AS (SELECT q.vec_id AS q_id, q.sub, c.cid,
+                   ${l2("q.sv", "c.cv")} AS d
+                 FROM sv q JOIN c1 c ON q.sub = c.sub
+                 WHERE q.vec_id < 10),
+          pd AS (SELECT dt.q_id, code.vec_id, dt.sub, dt.d
+                 FROM code JOIN dt
+                   ON code.sub = dt.sub AND code.cid = dt.cid
+                 WHERE code.vec_id != dt.q_id),
+          ad AS (SELECT q_id, vec_id,
+                   list_reduce(list(d ORDER BY sub), (a, b) -> a + b)
+                     AS adist
+                 FROM pd GROUP BY 1, 2)
+          SELECT q_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+          WHERE rank <= 5"""
+    },
+
+    // recall audit: x05's brute CTE, x19's int8 CTE, and x14's 1-probe
+    // IVF CTE (all at k=5) intersected per query — counts are exact
+    // integers, recall one double division
+    "x59_ann_recall_audit" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      def idot(a: String, b: String) =
+        s"CAST(list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS BIGINT) * $b[i]), (x,y) -> x+y) AS DOUBLE)"
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
+          brute AS (SELECT q_id, vec_id FROM (
+              SELECT q.q_id, e.vec_id, row_number() OVER (
+                PARTITION BY q.q_id
+                ORDER BY ${cos("q.qv", "e.v")} DESC, e.vec_id) AS rank
+              FROM ev e JOIN q ON e.vec_id != q.q_id)
+            WHERE rank <= 5),
+          qz AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS ma FROM ev),
+          cz AS (SELECT vec_id, v,
+                   list_transform(v, x -> CASE WHEN ma > 0
+                     THEN CAST(round(x * 127 / ma) AS INTEGER)
+                     ELSE 0 END) AS c
+                 FROM qz),
+          qq AS (SELECT vec_id AS q_id, c AS qc FROM cz
+                 WHERE vec_id < 10),
+          quant AS (SELECT q_id, vec_id FROM (
+              SELECT qq.q_id, e.vec_id, row_number() OVER (
+                PARTITION BY qq.q_id
+                ORDER BY ${idot("qq.qc", "e.c")} /
+                  (sqrt(${idot("qq.qc", "qq.qc")})
+                   * sqrt(${idot("e.c", "e.c")})) DESC,
+                  e.vec_id) AS rank
+              FROM cz e JOIN qq ON e.vec_id != qq.q_id)
+            WHERE rank <= 5),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM ev
+                    WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          assigned AS (SELECT vec_id, v, cid AS cell FROM (
+              SELECT vec_id, v, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+              FROM (SELECT e.vec_id, e.v, c.cid,
+                      ${cos("e.v", "c.cv")} AS ccos
+                    FROM ev e, cents c))
+            WHERE rn = 1),
+          iq AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell
+                 FROM assigned WHERE vec_id < 10),
+          ivf AS (SELECT q_id, vec_id FROM (
+              SELECT iq.q_id, a.vec_id, row_number() OVER (
+                PARTITION BY iq.q_id
+                ORDER BY ${cos("iq.qv", "a.v")} DESC, a.vec_id) AS rank
+              FROM assigned a
+              JOIN iq ON a.cell = iq.q_cell AND a.vec_id != iq.q_id)
+            WHERE rank <= 5),
+          hq AS (SELECT b.q_id, count(*) AS hit_quant
+                 FROM brute b JOIN quant t USING (q_id, vec_id)
+                 GROUP BY 1),
+          hi AS (SELECT b.q_id, count(*) AS hit_ivf
+                 FROM brute b JOIN ivf t USING (q_id, vec_id)
+                 GROUP BY 1)
+          SELECT q.q_id, CAST(5 AS INT) AS k,
+            coalesce(hq.hit_quant, 0) AS hit_quant,
+            CAST(coalesce(hq.hit_quant, 0) AS DOUBLE) / 5 AS recall_quant,
+            coalesce(hi.hit_ivf, 0) AS hit_ivf,
+            CAST(coalesce(hi.hit_ivf, 0) AS DOUBLE) / 5 AS recall_ivf
+          FROM (SELECT DISTINCT q_id FROM brute) q
+          LEFT JOIN hq ON q.q_id = hq.q_id
+          LEFT JOIN hi ON q.q_id = hi.q_id"""
+    },
+
+    // the same deterministic crawl-N+1 derivation as the Spark side;
+    // md5 of RAW text (not the normalized fingerprint — a diff must see
+    // every byte change)
+    "x60_snapshot_diff" ->
+      """WITH olds AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+         news AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                      ELSE text END) AS new_fp
+           FROM documents WHERE doc_id % 7 != 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, md5(text) AS new_fp
+           FROM documents WHERE doc_id % 9 = 4)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           o.old_fp, n.new_fp,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id""",
 
     // sqrt cap per source, rank by the seeded positional-hex hash (same
     // u32 as x17); row_number is BIGINT in DuckDB already, ceil(sqrt)

@@ -733,6 +733,200 @@ object Similarity {
       .filter(col("csz") > maxCluster)
   }
 
+  // ──────────────────── product quantization (PQ) ────────────────────
+
+  /** squared-L2 distance of two double arrays, accumulated left-to-right
+    * — the PQ metric (`list_reduce` order in the oracle)
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** long-form (vec_id, sub, sv) subvector table: sub ∈ 1..nSub picks
+    * the contiguous dim/nSub-slice — PQ's decomposition of the space
+    */
+  private def subVectors(e: DataFrame, nSub: Int, dim: Int): DataFrame = {
+    val dsub = dim / nSub
+    val arr = array((1 to nSub).map(s =>
+      slice(col("v"), (s - 1) * dsub + 1, dsub)): _*)
+    e.select(col("vec_id"), posexplode(arr).as(Seq("sub0", "sv")))
+      .select(col("vec_id"), (col("sub0") + 1).cast("int").as("sub"),
+        col("sv"))
+  }
+
+  /** per-(vec, sub) nearest codeword (min L2, ties → lowest cid) against
+    * a broadcast codebook (sub, cid, cv)
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d").asc, col("cid").asc)
+    sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("sv"), col("cid"))
+  }
+
+  /** Product-quantization codebook training (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): each
+    * vector splits into `nSub` contiguous subvectors; each subspace
+    * trains its own tiny codebook by Lloyd iterations on squared-L2,
+    * init pinned to the `initIds` vectors' subvectors (the deterministic
+    * stand-in for a sampled train set). Returns (sub, cid, cv).
+    *
+    * Cross-engine exactness: identical discipline to [[kmeans]] — the
+    * per-(sub, cid, dim) mean reduces VALUE-SORTED doubles left-to-right
+    * and an empty codeword keeps its previous centroid, so the refined
+    * codebook (and every downstream ADC distance) is bit-identical to
+    * the oracle's unrolled CTEs. Like [[kmeans]], the sorted-collect
+    * mean is the ORACLE discipline; a production retrain at corpus scale
+    * would swap in the `sum/count` partial-agg update exactly as
+    * [[kmeansAtScale]] does (the codebook consumer below is agnostic —
+    * it only sees the collected (sub, cid, cv) rows).
+    */
+  def pqTrain(embeddings: DataFrame, initIds: Seq[Long], nSub: Int = 4,
+      dim: Int = 64, iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val sv = subVectors(e, nSub, dim)
+    var cb = sv.filter(col("vec_id").isin(initIds: _*))
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    var it = 1
+    while (it < iters) {
+      val means = pqAssign(sv, cb)
+        .select(col("sub"), col("cid"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg((aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("mcv"))
+      cb = cb.join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("mcv"), col("cv")).as("cv"))
+      it += 1
+    }
+    cb
+  }
+
+  /** the collected driver-side codebook: sub → codewords in cid order
+    * (positions 1..k). k·dim doubles — KB-sized, the [[kmeansAtScale]]
+    * "final small result" exception; embedding it as literals lets
+    * encode and the per-query distance table be pure codegen
+    * projections with zero joins.
+    */
+  private[llm] def pqCodebook(embeddings: DataFrame, initIds: Seq[Long],
+      nSub: Int, dim: Int, iters: Int): Map[Int, Seq[Seq[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    pqTrain(embeddings, initIds, nSub, dim, iters)
+      .as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+  }
+
+  /** PQ-encode: each vector becomes `nSub` small integer codes (the
+    * 1-based position of its nearest codeword per subspace, min-L2 with
+    * ties → lowest position ≡ lowest cid — [[pqAssign]]'s order). With
+    * k ≤ 256 a code is one byte: a 64-dim float32 vector stores as 4
+    * bytes — 64× smaller than float32, 16× smaller than the int8 scalar
+    * codes of [[quantizeInt8]]. One shuffle-free codegen projection.
+    */
+  def pqEncode(embeddings: DataFrame, cb: Map[Int, Seq[Seq[Double]]],
+      dim: Int): DataFrame = {
+    val nSub = cb.size
+    val dsub = dim / nSub
+    def subv(s: Int, v: Column) = slice(v, (s - 1) * dsub + 1, dsub)
+    def codeCol(s: Int, v: Column): Column = {
+      val entries = cb(s).zipWithIndex.map { case (cv, p) =>
+        struct(l2sq(subv(s, v), typedLit(cv)).as("d"),
+          lit(p + 1).as("p"))
+      }
+      element_at(array_sort(array(entries: _*)), 1).getField("p")
+    }
+    embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        array((1 to nSub).map(s => codeCol(s, col("v"))): _*).as("codes"))
+  }
+
+  /** ADC top-k (asymmetric distance computation): the query stays
+    * exact; ONE (nSub × k) table of query-subvector↔codeword squared-L2
+    * distances is computed per query, and each corpus vector's
+    * approximate distance is `nSub` TABLE LOOKUPS summed in sub order —
+    * no per-pair float math at all. Smallest adist wins (ties →
+    * vec_id), self-match excluded.
+    *
+    * Scale shape: train collapses to the driver-collected KB codebook;
+    * encode is one projection over the corpus (at deployment: write the
+    * code table once next to the corpus — nSub bytes/vector); queries
+    * ride a broadcast carrying their distance tables; scoring is
+    * O(nSub) integer indexing per (query, vector) inside whole-stage
+    * codegen; the only shuffle is the per-query top-k window. This is
+    * the IVF-PQ composition point: partition the code table by
+    * [[ivfCentroidTopK]]'s coarse cells and ADC only the probed cells.
+    */
+  def pqTopK(embeddings: DataFrame, initIds: Seq[Long], nQueries: Int,
+      k: Int, nSub: Int = 4, dim: Int = 64, iters: Int = 2): DataFrame = {
+    val cb = pqCodebook(embeddings, initIds, nSub, dim, iters)
+    val dsub = dim / nSub
+    def subv(s: Int, v: Column) = slice(v, (s - 1) * dsub + 1, dsub)
+    val enc = pqEncode(embeddings, cb, dim)
+    val dt = array((1 to nSub).map { s =>
+      array(cb(s).map(cv => l2sq(subv(s, col("v")), typedLit(cv))): _*)
+    }: _*)
+    val q = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dt.as("dt"))
+    val scored = enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("dt"),
+            (c, row) => element_at(row, c)),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** measured recall@k of the approximate ANN paths against the exact
+    * brute-force ranking — the vector twin of [[Dedup.lshRecallAudit]]
+    * (r7 advice: never ship an approximate path without its measured
+    * recall). Per query: how many of the exact top-k the int8-quantized
+    * scan ([[quantizedTopK]]) and the 1-probe IVF ([[ivfCentroidTopK]])
+    * each recovered. All counts are exact integers and recall is one
+    * integer-ratio division — bit-stable.
+    *
+    * Scale: three top-k runs share the broadcast-queries single-scan
+    * shape (audit cost ≈ 3 corpus scans on a SAMPLED query set — run it
+    * per index build, not per query); the joins are k·nQueries-row
+    * intersections.
+    */
+  def annRecallAudit(embeddings: DataFrame, centroidIds: Seq[Long],
+      nQueries: Int, k: Int): DataFrame = {
+    val brute = bruteForceTopKNative(embeddings, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val quant = quantizedTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val ivf = ivfCentroidTopK(embeddings, centroidIds, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    def hits(approx: DataFrame, name: String): DataFrame =
+      brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    brute.select(col("q_id")).distinct()
+      .join(hits(quant, "hit_quant"), Seq("q_id"), "left")
+      .join(hits(ivf, "hit_ivf"), Seq("q_id"), "left")
+      .select(col("q_id"), lit(k).as("k"),
+        coalesce(col("hit_quant"), lit(0L)).as("hit_quant"),
+        (coalesce(col("hit_quant"), lit(0L)).cast("double") / k)
+          .as("recall_quant"),
+        coalesce(col("hit_ivf"), lit(0L)).as("hit_ivf"),
+        (coalesce(col("hit_ivf"), lit(0L)).cast("double") / k)
+          .as("recall_ivf"))
+  }
+
   /** embedding-space drift monitor — the vector twin of
     * [[graft.llm.TextOps.corpusDrift]]: both slices (crawl N vs N+1,
     * `isA` picks the membership) are assigned to the SAME fixed

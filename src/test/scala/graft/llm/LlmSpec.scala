@@ -235,6 +235,17 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L) == (1L, 1L) && out(2L) == (2L, 1L) && out(3L) == (3L, 1L))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val s = spark
+    import s.implicits._
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newS = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldS, newS).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
