@@ -2,15 +2,23 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
   * All normalization that must happen exactly once at ingest lives here
-  * (SURVEY.md §1.1: "parse once, eagerly") — notably the `events.ts`
-  * nanosecond timestamp, which Spark can only read as long nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`); we truncate to micros, Spark's
-  * maximum precision (SURVEY.md §1.2 ns-precision gap).
+  * (SURVEY.md §1.1: "parse once, eagerly") — notably `events.ts`, whose
+  * physical parquet type has varied across driver-generated datasets:
+  *   - TIMESTAMP(NANOS): Spark can only read it as long nanos
+  *     (`spark.sql.legacy.parquet.nanosAsLong`); we truncate to micros,
+  *     Spark's maximum precision (SURVEY.md §1.2 ns-precision gap);
+  *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+  *     TIMESTAMP_NTZ, which Structured Streaming's event-time machinery
+  *     and `unix_micros` reject; the session runs in UTC, so the cast to
+  *     TIMESTAMP re-interprets the wall-clock as UTC — bit-identical
+  *     epoch micros, and the same instant DuckDB's plain `timestamp`
+  *     read of the file produces.
+  * Downstream code always sees `ts: TIMESTAMP` (UTC) either way.
   */
 object Tables {
 
@@ -34,6 +42,9 @@ object Tables {
           // long nanos since epoch -> timestamp (micros, truncating).
           // Integer DIV: double division would lose precision at 1e18 ns.
           df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case "events" if df.schema("ts").dataType == TimestampNTZType =>
+          // NTZ wall-clock -> UTC instant (exact: session TZ is UTC)
+          df.withColumn("ts", col("ts").cast(TimestampType))
         case _ => df
       }
     })

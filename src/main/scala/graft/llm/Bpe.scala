@@ -144,27 +144,41 @@ object Bpe {
     * difference between re-shuffling every symbol per round and
     * shuffling a few thousand delta rows.
     *
-    * Persistence discipline: the delta's positive side reads the
-    * PERSISTED next dict, so round N+1's argmax (the only job) fills
-    * both the next count table's and next dict's caches in one pass —
-    * only then do round N−1's tables unpersist; recompute depth stays
-    * O(1) like [[bpeTrain]]. Caller runs `spark.catalog.clearCache()`.
+    * Persistence discipline — CHECKPOINT, not persist (the Dedup CC
+    * lesson, `Dedup.scala` `clustersFromPairs`): both carried tables are
+    * re-referenced every round (the delta reads the old AND new dict;
+    * the count merge reads the old count table), and persist does NOT
+    * truncate the LOGICAL plan — with persist alone round N's plan
+    * embeds round N−1's plans multiply, and driver-side Catalyst
+    * analysis over that tree came to dominate the query (measured at
+    * sf0.1: 121 s vs 4 s for the recount loop — r9 verdict). A lazy
+    * `checkpoint()` per round pins each table's plan to a `LogicalRDD`;
+    * round N+1's argmax (still the only job) materializes both
+    * checkpoints in one pass, so recompute depth stays O(1) and every
+    * round's plan is the same constant size (spec-pinned via
+    * `planProbe`). Checkpoint I/O is one write+scan of the vocab-sized
+    * tables per round — at deployment the checkpoint dir is durable
+    * storage, which also bounds recompute on executor loss to one round.
+    *
+    * `planProbe(round, nodes)` receives the analyzed-plan node count of
+    * the carried count table each round — the TopKPlanSpec idea applied
+    * to loops; BpeSpec asserts it stays flat.
     */
-  def bpeTrainIncremental(docs: DataFrame, nMerges: Int): DataFrame = {
+  def bpeTrainIncremental(docs: DataFrame, nMerges: Int,
+      planProbe: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
     val spark = docs.sparkSession
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    var dict = initDict(docs).persist(lvl)
-    var pc = pairCounts(dict).persist(lvl)
-    var prevDict: DataFrame = null
-    var prevPc: DataFrame = null
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        graft.stream.StreamOps.checkpointDir("bpe-train"))
+    var dict = initDict(docs).checkpoint(eager = false)
+    var pc = pairCounts(dict).checkpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Long, String, String, String, Long)]
     var round = 1
     var done = false
     while (round <= nMerges && !done) {
+      planProbe(round, pc.queryExecution.analyzed.collect { case p => p }.length)
       val top = pc.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
-      if (prevDict != null) { prevDict.unpersist(blocking = false); prevDict = null }
-      if (prevPc != null) { prevPc.unpersist(blocking = false); prevPc = null }
       if (top.isEmpty || top(0).getAs[Long]("cnt") < 2L) done = true
       else {
         val pair = top(0).getAs[String]("pair")
@@ -180,7 +194,7 @@ object Bpe {
         val nextDict = dict
           .withColumn("hit", hit)
           .withColumn("seq", when(col("hit"), newSeq).otherwise(col("seq")))
-          .persist(lvl)
+          .checkpoint(eager = false)
         val delta = nextDict.filter(col("hit"))
           .select(col("wc").as("w"), explode(seqPairs(col("seq"))).as("pair"))
           .unionAll(dict.filter(hit)
@@ -193,9 +207,7 @@ object Bpe {
             (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L)))
               .as("cnt"))
           .filter(col("cnt") > 0L)
-          .persist(lvl)
-        prevDict = dict
-        prevPc = pc
+          .checkpoint(eager = false)
         dict = nextDict
         pc = nextPc
         round += 1

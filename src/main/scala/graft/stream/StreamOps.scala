@@ -32,9 +32,16 @@ object StreamOps {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = fileStream(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // long nanos -> truncated micros (Tables.load twin)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock -> UTC instant (exact: session TZ is UTC);
+        // event-time watermarks require TIMESTAMP, not NTZ
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** streaming view of any sf table (the documents corpus included):

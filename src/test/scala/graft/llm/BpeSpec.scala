@@ -110,6 +110,29 @@ class BpeSpec extends SparkSpec {
     assert(full.nonEmpty && inc == full)
   }
 
+  test("bpeTrainIncremental: carried plan stays flat across rounds (r9 regression guard)") {
+    // the r9 x48 regression was multiplicative logical-plan growth in the
+    // carried count table (persist does not truncate lineage); with the
+    // per-round checkpoint every round's analyzed plan must be the same
+    // constant size — assert node count flat after round 1 (round 1 sees
+    // the pre-checkpoint pairCounts plan, rounds 2+ the LogicalRDD)
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "alps", "beta", "banana", "bandana", "ana")
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.fill(5)(vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
+    }
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    Bpe.bpeTrainIncremental(docsDf(rows), nMerges = 12,
+      planProbe = (r, n) => sizes += ((r, n)))
+    spark.catalog.clearCache()
+    val later = sizes.toSeq.filter(_._1 >= 2).map(_._2)
+    assert(later.nonEmpty, "expected at least 2 rounds")
+    assert(later.distinct.size == 1,
+      s"carried count-table plan must be flat across rounds, got $sizes")
+    assert(later.head <= 10,
+      s"checkpointed plan should be a handful of nodes, got ${later.head}")
+  }
+
   test("bpeTrainIncremental: early stop and empty corpus behave like bpeTrain") {
     val single = docsDf(Seq((0L, "x y z", "s")))
     assert(Bpe.bpeTrainIncremental(single, nMerges = 3).collect().isEmpty)
