@@ -32,6 +32,12 @@ import java.nio.file.{Files, Paths}
   *     their own timed section (`m_queries`/`m_total`) so regressions on
   *     the reference's core analytics path are caught round-over-round;
   *     they stay excluded from the sf total, which tracks BASELINE.md.
+  *
+  * Round-10 addition (r9 verdict task 2): progressive partial output —
+  * a flushed `"partial":true` JSON line (and a bench_out.json rewrite)
+  * after the warm-up pass and after every sweep, so an external timeout
+  * can never again zero the round's artifact the way x48's regression
+  * did to BENCH_r09.
   */
 object Bench {
 
@@ -141,6 +147,49 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ListBuffer[(String, String)]()
+
+    // JSON helpers (shared by the partial-progress lines and the final
+    // artifact). Explicit root locale: the default-locale formatter can
+    // emit a comma decimal separator, which would break the JSON.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def jmapR(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    def jfails: String = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+
+    // progressive results (r9 verdict task 2): BENCH_r09 was a timeout
+    // husk (`rc: 124, parsed: null`) because the one JSON line printed
+    // at the very end of ~4 full sweeps. The bench now emits a flushed
+    // partial line (and rewrites bench_out.json) after the warm-up pass
+    // and after EVERY sweep, so a timeout at any point leaves the last
+    // completed pass's numbers: warm-up times stand in as provisional
+    // medians/mins until the first timed sweep replaces them. The final
+    // line is the same shape with "partial" absent; a driver that keeps
+    // the last parseable line gets the most-complete data either way.
+    val sfTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sfMins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mMins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val amp = amplify.getOrElse(0)
+    var passes = 0 // completed warm-up/sweep passes across both sections
+    def emitPartial(): Unit = {
+      val loads = loadSamples.map(r3).mkString("[", ",", "]")
+      val j =
+        s"""{"metric":"total","value":${r3(sfTimings.values.sum)},"unit":"sec","partial":true,"passes":$passes,"queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      Files.writeString(Paths.get("bench_out.json"), j + "\n")
+      println(j)
+      Console.out.flush()
+    }
+
     // Round-4 variance hardening (r3 verdict task 2): the three timed runs
     // of each query are INTERLEAVED as full sweeps over the whole suite
     // (sweep 1 runs every query once, then sweep 2, then sweep 3) instead
@@ -150,20 +199,28 @@ object Bench {
     // load-insensitive floor. r3's q12 5.0s/q13 3.4s/q25 2.3s/st04 2.8s
     // driver numbers do not reproduce locally (0.52/1.33/0.26/1.21 —
     // same commit, same staged layout): external load, not plan change.
-    def timeAll(qs: Seq[(String, QueryFn)], clear: Boolean = true):
-        (scala.collection.mutable.LinkedHashMap[String, Double],
-         scala.collection.mutable.LinkedHashMap[String, Double]) = {
+    def timeAll(qs: Seq[(String, QueryFn)],
+        outMed: scala.collection.mutable.LinkedHashMap[String, Double],
+        outMin: scala.collection.mutable.LinkedHashMap[String, Double],
+        clear: Boolean = true): Unit = {
       val samples = scala.collection.mutable.LinkedHashMap[String,
         scala.collection.mutable.ListBuffer[Double]]()
       qs.foreach { case (name, fn) =>
-        // warm-up: JIT + parquet footer cache + codegen cache
-        try { runOnce(fn, clear); samples(name) = scala.collection.mutable.ListBuffer() }
-        catch {
+        // warm-up: JIT + parquet footer cache + codegen cache; its time
+        // rides as the provisional partial-output entry
+        try {
+          val t = runOnce(fn, clear)
+          samples(name) = scala.collection.mutable.ListBuffer()
+          outMed(name) = t
+          outMin(name) = t
+        } catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             failed += name -> msg.linesIterator.take(1).mkString.take(200)
         }
       }
+      passes += 1
+      emitPartial()
       // sweep runs are guarded too (r4 advice): a query that passed
       // warm-up but throws transiently mid-sweep is reported in `failed`
       // and dropped, instead of crashing the bench before bench_out.json
@@ -178,22 +235,23 @@ object Bench {
                 failed += name -> msg.linesIterator.take(1).mkString.take(200)
                 alive -= name
                 samples.remove(name)
+                outMed.remove(name)
+                outMin.remove(name)
             }
           }
         }
         sampleLoad()
+        samples.foreach { case (name, runs) =>
+          val s = runs.sorted
+          outMed(name) = s(s.size / 2)
+          outMin(name) = s.head
+        }
+        passes += 1
+        emitPartial()
       }
-      val med = scala.collection.mutable.LinkedHashMap[String, Double]()
-      val mn = scala.collection.mutable.LinkedHashMap[String, Double]()
-      samples.foreach { case (name, runs) =>
-        val s = runs.sorted
-        med(name) = s(s.size / 2)
-        mn(name) = s.head
-      }
-      (med, mn)
     }
 
-    val (sfTimings, sfMins) = timeAll(selected { case (n, _) => !n.startsWith("m") })
+    timeAll(selected { case (n, _) => !n.startsWith("m") }, sfTimings, sfMins)
 
     // the m-suite runs over a SESSION-CACHED fixture catalog (r7 verdict
     // task 7): the base metadata frames (constant-size golden fixtures)
@@ -223,40 +281,23 @@ object Bench {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val (mTimings, mMins) = timeAll(mQueries, clear = false)
+    timeAll(mQueries, mTimings, mMins, clear = false)
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     fixtureFrames.foreach(_.unpersist())
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // ms-rounded variant for the stdout line: the driver keeps only a
     // ~4 KiB tail of the run's output, and the full-precision four-map
     // line grew past that in rounds 4-5 ("parsed": null in BENCH_r04/05).
     // The printed line therefore carries the contract keys only (metric/
     // value/unit/queries/sf + small scalars) at 1 ms precision (~2 KiB);
     // bench_out.json keeps every map at full precision.
-    // explicit root locale: the f-interpolator formats with the JVM
-    // default locale, and a comma decimal separator would break the JSON
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jmapR(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    val fails = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
-      .mkString("{", ",", "}")
     val total = sfTimings.values.sum
     val loads = loadSamples.map(r3).mkString("[", ",", "]")
-    val amp = amplify.getOrElse(0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$fails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
     val jsonShort =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$fails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
 
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(jsonShort)
