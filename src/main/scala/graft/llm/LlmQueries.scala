@@ -151,8 +151,9 @@ object LlmQueries extends QueryPack {
     // one Lloyd refinement round, ADC top-5 for the 10-query demo set
     "x58_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(embs(s, dir), CentroidIds, nQueries = 10, k = 5)),
-    // measured recall@5 of the int8-quantized scan and the 1-probe IVF
-    // against the exact brute-force ranking — the ANN tuning instrument
+    // measured recall@5 of the int8-quantized scan, the 1-probe IVF, and
+    // the PQ/ADC scan against the exact brute-force ranking — the ANN
+    // tuning instrument
     "x59_ann_recall_audit" -> ((s, dir) =>
       Similarity.annRecallAudit(embs(s, dir), CentroidIds, nQueries = 10,
         k = 5)),
@@ -189,6 +190,61 @@ object LlmQueries extends QueryPack {
   // ---- oracle SQL ----------------------------------------------------
 
   private val hexHi = "('8','9','a','b','c','d','e','f')"
+
+  /** shared PQ/ADC CTE chain (x58, and x59's recall_pq leg): assumes an
+    * `ev(vec_id, v)` CTE in scope; yields `ad(q_id, vec_id, adist)` —
+    * subvectors → pinned init codebook → one Lloyd round (value-sorted
+    * left-to-right means) → argmin codes (ties → lowest cid) → per-query
+    * distance tables for vec_id < 10 → ADC sums in sub order
+    */
+  private val PqAdcCtes: String = {
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    s"""sv AS (SELECT vec_id, x.i AS sub,
+                   list_slice(v, (x.i - 1) * 16 + 1, x.i * 16) AS sv
+                 FROM ev, unnest(generate_series(1, 4)) AS x(i)),
+          c0pq AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
+                 WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          a1pq AS (SELECT vec_id, sub, sv, cid FROM (
+                   SELECT vec_id, sub, sv, cid, row_number() OVER (
+                     PARTITION BY vec_id, sub
+                     ORDER BY d ASC, cid ASC) AS rn
+                   FROM (SELECT s.vec_id, s.sub, s.sv, c.cid,
+                           ${l2("s.sv", "c.cv")} AS d
+                         FROM sv s JOIN c0pq c ON s.sub = c.sub))
+                 WHERE rn = 1),
+          dimspq AS (SELECT sub, cid, x.i AS dim, sv[x.i] AS x
+                   FROM a1pq, unnest(generate_series(1, 16)) AS x(i)),
+          m1pq AS (SELECT sub, cid, dim,
+                   list_reduce(list_sort(list(x)), (a, b) -> a + b)
+                     / count(*) AS m
+                 FROM dimspq GROUP BY 1, 2, 3),
+          cmpq AS (SELECT sub, cid, list(m ORDER BY dim) AS mcv FROM m1pq
+                 GROUP BY 1, 2),
+          c1pq AS (SELECT c0pq.sub, c0pq.cid, coalesce(cmpq.mcv, c0pq.cv) AS cv
+                 FROM c0pq LEFT JOIN cmpq
+                   ON c0pq.sub = cmpq.sub AND c0pq.cid = cmpq.cid),
+          code AS (SELECT vec_id, sub, cid FROM (
+                     SELECT vec_id, sub, cid, row_number() OVER (
+                       PARTITION BY vec_id, sub
+                       ORDER BY d ASC, cid ASC) AS rn
+                     FROM (SELECT s.vec_id, s.sub, c.cid,
+                             ${l2("s.sv", "c.cv")} AS d
+                           FROM sv s JOIN c1pq c ON s.sub = c.sub))
+                   WHERE rn = 1),
+          dtpq AS (SELECT q.vec_id AS q_id, q.sub, c.cid,
+                   ${l2("q.sv", "c.cv")} AS d
+                 FROM sv q JOIN c1pq c ON q.sub = c.sub
+                 WHERE q.vec_id < 10),
+          pd AS (SELECT dtpq.q_id, code.vec_id, dtpq.sub, dtpq.d
+                 FROM code JOIN dtpq
+                   ON code.sub = dtpq.sub AND code.cid = dtpq.cid
+                 WHERE code.vec_id != dtpq.q_id),
+          ad AS (SELECT q_id, vec_id,
+                   list_reduce(list(d ORDER BY sub), (a, b) -> a + b)
+                     AS adist
+                 FROM pd GROUP BY 1, 2)"""
+  }
 
   /** tokens with position (mirror of TextOps.tokens) */
   private val TOKS_CTE =
@@ -1432,60 +1488,14 @@ object LlmQueries extends QueryPack {
     // left-to-right means, argmin encode (ties → lowest cid), ADC sums
     // the per-sub table distances in sub order (list ORDER BY sub ==
     // Spark's zip_with over the sub-major arrays)
-    "x58_pq_topk" -> {
-      def l2(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    "x58_pq_topk" ->
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                       FROM embeddings),
-          sv AS (SELECT vec_id, x.i AS sub,
-                   list_slice(v, (x.i - 1) * 16 + 1, x.i * 16) AS sv
-                 FROM ev, unnest(generate_series(1, 4)) AS x(i)),
-          c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv
-                 WHERE vec_id IN (${CentroidIds.mkString(", ")})),
-          a1 AS (SELECT vec_id, sub, sv, cid FROM (
-                   SELECT vec_id, sub, sv, cid, row_number() OVER (
-                     PARTITION BY vec_id, sub
-                     ORDER BY d ASC, cid ASC) AS rn
-                   FROM (SELECT s.vec_id, s.sub, s.sv, c.cid,
-                           ${l2("s.sv", "c.cv")} AS d
-                         FROM sv s JOIN c0 c ON s.sub = c.sub))
-                 WHERE rn = 1),
-          dims AS (SELECT sub, cid, x.i AS dim, sv[x.i] AS x
-                   FROM a1, unnest(generate_series(1, 16)) AS x(i)),
-          m1 AS (SELECT sub, cid, dim,
-                   list_reduce(list_sort(list(x)), (a, b) -> a + b)
-                     / count(*) AS m
-                 FROM dims GROUP BY 1, 2, 3),
-          cm AS (SELECT sub, cid, list(m ORDER BY dim) AS mcv FROM m1
-                 GROUP BY 1, 2),
-          c1 AS (SELECT c0.sub, c0.cid, coalesce(cm.mcv, c0.cv) AS cv
-                 FROM c0 LEFT JOIN cm
-                   ON c0.sub = cm.sub AND c0.cid = cm.cid),
-          code AS (SELECT vec_id, sub, cid FROM (
-                     SELECT vec_id, sub, cid, row_number() OVER (
-                       PARTITION BY vec_id, sub
-                       ORDER BY d ASC, cid ASC) AS rn
-                     FROM (SELECT s.vec_id, s.sub, c.cid,
-                             ${l2("s.sv", "c.cv")} AS d
-                           FROM sv s JOIN c1 c ON s.sub = c.sub))
-                   WHERE rn = 1),
-          dt AS (SELECT q.vec_id AS q_id, q.sub, c.cid,
-                   ${l2("q.sv", "c.cv")} AS d
-                 FROM sv q JOIN c1 c ON q.sub = c.sub
-                 WHERE q.vec_id < 10),
-          pd AS (SELECT dt.q_id, code.vec_id, dt.sub, dt.d
-                 FROM code JOIN dt
-                   ON code.sub = dt.sub AND code.cid = dt.cid
-                 WHERE code.vec_id != dt.q_id),
-          ad AS (SELECT q_id, vec_id,
-                   list_reduce(list(d ORDER BY sub), (a, b) -> a + b)
-                     AS adist
-                 FROM pd GROUP BY 1, 2)
+          $PqAdcCtes
           SELECT q_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id
               ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
-          WHERE rank <= 5"""
-    },
+          WHERE rank <= 5""",
 
     // recall audit: x05's brute CTE, x19's int8 CTE, and x14's 1-probe
     // IVF CTE (all at k=5) intersected per query — counts are exact
@@ -1542,20 +1552,31 @@ object LlmQueries extends QueryPack {
               FROM assigned a
               JOIN iq ON a.cell = iq.q_cell AND a.vec_id != iq.q_id)
             WHERE rank <= 5),
+          $PqAdcCtes,
+          pqr AS (SELECT q_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+            WHERE rank <= 5),
           hq AS (SELECT b.q_id, count(*) AS hit_quant
                  FROM brute b JOIN quant t USING (q_id, vec_id)
                  GROUP BY 1),
           hi AS (SELECT b.q_id, count(*) AS hit_ivf
                  FROM brute b JOIN ivf t USING (q_id, vec_id)
+                 GROUP BY 1),
+          hp AS (SELECT b.q_id, count(*) AS hit_pq
+                 FROM brute b JOIN pqr t USING (q_id, vec_id)
                  GROUP BY 1)
           SELECT q.q_id, CAST(5 AS INT) AS k,
             coalesce(hq.hit_quant, 0) AS hit_quant,
             CAST(coalesce(hq.hit_quant, 0) AS DOUBLE) / 5 AS recall_quant,
             coalesce(hi.hit_ivf, 0) AS hit_ivf,
-            CAST(coalesce(hi.hit_ivf, 0) AS DOUBLE) / 5 AS recall_ivf
+            CAST(coalesce(hi.hit_ivf, 0) AS DOUBLE) / 5 AS recall_ivf,
+            coalesce(hp.hit_pq, 0) AS hit_pq,
+            CAST(coalesce(hp.hit_pq, 0) AS DOUBLE) / 5 AS recall_pq
           FROM (SELECT DISTINCT q_id FROM brute) q
           LEFT JOIN hq ON q.q_id = hq.q_id
-          LEFT JOIN hi ON q.q_id = hi.q_id"""
+          LEFT JOIN hi ON q.q_id = hi.q_id
+          LEFT JOIN hp ON q.q_id = hp.q_id"""
     },
 
     // the same deterministic crawl-N+1 derivation as the Spark side;

@@ -755,16 +755,21 @@ object Similarity {
   }
 
   /** per-(vec, sub) nearest codeword (min L2, ties → lowest cid) against
-    * a broadcast codebook (sub, cid, cv)
+    * a broadcast codebook (sub, cid, cv). `min_by` over the
+    * lexicographic (d, cid) struct — identical winner to ranking by
+    * `(d asc, cid asc)`, but a map-side-combinable hash aggregation
+    * instead of a `row_number` window: the k-expanded rows partial-
+    * reduce before the (vec_id, sub) shuffle, so k× fewer rows move and
+    * nothing sorts (r9 verdict task 7). `sv` is constant within a
+    * group (it IS the group's subvector), so `first` is deterministic.
     */
-  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d").asc, col("cid").asc)
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), Seq("sub"))
       .withColumn("d", l2sq(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+        first(col("sv")).as("sv"))
       .select(col("vec_id"), col("sub"), col("sv"), col("cid"))
-  }
 
   /** Product-quantization codebook training (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): each
@@ -895,14 +900,17 @@ object Similarity {
     * brute-force ranking — the vector twin of [[Dedup.lshRecallAudit]]
     * (r7 advice: never ship an approximate path without its measured
     * recall). Per query: how many of the exact top-k the int8-quantized
-    * scan ([[quantizedTopK]]) and the 1-probe IVF ([[ivfCentroidTopK]])
-    * each recovered. All counts are exact integers and recall is one
-    * integer-ratio division — bit-stable.
+    * scan ([[quantizedTopK]]), the 1-probe IVF ([[ivfCentroidTopK]]),
+    * and the PQ/ADC scan ([[pqTopK]], r9 verdict task 6 — the 64×
+    * compression's recall is measured, not asserted) each recovered.
+    * All counts are exact integers and recall is one integer-ratio
+    * division — bit-stable.
     *
-    * Scale: three top-k runs share the broadcast-queries single-scan
-    * shape (audit cost ≈ 3 corpus scans on a SAMPLED query set — run it
+    * Scale: the four top-k runs share the broadcast-queries single-scan
+    * shape (audit cost ≈ 4 corpus scans on a SAMPLED query set — run it
     * per index build, not per query); the joins are k·nQueries-row
-    * intersections.
+    * intersections. The PQ path trains its codebook on the same pinned
+    * `centroidIds` the IVF path uses, mirroring x58.
     */
   def annRecallAudit(embeddings: DataFrame, centroidIds: Seq[Long],
       nQueries: Int, k: Int): DataFrame = {
@@ -912,19 +920,25 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     val ivf = ivfCentroidTopK(embeddings, centroidIds, nQueries, k)
       .select(col("q_id"), col("vec_id"))
+    val pq = pqTopK(embeddings, centroidIds, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
     def hits(approx: DataFrame, name: String): DataFrame =
       brute.join(approx, Seq("q_id", "vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as(name))
     brute.select(col("q_id")).distinct()
       .join(hits(quant, "hit_quant"), Seq("q_id"), "left")
       .join(hits(ivf, "hit_ivf"), Seq("q_id"), "left")
+      .join(hits(pq, "hit_pq"), Seq("q_id"), "left")
       .select(col("q_id"), lit(k).as("k"),
         coalesce(col("hit_quant"), lit(0L)).as("hit_quant"),
         (coalesce(col("hit_quant"), lit(0L)).cast("double") / k)
           .as("recall_quant"),
         coalesce(col("hit_ivf"), lit(0L)).as("hit_ivf"),
         (coalesce(col("hit_ivf"), lit(0L)).cast("double") / k)
-          .as("recall_ivf"))
+          .as("recall_ivf"),
+        coalesce(col("hit_pq"), lit(0L)).as("hit_pq"),
+        (coalesce(col("hit_pq"), lit(0L)).cast("double") / k)
+          .as("recall_pq"))
   }
 
   /** embedding-space drift monitor — the vector twin of
