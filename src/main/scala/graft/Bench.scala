@@ -86,6 +86,10 @@ object Bench {
         case "embeddings" =>
           (0 until k).map(j => df.withColumn("vec_id",
             col("vec_id") * k + j)).reduce(_ union _)
+        case "lineitem" =>
+          // q13's input; percentiles/stats need no key rekeying — a
+          // plain k-fold union scales the sort/histogram work k×
+          (0 until k).map(_ => df).reduce(_ union _)
         case _ => df
       }
       val rows = amped.count()
@@ -97,11 +101,14 @@ object Bench {
   }
 
   /** the headline doc-pipeline queries the amplified mode times — the
-    * most expensive queries of BENCH_r07 plus the round-8 ingest/leakage
-    * gates (x50/x53), all reading `documents` only
+    * most expensive queries of BENCH_r07, the round-8 ingest/leakage
+    * gates (x50/x53), and every remaining >2×-at-sf0.1 query plus the
+    * round-9 vector additions (r9 verdict task 4): quality gate x26,
+    * dup-span x41, DSIR x43/x44, percentile sort q13, and the
+    * embedding-side x56–x59 (SemDeDup, ingest gate, PQ, recall audit)
     */
   private val AmplifySet =
-    "^(x02|x03|x16|x21|x22|x23|x30|x33|x36|x38|x50|x53)"
+    "^(q13|x02|x03|x16|x21|x22|x23|x26|x30|x33|x36|x38|x41|x43|x44|x50|x53|x56|x57|x58|x59|x61)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -157,6 +157,11 @@ object LlmQueries extends QueryPack {
     "x59_ann_recall_audit" -> ((s, dir) =>
       Similarity.annRecallAudit(embs(s, dir), CentroidIds, nQueries = 10,
         k = 5)),
+    // IVF-PQ composition: x14's coarse cosine cells × x58's ADC codes,
+    // 2-probe queries — the FAISS-IVFPQ shape at demo scale
+    "x61_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(embs(s, dir), CentroidIds, nQueries = 10,
+        k = 5, nprobe = 2)),
     // crawl-N vs crawl-N+1 stand-in derived deterministically from the
     // one documents table: N+1 drops doc_id%7=3, byte-edits (uppercases)
     // doc_id%5=0, and adds doc_id%9=4 back under fresh ids
@@ -1577,6 +1582,43 @@ object LlmQueries extends QueryPack {
           LEFT JOIN hq ON q.q_id = hq.q_id
           LEFT JOIN hi ON q.q_id = hi.q_id
           LEFT JOIN hp ON q.q_id = hp.q_id"""
+    },
+
+    // IVF-PQ: the shared PQ chain's codes and distance tables, with the
+    // candidate set cut to each query's 2 nearest coarse cosine cells
+    // (ties → lowest cid, matching the Spark window order)
+    "x61_ivfpq_topk" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+          $PqAdcCtes,
+          cr AS (SELECT vec_id, cid, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                 FROM (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} AS ccos
+                       FROM ev e, (SELECT vec_id AS cid, v AS cv FROM ev
+                                   WHERE vec_id IN
+                                     (${CentroidIds.mkString(", ")})) c)),
+          cells AS (SELECT vec_id, cid AS cell FROM cr WHERE rn = 1),
+          probes AS (SELECT vec_id AS q_id, cid AS q_cell FROM cr
+                     WHERE rn <= 2 AND vec_id < 10),
+          pd2 AS (SELECT dtpq.q_id, code.vec_id, dtpq.sub, dtpq.d
+                  FROM code
+                  JOIN cells ON cells.vec_id = code.vec_id
+                  JOIN dtpq ON code.sub = dtpq.sub AND code.cid = dtpq.cid
+                  JOIN probes ON probes.q_id = dtpq.q_id
+                            AND probes.q_cell = cells.cell
+                  WHERE code.vec_id != dtpq.q_id),
+          ad2 AS (SELECT q_id, vec_id,
+                    list_reduce(list(d ORDER BY sub), (a, b) -> a + b)
+                      AS adist
+                  FROM pd2 GROUP BY 1, 2)
+          SELECT q_id, vec_id, adist, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY adist ASC, vec_id ASC) AS rank FROM ad2)
+          WHERE rank <= 5"""
     },
 
     // the same deterministic crawl-N+1 derivation as the Spark side;

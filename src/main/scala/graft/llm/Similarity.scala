@@ -896,6 +896,62 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ composed search — the [[pqTopK]] scaladoc's composition
+    * point made real, and the standard billion-scale ANN index shape
+    * (FAISS's IVFPQ): the corpus partitions into [[ivfCentroidTopK]]'s
+    * coarse cosine cells, each vector stores only its `nSub` PQ codes,
+    * and a query ADC-scans ONLY its `nprobe` nearest cells — candidate
+    * work is ~nprobe·N/cells per query with 4-byte codes instead of
+    * f32 vectors, compounding IVF's candidate cut with PQ's 64×
+    * compression. Distance tables ride the broadcast query rows exactly
+    * as in [[pqTopK]]; each corpus vector lives in one cell and probe
+    * cells are distinct, so (q_id, vec_id) appears at most once and the
+    * per-query top-k window is the only shuffle.
+    *
+    * Determinism: coarse ranking ties → lowest cid (the IVF order);
+    * ADC ties → lowest vec_id. Probing ALL cells degenerates to exactly
+    * [[pqTopK]]'s ranking (spec-asserted) — nprobe is the recall knob,
+    * priced by [[annRecallAudit]]'s recall_pq vs recall_ivf columns.
+    */
+  def ivfPqTopK(embeddings: DataFrame, centroidIds: Seq[Long],
+      nQueries: Int, k: Int, nprobe: Int = 2, nSub: Int = 4,
+      dim: Int = 64, iters: Int = 2): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val nc = (a: Column, b: Column) => call_function("cosine_sim", a, b)
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = e.join(broadcast(cents))
+      .withColumn("ccos", nc(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val cb = pqCodebook(embeddings, centroidIds, nSub, dim, iters)
+    val enc = pqEncode(embeddings, cb, dim)
+    val dsub = dim / nSub
+    def subv(s: Int, v: Column) = slice(v, (s - 1) * dsub + 1, dsub)
+    val dt = array((1 to nSub).map { s =>
+      array(cb(s).map(cv => l2sq(subv(s, col("v")), typedLit(cv))): _*)
+    }: _*)
+    val q = ranked.filter(col("rn") <= nprobe && col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dt.as("dt"),
+        col("cid").as("q_cell"))
+    val scored = enc.join(cells, Seq("vec_id"))
+      .join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("dt"),
+            (c, row) => element_at(row, c)),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+  }
+
   /** measured recall@k of the approximate ANN paths against the exact
     * brute-force ranking — the vector twin of [[Dedup.lshRecallAudit]]
     * (r7 advice: never ship an approximate path without its measured

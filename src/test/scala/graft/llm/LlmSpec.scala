@@ -363,6 +363,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= r1)
     assert(p2.groupBy(_._1).forall(_._2.size == 3))
   }
+
+  test("IVF-PQ probing all cells degenerates to the full ADC scan") {
+    val embs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val cents = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("rank"))).toSet
+    val full = rows(Similarity.pqTopK(embs, cents, nQueries = 5, k = 3))
+    val allProbes = rows(Similarity.ivfPqTopK(embs, cents, nQueries = 5,
+      k = 3, nprobe = cents.size))
+    assert(allProbes == full)
+    // a 1-probe run returns at most k per query and only cell-mates —
+    // a subset of each query's single coarse cell
+    val p1 = Similarity.ivfPqTopK(embs, cents, nQueries = 5, k = 3,
+      nprobe = 1)
+    assert(p1.collect().groupBy(_.getAs[Long]("q_id"))
+      .forall(_._2.length <= 3))
+  }
 }
 
 class KmeansSpec extends SparkSpec {
