@@ -680,21 +680,94 @@ object TextOps {
     * [[repetitionSignals]], token counts) fold into one keep/drop
     * decision with the FIRST failing rule as the reason — order-pinned
     * CASE semantics identical in both engines, all-rational thresholds.
-    * One pass over each signal (shared token-key aggregations) + two
-    * per-doc joins; at 100 TB this is the filter stage before write-out.
+    *
+    * Shape (round-10 restructure — the x26 amplified residual): the
+    * gate is ONE shuffle-free projection. Every input signal is
+    * per-row-computable, so the former three-branch composition
+    * (explode → stopword join → two hash aggs → two doc_id joins) is
+    * replaced by array expressions over the split token array:
+    *   - lang-ID = per-language stopword hit counts via
+    *     `filter(tk, array_contains(...))` against the same literal
+    *     stopword lists, folded in ascending language order with a
+    *     strict `>` — identical winner and tie-break to [[langId]]'s
+    *     `min_by((-hits, lang))`, zero hits → "unknown"
+    *     (spec-asserted equal on the fixture corpus);
+    *   - duplicate-bigram mass = sort the bigram array once and count
+    *     positions inside a run of length ≥ 2 — exactly
+    *     [[repetitionSignals]]' Σ{c : c ≥ 2} without the (doc, bigram)
+    *     shuffle, O(n log n) per row;
+    *   - quality score = [[qualityScore]]'s formula (already a map).
+    * All counts are exact integers and the divisions are the same
+    * expressions, so the output is bit-identical to the joined
+    * composition — and at 100 TB the filter stage before write-out is
+    * a pure map: no shuffle, no joins, scan throughput.
     */
   def qualityGate(docs: DataFrame, minTokens: Int = 10,
       maxTokens: Int = 100000, minQuality: Double = 0.5,
       maxDupBigram: Double = 0.2, lang: String = "en"): DataFrame = {
-    // three signal branches, not four: n_tokens rides along on the
-    // repetition branch (it is a dimension of its fractions anyway), so
-    // the gate joins quality (pure map) + lang + repetition once each
-    val sig = qualityScore(docs)
-      .join(langId(docs).select(col("doc_id"), col("pred_lang")),
-        Seq("doc_id"))
-      .join(repetitionSignals(docs)
-        .select(col("doc_id"), col("dup_bigram_frac"), col("n_tokens")),
-        Seq("doc_id"))
+    // EXPLICIT projection stages so every lambda references a bound
+    // attribute, never an inlined expression: higher-order functions
+    // are interpreted (no codegen CSE), so an expression inside a
+    // lambda body is re-evaluated PER ELEMENT — an inlined `split` or
+    // `array_sort` there turns the per-row cost quadratic (measured:
+    // the first cut of this restructure hung the ×30 bench).
+    // CollapseProject keeps these boundaries because the aliases are
+    // non-cheap and multiply-referenced.
+    val tk = col("tk")
+    val nt = size(tk)
+    val staged = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("tk"))
+    // per-language stopword hits; langs folded in ASCENDING order with
+    // strict >, reproducing min_by((-hits, lang)): first language wins
+    // ties, all-zero stays "unknown". The filter lambdas touch only the
+    // lambda variable and a literal array.
+    val langWords = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+      "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+      "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+    val best = langWords.foldLeft(
+      struct(lit("unknown").as("l"), lit(0).as("h"))) {
+      case (acc, (l, ws)) =>
+        val h = size(filter(tk, t => array_contains(typedLit(ws), t)))
+        when(h > acc.getField("h"),
+          struct(lit(l).as("l"), h.as("h"))).otherwise(acc)
+    }
+    // bigrams off the bound token array; sorted once into its own
+    // bound column for the run fold
+    val bg = when(nt >= 2, transform(sequence(lit(1), nt - 1), i =>
+      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val staged2 = staged.select(col("doc_id"), col("text"), col("tk"),
+      best.as("best"), array_sort(bg).as("sbg"))
+    // duplicate-bigram occurrences = Σ run lengths ≥ 2 over the sorted
+    // bigram array, one left-to-right fold carrying (prev, run, acc) —
+    // every bigram contains a space, so the "" seed never matches
+    val st = (p: Column, r: Column, a: Column) =>
+      struct(p.as("prev"), r.as("run"), a.as("acc"))
+    val closeRun = (s: Column) => s.getField("acc") +
+      when(s.getField("run") >= 2, s.getField("run")).otherwise(lit(0))
+    val dupN = aggregate(col("sbg"), st(lit(""), lit(0), lit(0)),
+      (s, x) => when(x === s.getField("prev"),
+          st(x, s.getField("run") + 1, s.getField("acc")))
+        .otherwise(st(x, lit(1), closeRun(s))),
+      closeRun)
+    val dupFrac = when(nt >= 2,
+      dupN.cast("double") / (nt - 1).cast("double")).otherwise(0.0)
+    // qualityScore's formula, inlined (identical expressions)
+    val n = length(col("text")).cast("double")
+    val alnum =
+      length(regexp_replace(col("text"), "[^a-z0-9A-Z ]", "")).cast("double")
+    val punctRatio = when(n > 0, (n - alnum) / n).otherwise(0.0)
+    val nTokD = nt.cast("double")
+    val meanLen = when(nTokD > 0, (n - (nTokD - 1)) / nTokD).otherwise(0.0)
+    val score = greatest(lit(0.0),
+      least(lit(1.0), lit(1.0) - punctRatio - abs(meanLen - 5.0) / 10.0))
+    val sig = staged2.select(col("doc_id"),
+      col("best").getField("l").as("pred_lang"),
+      nt.as("n_tokens"), score.as("quality_score"),
+      dupFrac.as("dup_bigram_frac"))
     val reason = when(col("n_tokens") < minTokens, "too_short")
       .when(col("n_tokens") > maxTokens, "too_long")
       .when(col("pred_lang") =!= lang, "wrong_lang")

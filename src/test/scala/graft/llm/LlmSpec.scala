@@ -668,6 +668,44 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ("pass", true))
   }
 
+  test("quality gate: mapped projection equals the joined signal composition") {
+    // the r10 shuffle-free gate must be bit-identical to composing the
+    // standalone signals the old way (langId + repetitionSignals +
+    // qualityScore joined on doc_id) — run both on the fixture corpus
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val joined = {
+      val sig = TextOps.qualityScore(docs)
+        .join(TextOps.langId(docs).select(col("doc_id"), col("pred_lang")),
+          Seq("doc_id"))
+        .join(TextOps.repetitionSignals(docs)
+          .select(col("doc_id"), col("dup_bigram_frac"), col("n_tokens")),
+          Seq("doc_id"))
+      val reason = when(col("n_tokens") < 10, "too_short")
+        .when(col("n_tokens") > 100000, "too_long")
+        .when(col("pred_lang") =!= "en", "wrong_lang")
+        .when(col("quality_score") < 0.5, "low_quality")
+        .when(col("dup_bigram_frac") > 0.2, "repetitive")
+        .otherwise(lit("pass"))
+      sig.select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        col("quality_score"), col("dup_bigram_frac"),
+        reason.as("gate_reason"), (reason === "pass").as("keep"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("pred_lang"),
+        r.getAs[Int]("n_tokens"), r.getAs[Double]("quality_score"),
+        r.getAs[Double]("dup_bigram_frac"), r.getAs[String]("gate_reason"),
+        r.getAs[Boolean]("keep"))).toSet
+    val mapped = rows(TextOps.qualityGate(docs))
+    assert(mapped.nonEmpty && mapped == rows(joined))
+    // and the mapped plan is shuffle-free: no Exchange anywhere
+    val plan = TextOps.qualityGate(docs).queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, "quality gate must stay a pure projection")
+  }
+
   test("chunking: stride windows cover the tail; short docs = one chunk") {
     val words = (1 to 80).map(i => s"w$i").mkString(" ")
     val df = docsDf(Seq((0L, words, "en"), (1L, "a b c", "en")))
