@@ -896,6 +896,89 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** the storable PQ index: the KB-sized codebook (sub → codewords in
+    * cid order) + the nSub-codes-per-vector code table — everything ADC
+    * search needs; the original f32 vectors are NOT part of the index
+    * (that is the point: 4 bytes/vector at nSub = 4, k ≤ 256).
+    * [[savePqIndex]]/[[loadPqIndex]] round-trip both through parquet —
+    * the [[Dedup.bandKeyIndex]] store-and-reload discipline for the
+    * vector side: a deployment trains once (on a sample), writes the
+    * index next to the corpus, and every later query session loads it
+    * without touching the embeddings. `close()` drops the cached code
+    * table ([[VecIndex]] contract).
+    */
+  final case class PqIndex(codebook: Map[Int, Seq[Seq[Double]]],
+      codes: DataFrame, dim: Int) extends AutoCloseable {
+    override def close(): Unit = { codes.unpersist(blocking = true); () }
+  }
+
+  /** train + encode in one pass over the corpus; the code table persists
+    * until `close()` (locally — at deployment it is [[savePqIndex]]'d)
+    */
+  def buildPqIndex(embeddings: DataFrame, initIds: Seq[Long],
+      nSub: Int = 4, dim: Int = 64, iters: Int = 2): PqIndex = {
+    val cb = pqCodebook(embeddings, initIds, nSub, dim, iters)
+    val codes = pqEncode(embeddings, cb, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(cb, codes, dim)
+  }
+
+  def savePqIndex(idx: PqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes.parquet")
+    idx.codebook.toSeq
+      .flatMap { case (sub, cvs) =>
+        cvs.zipWithIndex.map { case (cv, p) => (sub, p + 1, cv) }
+      }
+      .toDF("sub", "pos", "cv")
+      .write.mode("overwrite").parquet(s"$path/codebook.parquet")
+    spark.createDataset(Seq(idx.dim)).toDF("dim")
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    import spark.implicits._
+    val cb = spark.read.parquet(s"$path/codebook.parquet")
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val dim = spark.read.parquet(s"$path/meta.parquet")
+      .head().getInt(0)
+    val codes = spark.read.parquet(s"$path/codes.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(cb, codes, dim)
+  }
+
+  /** ADC top-k against a built/loaded index for an arbitrary query
+    * batch (vec_id, embedding) — [[pqTopK]]'s scoring stage with the
+    * code table coming from the index instead of a fresh encode.
+    * `pqQuery(buildPqIndex(e, ids), e.filter(vec_id < n), k)` is
+    * row-identical to `pqTopK(e, ids, n, k)` (spec-asserted, incl.
+    * through a save/load round-trip).
+    */
+  def pqQuery(idx: PqIndex, queries: DataFrame, k: Int): DataFrame = {
+    val nSub = idx.codebook.size
+    val dsub = idx.dim / nSub
+    def subv(s: Int, v: Column) = slice(v, (s - 1) * dsub + 1, dsub)
+    val dt = array((1 to nSub).map { s =>
+      array(idx.codebook(s).map(cv =>
+        l2sq(subv(s, col("v")), typedLit(cv))): _*)
+    }: _*)
+    val q = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("v"))
+      .select(col("q_id"), dt.as("dt"))
+    val scored = idx.codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("dt"),
+            (c, row) => element_at(row, c)),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-PQ composed search — the [[pqTopK]] scaladoc's composition
     * point made real, and the standard billion-scale ANN index shape
     * (FAISS's IVFPQ): the corpus partitions into [[ivfCentroidTopK]]'s

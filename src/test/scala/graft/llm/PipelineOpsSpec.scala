@@ -455,6 +455,29 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqQuery ≡ pqTopK, including through a saved/loaded index") {
+    import org.apache.spark.sql.functions.col
+    val embs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val cents = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adist"), r.getAs[Int]("rank"))).toSet
+    val direct = rows(Similarity.pqTopK(embs, cents, nQueries = 5, k = 3))
+    val queries = embs.filter(col("vec_id") < 5)
+    val built = Similarity.buildPqIndex(embs, cents)
+    assert(rows(Similarity.pqQuery(built, queries, k = 3)) == direct)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_index").toString
+    Similarity.savePqIndex(built, dir)
+    built.close()
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.dim == 64 && loaded.codebook == built.codebook)
+    assert(rows(Similarity.pqQuery(loaded, queries, k = 3)) == direct)
+    loaded.close()
+    spark.catalog.clearCache()
+  }
+
   test("lshRecallAudit: identical pair hits decile 9, disjoint pairs miss") {
     val df = docsDf(Seq(
       (0L, "w1 w2 w3 w4 w5 w6", "s"),
