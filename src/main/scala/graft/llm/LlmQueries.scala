@@ -174,7 +174,17 @@ object LlmQueries extends QueryPack {
         .unionAll(d.filter(col("doc_id") % 9 === 4)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.snapshotDiff(d, newS)
-    })
+    }),
+    // two-stage retrieval: x58's ADC codes shortlist 20 candidates per
+    // query, exact cosine reranks ONLY the shortlist to the final top-5
+    "x62_pq_rerank_topk" -> ((s, dir) =>
+      Similarity.pqRerankTopK(embs(s, dir), CentroidIds, nQueries = 10,
+        k = 5, kShort = 20)),
+    // hybrid retrieval: trigram-shingle Jaccard lexical leg × exact
+    // cosine vector leg (top-20 each), reciprocal-rank fusion at K=60
+    "x63_hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrfTopK(docs(s, dir), embs(s, dir), nQueries = 10,
+        k = 5, kLeg = 20))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -1641,6 +1651,77 @@ object LlmQueries extends QueryPack {
                 WHEN o.old_fp = n.new_fp THEN 'unchanged'
                 ELSE 'changed' END AS status
          FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id""",
+
+    // two-stage rerank: the shared ADC chain's shortlist at 20, then
+    // exact cosine (same accumulation order as x05) over the shortlist
+    // only — rerank ties → lowest vec_id, matching the Spark window
+    "x62_pq_rerank_topk" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+          $PqAdcCtes,
+          short AS (SELECT q_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+            WHERE rank <= 20),
+          pv AS (SELECT s.q_id, s.vec_id, eq.v AS qv, ec.v AS v
+                 FROM short s
+                 JOIN ev eq ON eq.vec_id = s.q_id
+                 JOIN ev ec ON ec.vec_id = s.vec_id),
+          rr AS (SELECT q_id, vec_id, $COS AS cos FROM pv)
+          SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS rank FROM rr)
+          WHERE rank <= 5""",
+
+    // hybrid RRF: trigram-shingle Jaccard (integer intersection /
+    // union counts, one double division) top-20 × exact-cosine top-20,
+    // fused by 1/(60+rank) in fixed lex+vec order — all divisions on
+    // DOUBLE, ties → lowest doc_id at every window
+    "x63_hybrid_rrf" ->
+      s"""WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+              list_transform(generate_series(1, len(tk) - 2),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents) t
+            WHERE len(tk) >= 3),
+          sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          inter AS (SELECT q.doc_id AS q_id, c.doc_id, count(*) AS i
+                    FROM sh q JOIN sh c ON q.shingle = c.shingle
+                    WHERE q.doc_id < 10 AND c.doc_id != q.doc_id
+                    GROUP BY 1, 2),
+          jac AS (SELECT i.q_id, i.doc_id,
+                    CAST(i.i AS DOUBLE) /
+                      CAST(qz.n_sh + cz.n_sh - i.i AS DOUBLE) AS jac
+                  FROM inter i
+                  JOIN sz qz ON qz.doc_id = i.q_id
+                  JOIN sz cz ON cz.doc_id = i.doc_id),
+          lex AS (SELECT q_id, doc_id, CAST(rn AS INT) AS lex_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY jac DESC, doc_id ASC) AS rn FROM jac)
+            WHERE rn <= 20),
+          ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 10),
+          scored AS (SELECT q.q_id, e.vec_id, $COS AS cos
+                     FROM ev e JOIN q ON e.vec_id != q.q_id),
+          vec AS (SELECT q_id, vec_id AS doc_id, CAST(rn AS INT) AS vec_rank
+                  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id ASC) AS rn FROM scored)
+                  WHERE rn <= 20),
+          f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+                  coalesce(l.doc_id, v.doc_id) AS doc_id,
+                  l.lex_rank, v.vec_rank,
+                  coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+                    + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0)
+                    AS rrf
+                FROM lex l FULL OUTER JOIN vec v
+                  ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+          SELECT q_id, doc_id, lex_rank, vec_rank, rrf,
+            CAST(rn AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf DESC, doc_id ASC) AS rn FROM f)
+          WHERE rn <= 5""",
 
     // sqrt cap per source, rank by the seeded positional-hex hash (same
     // u32 as x17); row_number is BIGINT in DuckDB already, ceil(sqrt)

@@ -1080,6 +1080,104 @@ object Similarity {
           .as("recall_pq"))
   }
 
+  /** two-stage retrieval: ADC shortlist → exact rerank — the standard
+    * production serving pattern for PQ indexes (shortlist `kShort`
+    * candidates per query on the 4-byte codes, then re-score ONLY the
+    * shortlist against the full-precision vectors and return the exact
+    * top-`k` of it). PQ's quantization error decides at most which
+    * candidates make the shortlist; the final ordering is exact cosine,
+    * so recall@k approaches brute force at a fraction of its float
+    * work — the trade [[annRecallAudit]] prices.
+    *
+    * Scale shape: stage 1 is [[pqTopK]] (broadcast distance tables over
+    * the code table — the corpus's f32 vectors are NOT read). Stage 2
+    * touches nQueries·kShort rows: the shortlist broadcasts against the
+    * embeddings scan (one pass, hash-join on vec_id — at deployment a
+    * point-lookup into the vector store), queries broadcast alongside,
+    * and the rerank window sorts kShort rows per query. Total exact
+    * float work is kShort cosines per query instead of N.
+    *
+    * Determinism: shortlist ties → lowest vec_id (pqTopK's order);
+    * rerank ties → lowest vec_id. Native codegen cosine, same
+    * accumulation order as the oracle.
+    */
+  def pqRerankTopK(embeddings: DataFrame, initIds: Seq[Long],
+      nQueries: Int, k: Int, kShort: Int = 20, nSub: Int = 4,
+      dim: Int = 64, iters: Int = 2): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val short = pqTopK(embeddings, initIds, nQueries, kShort, nSub, dim,
+        iters)
+      .select(col("q_id"), col("vec_id"))
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rer = e.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cosine_sim(qv, v)").as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    rer.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+    * (RRF, Cormack et al. 2009: score = Σ 1/(K + rank), K = 60) — the
+    * production "related documents" shape search stacks run when
+    * neither keyword overlap nor embedding distance alone suffices.
+    * Leg 1 (lexical): word-trigram-shingle Jaccard against each query
+    * document ([[Dedup.shingles]]' geometry — the x02/x03 vocabulary),
+    * top-`kLeg` per query among docs sharing ≥ 1 shingle. Leg 2
+    * (vector): exact cosine top-`kLeg` ([[bruteForceTopKNative]] — swap
+    * in [[ivfPqTopK]] when the corpus outgrows brute force; RRF only
+    * consumes ranks, so legs are plug-compatible). Fusion: full-outer
+    * join of the two rank lists, missing leg contributes 0, final
+    * top-`k` by RRF score (ties → lowest doc_id).
+    *
+    * Scale: the corpus-side shingle explode is one pass semi-joined
+    * against the BROADCAST query shingle sets (query-batch-sized, like
+    * the x57 gate); doc shingle-set sizes come from one map-side-
+    * combined count agg; both rank windows cut at kLeg via the
+    * broadcast-join candidate cut (never a global sort); fusion
+    * operates on nQueries·kShort·2 rows. RRF arithmetic is
+    * 1/(60+rank) double division and one fixed-order sum — bit-stable,
+    * no libm.
+    */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+      nQueries: Int, k: Int, kLeg: Int = 20, rrfK: Int = 60): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val qsh = sh.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("shingle"))
+    val qsizes = sizes.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("n_sh").as("q_n"))
+    val inter = sh.join(broadcast(qsh), Seq("shingle"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("i"))
+    val jac = inter.join(sizes, Seq("doc_id"))
+      .join(broadcast(qsizes), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        (col("i").cast("double") /
+          (col("q_n") + col("n_sh") - col("i")).cast("double")).as("jac"))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("jac").desc, col("doc_id").asc)
+    val lex = jac.withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= kLeg)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    val vec = bruteForceTopKNative(embeddings, nQueries, kLeg)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+          .as("rrf"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+  }
+
   /** embedding-space drift monitor — the vector twin of
     * [[graft.llm.TextOps.corpusDrift]]: both slices (crawl N vs N+1,
     * `isA` picks the membership) are assigned to the SAME fixed

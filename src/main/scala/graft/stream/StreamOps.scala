@@ -330,4 +330,22 @@ object StreamOps {
       .select(col("vec_id"), col("band"), col("bucket"))
     runToTable(hits, "st_emb_ingest_gate", "append")
   }
+
+  /** st13 — the streaming QUALITY gate:
+    * [[graft.llm.TextOps.qualityGate]] (x26's one shuffle-free
+    * projection after the round-10 restructure) applied unchanged to a
+    * streaming read of the documents landing directory. Stateless
+    * append (the st08/st10 discipline): no watermark, no state store,
+    * no join — each micro-batch is one projection, so an unbounded
+    * deployment filters at scan throughput and the same expressions
+    * serve batch backfill (x26) and the live ingest stream. The gate's
+    * keep/gate_reason columns stream through so the consumer can fork
+    * kept docs to the training sink and drops to the audit sink from
+    * one pass.
+    */
+  def qualityGateStream(spark: SparkSession, dir: String): DataFrame = {
+    val incoming = fileStream(spark, dir, "documents")
+    runToTable(graft.llm.TextOps.qualityGate(incoming),
+      "st_quality_gate", "append")
+  }
 }

@@ -28,7 +28,9 @@ object StreamQueries extends QueryPack {
     "st11_ingest_dedup_gate" -> ((s, dir) =>
       StreamOps.ingestDedupGate(s, dir)),
     "st12_emb_ingest_gate" -> ((s, dir) =>
-      StreamOps.embIngestGate(s, dir))
+      StreamOps.embIngestGate(s, dir)),
+    "st13_quality_gate" -> ((s, dir) =>
+      StreamOps.qualityGateStream(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -180,6 +182,13 @@ object StreamQueries extends QueryPack {
           WHERE t.vec_id % 10 = 0 AND EXISTS (
             SELECT 1 FROM bb c
             WHERE c.vec_id % 10 != 0
-              AND c.band = t.band AND c.bucket = t.bucket)"""
+              AND c.band = t.band AND c.bucket = t.bucket)""",
+
+    // streaming quality gate == x26 over the same bounded input: the
+    // gate is a pure stateless projection, so the streamed memory table
+    // equals the batch run row-for-row — the oracle IS x26's (shared
+    // string: the two surfaces cannot drift)
+    "st13_quality_gate" ->
+      graft.llm.LlmQueries.oracles("x26_quality_gate")
   )
 }

@@ -42,6 +42,20 @@ class StreamCleanSpec extends SparkSpec {
     assert(streamed.forall(_._1 % 10 != 0))
   }
 
+  test("qualityGateStream equals the batch x26 gate row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5), r.getBoolean(6)))
+      .sortBy(_._1).toSeq
+    val streamed = rows(StreamOps.qualityGateStream(spark, dir))
+    val batch = rows(graft.llm.TextOps.qualityGate(
+      graft.core.Tables.load(spark, dir, "documents")))
+    assert(streamed.nonEmpty && streamed == batch)
+    // the gate must actually discriminate on this corpus
+    assert(streamed.exists(_._7) && streamed.exists(!_._7))
+  }
+
   test("ingestDedupGate distinct doc_ids equal x50's dup_vs_corpus set") {
     val dir = "/root/testdata/sf0.001"
     val streamedDocs = StreamOps.ingestDedupGate(spark, dir).collect()
