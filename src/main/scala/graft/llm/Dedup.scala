@@ -585,4 +585,58 @@ object Dedup {
           .when(col("old_fp") === col("new_fp"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Bloom-filter ingest PRE-gate — the shuffle-saving trick in front
+    * of every exact-dup check at 100 TB: the corpus collapses to the
+    * DISTINCT bit-position set of a Bloom filter over its content
+    * fingerprints (`kHashes` md5-seeded positions in an `mBits` space —
+    * at most mBits rows ≈ the bitmap a deployment stores and
+    * broadcasts), and an incoming batch doc is `maybe_dup` iff ALL its
+    * positions are set. Only maybe-dups need the exact fp semi-join —
+    * the Bloom contract (no false negatives, tunable false positives)
+    * cuts the downstream shuffle to the maybe set, which at a typical
+    * <1% dup rate is ~the FP rate of the filter.
+    *
+    * Unlike library Bloom filters (engine-specific bit layouts), the
+    * positions are [[Sampling.hashU32]] md5 arithmetic — deterministic
+    * and reproducible in any engine, so the gate is oracle-checkable
+    * bit-for-bit. The demo emits the exact check alongside
+    * (`is_dup`, `false_positive`) to PRICE the FP rate in the same
+    * query; a production pass runs the exact join only on
+    * `maybe_dup` rows. Sizing: FP ≈ (fill)^kHashes with
+    * fill ≈ 1 − exp(−k·n/m); size mBits ≈ 10–15 bits/doc for <1% FP
+    * (the demo's 65536 bits ≈ 13 bits/doc at the largest test corpus —
+    * a realistic ~0.6% FP rate that still surfaces measurable FPs
+    * there while staying clean at the smaller SFs).
+    *
+    * Scale: two projections + one broadcast position join + one
+    * doc_id-keyed agg; the exact-check join here is exactly the
+    * downstream verify the gate protects, included for measurement.
+    */
+  def bloomPreGate(corpus: DataFrame, batch: DataFrame, mBits: Int = 65536,
+      kHashes: Int = 3): DataFrame = {
+    def fps(df: DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("fp"))
+    def positions(df: DataFrame) = {
+      val pos = (1 to kHashes).map(j =>
+        Sampling.hashU32(col("fp"), s"bloom$j") % mBits)
+      fps(df).select(col("doc_id"), col("fp"),
+          explode(array_distinct(array(pos: _*))).as("pos"))
+    }
+    val filterBits = positions(corpus).select(col("pos")).distinct()
+      .withColumn("hit", lit(1))
+    val corpusFps = fps(corpus).select(col("fp")).distinct()
+      .withColumn("dup", lit(true))
+    val gated = positions(batch)
+      .join(broadcast(filterBits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("maybe_dup", col("n_hit") === col("n_pos"))
+    gated.join(corpusFps, Seq("fp"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        coalesce(col("dup"), lit(false)).as("is_dup"),
+        (col("maybe_dup") && !coalesce(col("dup"), lit(false)))
+          .as("false_positive"))
+  }
 }

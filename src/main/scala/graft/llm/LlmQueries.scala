@@ -184,7 +184,16 @@ object LlmQueries extends QueryPack {
     // cosine vector leg (top-20 each), reciprocal-rank fusion at K=60
     "x63_hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrfTopK(docs(s, dir), embs(s, dir), nQueries = 10,
-        k = 5, kLeg = 20))
+        k = 5, kLeg = 20)),
+    // Bloom ingest pre-gate: corpus (doc_id%10!=0) collapses to its
+    // md5 bit-position set (65536 bits × 3 hashes ≈ 13 bits/doc at
+    // sf0.1 — a realistic sub-1% FP rate, still measurable); the batch
+    // slice is gated and the exact check rides along to price FPs
+    "x64_bloom_pre_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomPreGate(d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0))
+    })
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -1572,6 +1581,18 @@ object LlmQueries extends QueryPack {
               SELECT *, row_number() OVER (PARTITION BY q_id
                 ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
             WHERE rank <= 5),
+          shortr AS (SELECT q_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+            WHERE rank <= 20),
+          rrk AS (SELECT q_id, vec_id FROM (
+              SELECT s.q_id, s.vec_id, row_number() OVER (
+                PARTITION BY s.q_id
+                ORDER BY ${cos("eq.v", "ec.v")} DESC, s.vec_id ASC) AS rank
+              FROM shortr s
+              JOIN ev eq ON eq.vec_id = s.q_id
+              JOIN ev ec ON ec.vec_id = s.vec_id)
+            WHERE rank <= 5),
           hq AS (SELECT b.q_id, count(*) AS hit_quant
                  FROM brute b JOIN quant t USING (q_id, vec_id)
                  GROUP BY 1),
@@ -1580,6 +1601,9 @@ object LlmQueries extends QueryPack {
                  GROUP BY 1),
           hp AS (SELECT b.q_id, count(*) AS hit_pq
                  FROM brute b JOIN pqr t USING (q_id, vec_id)
+                 GROUP BY 1),
+          hr AS (SELECT b.q_id, count(*) AS hit_rerank
+                 FROM brute b JOIN rrk t USING (q_id, vec_id)
                  GROUP BY 1)
           SELECT q.q_id, CAST(5 AS INT) AS k,
             coalesce(hq.hit_quant, 0) AS hit_quant,
@@ -1587,11 +1611,14 @@ object LlmQueries extends QueryPack {
             coalesce(hi.hit_ivf, 0) AS hit_ivf,
             CAST(coalesce(hi.hit_ivf, 0) AS DOUBLE) / 5 AS recall_ivf,
             coalesce(hp.hit_pq, 0) AS hit_pq,
-            CAST(coalesce(hp.hit_pq, 0) AS DOUBLE) / 5 AS recall_pq
+            CAST(coalesce(hp.hit_pq, 0) AS DOUBLE) / 5 AS recall_pq,
+            coalesce(hr.hit_rerank, 0) AS hit_rerank,
+            CAST(coalesce(hr.hit_rerank, 0) AS DOUBLE) / 5 AS recall_rerank
           FROM (SELECT DISTINCT q_id FROM brute) q
           LEFT JOIN hq ON q.q_id = hq.q_id
           LEFT JOIN hi ON q.q_id = hi.q_id
-          LEFT JOIN hp ON q.q_id = hp.q_id"""
+          LEFT JOIN hp ON q.q_id = hp.q_id
+          LEFT JOIN hr ON q.q_id = hr.q_id"""
     },
 
     // IVF-PQ: the shared PQ chain's codes and distance tables, with the
@@ -1722,6 +1749,34 @@ object LlmQueries extends QueryPack {
             SELECT *, row_number() OVER (PARTITION BY q_id
               ORDER BY rrf DESC, doc_id ASC) AS rn FROM f)
           WHERE rn <= 5""",
+
+    // Bloom pre-gate: the same md5-seeded position arithmetic
+    // (seed 'bloom<j>' — hashU32's 0x-cast twin), distinct corpus
+    // position set, all-positions-present membership, exact fp check
+    // alongside
+    "x64_bloom_pre_gate" -> {
+      def pos(src: String) =
+        s"""(('0x' || substr(md5('bloom' || CAST(j.j AS VARCHAR)
+              || ':' || fp), 1, 8))::BIGINT) % 65536"""
+      s"""WITH corp AS (SELECT doc_id, md5(text) AS fp FROM documents
+                        WHERE doc_id % 10 != 0),
+          newb AS (SELECT doc_id, md5(text) AS fp FROM documents
+                   WHERE doc_id % 10 = 0),
+          cpos AS (SELECT DISTINCT ${pos("corp")} AS pos
+                   FROM corp, unnest(generate_series(1, 3)) AS j(j)),
+          bpos AS (SELECT DISTINCT doc_id, fp, ${pos("newb")} AS pos
+                   FROM newb, unnest(generate_series(1, 3)) AS j(j)),
+          g AS (SELECT doc_id, fp, count(*) AS n_pos,
+                  sum(CASE WHEN cpos.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    AS n_hit
+                FROM bpos LEFT JOIN cpos ON bpos.pos = cpos.pos
+                GROUP BY 1, 2)
+          SELECT g.doc_id, (n_hit = n_pos) AS maybe_dup,
+            (cf.fp IS NOT NULL) AS is_dup,
+            ((n_hit = n_pos) AND cf.fp IS NULL) AS false_positive
+          FROM g LEFT JOIN (SELECT DISTINCT fp FROM corp) cf
+            ON g.fp = cf.fp"""
+    },
 
     // sqrt cap per source, rank by the seeded positional-hex hash (same
     // u32 as x17); row_number is BIGINT in DuckDB already, ceil(sqrt)

@@ -1040,13 +1040,15 @@ object Similarity {
     * (r7 advice: never ship an approximate path without its measured
     * recall). Per query: how many of the exact top-k the int8-quantized
     * scan ([[quantizedTopK]]), the 1-probe IVF ([[ivfCentroidTopK]]),
-    * and the PQ/ADC scan ([[pqTopK]], r9 verdict task 6 — the 64×
-    * compression's recall is measured, not asserted) each recovered.
+    * the PQ/ADC scan ([[pqTopK]], r9 verdict task 6 — the 64×
+    * compression's recall is measured, not asserted), and the
+    * two-stage ADC→exact rerank ([[pqRerankTopK]] at kShort = 4k —
+    * x62's "recall approaches brute" claim, measured) each recovered.
     * All counts are exact integers and recall is one integer-ratio
     * division — bit-stable.
     *
-    * Scale: the four top-k runs share the broadcast-queries single-scan
-    * shape (audit cost ≈ 4 corpus scans on a SAMPLED query set — run it
+    * Scale: the five top-k runs share the broadcast-queries single-scan
+    * shape (audit cost ≈ 5 corpus scans on a SAMPLED query set — run it
     * per index build, not per query); the joins are k·nQueries-row
     * intersections. The PQ path trains its codebook on the same pinned
     * `centroidIds` the IVF path uses, mirroring x58.
@@ -1061,6 +1063,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     val pq = pqTopK(embeddings, centroidIds, nQueries, k)
       .select(col("q_id"), col("vec_id"))
+    val rerank = pqRerankTopK(embeddings, centroidIds, nQueries, k,
+        kShort = 4 * k)
+      .select(col("q_id"), col("vec_id"))
     def hits(approx: DataFrame, name: String): DataFrame =
       brute.join(approx, Seq("q_id", "vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as(name))
@@ -1068,6 +1073,7 @@ object Similarity {
       .join(hits(quant, "hit_quant"), Seq("q_id"), "left")
       .join(hits(ivf, "hit_ivf"), Seq("q_id"), "left")
       .join(hits(pq, "hit_pq"), Seq("q_id"), "left")
+      .join(hits(rerank, "hit_rerank"), Seq("q_id"), "left")
       .select(col("q_id"), lit(k).as("k"),
         coalesce(col("hit_quant"), lit(0L)).as("hit_quant"),
         (coalesce(col("hit_quant"), lit(0L)).cast("double") / k)
@@ -1077,7 +1083,10 @@ object Similarity {
           .as("recall_ivf"),
         coalesce(col("hit_pq"), lit(0L)).as("hit_pq"),
         (coalesce(col("hit_pq"), lit(0L)).cast("double") / k)
-          .as("recall_pq"))
+          .as("recall_pq"),
+        coalesce(col("hit_rerank"), lit(0L)).as("hit_rerank"),
+        (coalesce(col("hit_rerank"), lit(0L)).cast("double") / k)
+          .as("recall_rerank"))
   }
 
   /** two-stage retrieval: ADC shortlist → exact rerank — the standard

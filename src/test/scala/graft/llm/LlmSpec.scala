@@ -246,6 +246,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("bloomPreGate: no false negatives; degenerate filter passes all") {
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val corpus = df(Seq(10L -> "alpha beta", 11L -> "gamma delta",
+      12L -> "epsilon zeta"))
+    val batch = df(Seq(0L -> "alpha beta", 1L -> "totally new text",
+      2L -> "gamma delta"))
+    val out = Dedup.bloomPreGate(corpus, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3)))).toMap
+    // exact dups MUST be maybe_dup (the Bloom no-false-negative contract)
+    assert(out(0L) == ((true, true, false)))
+    assert(out(2L) == ((true, true, false)))
+    assert(!out(1L)._2, "doc 1 is not a dup")
+    assert(out.forall { case (_, (maybe, isDup, fp)) =>
+      (!isDup || maybe) && (fp == (maybe && !isDup)) })
+    // mBits = 1: every position is 0 → the filter says maybe to all,
+    // and the exact check exposes non-dups as false positives
+    val all = Dedup.bloomPreGate(corpus, batch, mBits = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(3)))).toMap
+    assert(all.values.forall(_._1), "a saturated filter passes everything")
+    assert(all(1L) == ((true, true)), "non-dup becomes a measured FP")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -92,4 +92,19 @@ class RetrievalSpec extends SparkSpec {
     val d3 = out.find(_._2 == 3L).get
     assert(d3._3.isEmpty && d3._4.nonEmpty)
   }
+
+  test("annRecallAudit: rerank recall dominates raw ADC recall per query") {
+    // theorem (ties aside): pq top-k ⊆ the kShort shortlist, and the
+    // exact rerank ranks every true-top-k member of the shortlist above
+    // all non-members — so hit_rerank ≥ hit_pq, row by row
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val cents = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+    val rows = Similarity.annRecallAudit(e, cents, nQueries = 10, k = 5)
+      .select("q_id", "hit_pq", "hit_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    rows.foreach { case (q, pq, rr) =>
+      assert(rr >= pq, s"query $q: rerank $rr < pq $pq") }
+  }
 }
