@@ -348,4 +348,44 @@ object StreamOps {
     runToTable(graft.llm.TextOps.qualityGate(incoming),
       "st_quality_gate", "append")
   }
+
+  /** st14 — the streaming BLOOM pre-gate, the third member of the
+    * stateless ingest-gate family (st11 text band keys, st12 vector
+    * band buckets): the corpus's Bloom position set
+    * ([[graft.llm.Dedup.bloomPreGate]]'s filter side — ≤ mBits distinct
+    * positions, KB-scale BY DESIGN) is collected once and embedded in
+    * the streaming plan as a LITERAL map, so each micro-batch is one
+    * pure projection — md5 position arithmetic + k O(1) map lookups per
+    * doc, NO join, no state store, no watermark. This is the
+    * deployment shape: the bitmap ships with the job (re-deploy to
+    * refresh, like st10's fitted ratios), and the stream marks
+    * `maybe_dup` at scan throughput; only maybe-dups are forwarded to
+    * the exact batch-side check (x64's priced join). Bit-identical to
+    * the batch gate's membership logic (same hashU32 seeds, same
+    * distinct-position counts).
+    */
+  def bloomGateStream(spark: SparkSession, dir: String,
+      mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    import graft.llm.Sampling
+    val corpus = graft.core.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    val positions: Seq[Long] = corpus
+      .select(md5(col("text")).as("fp"))
+      .select(explode(array_distinct(array((1 to kHashes).map(j =>
+        Sampling.hashU32(col("fp"), s"bloom$j") % mBits): _*))).as("pos"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val filterMap = typedLit(positions.map(_ -> true).toMap)
+    val incoming = fileStream(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val ps = array_distinct(array((1 to kHashes).map(j =>
+      Sampling.hashU32(col("fp"), s"bloom$j") % mBits): _*))
+    val gated = incoming
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .select(col("doc_id"), ps.as("ps"))
+      .select(col("doc_id"),
+        (size(col("ps")) ===
+          size(filter(col("ps"), p => element_at(filterMap, p).isNotNull)))
+          .as("maybe_dup"))
+    runToTable(gated, "st_bloom_gate", "append")
+  }
 }

@@ -30,7 +30,9 @@ object StreamQueries extends QueryPack {
     "st12_emb_ingest_gate" -> ((s, dir) =>
       StreamOps.embIngestGate(s, dir)),
     "st13_quality_gate" -> ((s, dir) =>
-      StreamOps.qualityGateStream(s, dir))
+      StreamOps.qualityGateStream(s, dir)),
+    "st14_bloom_gate" -> ((s, dir) =>
+      StreamOps.bloomGateStream(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -189,6 +191,29 @@ object StreamQueries extends QueryPack {
     // equals the batch run row-for-row — the oracle IS x26's (shared
     // string: the two surfaces cannot drift)
     "st13_quality_gate" ->
-      graft.llm.LlmQueries.oracles("x26_quality_gate")
+      graft.llm.LlmQueries.oracles("x26_quality_gate"),
+
+    // streaming Bloom gate == x64's membership half over the same
+    // bounded input (same md5-seeded positions, same distinct-count
+    // all-present rule) — the exact check is the batch side's job
+    "st14_bloom_gate" -> {
+      def pos =
+        s"""(('0x' || substr(md5('bloom' || CAST(j.j AS VARCHAR)
+              || ':' || fp), 1, 8))::BIGINT) % 65536"""
+      s"""WITH corp AS (SELECT doc_id, md5(text) AS fp FROM documents
+                        WHERE doc_id % 10 != 0),
+          newb AS (SELECT doc_id, md5(text) AS fp FROM documents
+                   WHERE doc_id % 10 = 0),
+          cpos AS (SELECT DISTINCT $pos AS pos
+                   FROM corp, unnest(generate_series(1, 3)) AS j(j)),
+          bpos AS (SELECT DISTINCT doc_id, fp, $pos AS pos
+                   FROM newb, unnest(generate_series(1, 3)) AS j(j)),
+          g AS (SELECT doc_id, count(*) AS n_pos,
+                  sum(CASE WHEN cpos.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    AS n_hit
+                FROM bpos LEFT JOIN cpos ON bpos.pos = cpos.pos
+                GROUP BY 1)
+          SELECT doc_id, (n_hit = n_pos) AS maybe_dup FROM g"""
+    }
   )
 }

@@ -56,6 +56,19 @@ class StreamCleanSpec extends SparkSpec {
     assert(streamed.exists(_._7) && streamed.exists(!_._7))
   }
 
+  test("bloomGateStream maybe_dup equals the batch bloomPreGate per doc") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val streamed = StreamOps.bloomGateStream(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val d = graft.core.Tables.load(spark, dir, "documents")
+    val batch = graft.llm.Dedup.bloomPreGate(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("ingestDedupGate distinct doc_ids equal x50's dup_vs_corpus set") {
     val dir = "/root/testdata/sf0.001"
     val streamedDocs = StreamOps.ingestDedupGate(spark, dir).collect()
