@@ -167,13 +167,16 @@ object LlmQueries extends QueryPack {
     // doc_id%5=0, and adds doc_id%9=4 back under fresh ids
     "x60_snapshot_diff" -> ((s, dir) => {
       val d = docs(s, dir)
-      val newS = d.filter(col("doc_id") % 7 =!= 3)
-        .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, upper(col("text")))
-            .otherwise(col("text")).as("text"))
-        .unionAll(d.filter(col("doc_id") % 9 === 4)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      Dedup.snapshotDiff(d, newS)
+      Dedup.snapshotDiff(d, crawlNext(d))
+    }),
+    // the incremental-refresh capstone: diff scopes the delta, the
+    // Bloom gate content-checks it against the old corpus, every doc
+    // gets its action (skip / forget / drop_dup / ingest) — the
+    // re-keyed adds of the crawl stand-in carry verbatim old content,
+    // so drop_dup genuinely fires
+    "x65_refresh_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Pipeline.refreshPipeline(d, crawlNext(d))
     }),
     // two-stage retrieval: x58's ADC codes shortlist 20 candidates per
     // query, exact cosine reranks ONLY the shortlist to the final top-5
@@ -201,6 +204,18 @@ object LlmQueries extends QueryPack {
 
   /** deterministic "train" step stand-in: 8 spread-out corpus vectors */
   private val CentroidIds = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L)
+
+  /** deterministic crawl-N+1 stand-in shared by x60/x65: drop
+    * doc_id%7=3, byte-edit (uppercase) doc_id%5=0, re-add doc_id%9=4
+    * under fresh ids (verbatim old content — exercises drop_dup)
+    */
+  private def crawlNext(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(d.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
 
   /** x06 LSH geometry: 4 bands × 8 md5-seeded hyperplane bits (32 distinct
     * hyperplanes) over the 64-dim embeddings.
@@ -1776,6 +1791,54 @@ object LlmQueries extends QueryPack {
             ((n_hit = n_pos) AND cf.fp IS NULL) AS false_positive
           FROM g LEFT JOIN (SELECT DISTINCT fp FROM corp) cf
             ON g.fp = cf.fp"""
+    },
+
+    // refresh capstone: x60's diff CTEs scope the added+changed delta,
+    // x64's position CTEs gate it against the OLD corpus fingerprints,
+    // the action CASE mirrors the Spark composition order exactly
+    "x65_refresh_pipeline" -> {
+      def pos =
+        s"""(('0x' || substr(md5('bloom' || CAST(j.j AS VARCHAR)
+              || ':' || fp), 1, 8))::BIGINT) % 65536"""
+      s"""WITH olds AS (SELECT doc_id, text FROM documents),
+          news AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                   ELSE text END AS text
+            FROM documents WHERE doc_id % 7 != 3
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id % 9 = 4),
+          ofp AS (SELECT doc_id, md5(text) AS fp FROM olds),
+          nfp AS (SELECT doc_id, md5(text) AS fp FROM news),
+          diff AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.fp IS NULL THEN 'added'
+                   WHEN n.fp IS NULL THEN 'removed'
+                   WHEN o.fp = n.fp THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id),
+          delta AS (SELECT n.doc_id, n.fp FROM nfp n
+                    JOIN diff d ON n.doc_id = d.doc_id
+                    WHERE d.status IN ('added', 'changed')),
+          cpos AS (SELECT DISTINCT $pos AS pos
+                   FROM ofp, unnest(generate_series(1, 3)) AS j(j)),
+          bpos AS (SELECT DISTINCT doc_id, fp, $pos AS pos
+                   FROM delta, unnest(generate_series(1, 3)) AS j(j)),
+          g AS (SELECT doc_id, fp, count(*) AS n_pos,
+                  sum(CASE WHEN cpos.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    AS n_hit
+                FROM bpos LEFT JOIN cpos ON bpos.pos = cpos.pos
+                GROUP BY 1, 2),
+          gate AS (SELECT g.doc_id, (n_hit = n_pos) AS maybe_dup,
+                     (cf.fp IS NOT NULL) AS is_dup
+                   FROM g LEFT JOIN (SELECT DISTINCT fp FROM ofp) cf
+                     ON g.fp = cf.fp)
+          SELECT d.doc_id, d.status, gate.maybe_dup, gate.is_dup,
+            CASE WHEN d.status = 'unchanged' THEN 'skip'
+                 WHEN d.status = 'removed' THEN 'forget'
+                 WHEN coalesce(gate.is_dup, false) THEN 'drop_dup'
+                 ELSE 'ingest' END AS action
+          FROM diff d LEFT JOIN gate ON d.doc_id = gate.doc_id"""
     },
 
     // sqrt cap per source, rank by the seeded positional-hex hash (same

@@ -38,4 +38,42 @@ object Pipeline {
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
   }
+
+  /** incremental crawl-refresh pipeline — the composition the round's
+    * delta operators exist FOR, in one query: [[Dedup.snapshotDiff]]
+    * classifies every doc across crawl N → N+1; only the added+changed
+    * DELTA (never the unchanged 100 TB) flows into
+    * [[Dedup.bloomPreGate]] against the OLD corpus's content
+    * fingerprints; and each doc gets its refresh `action`:
+    *   - `skip`     — unchanged, already processed last crawl;
+    *   - `forget`   — removed, downstream must drop it;
+    *   - `drop_dup` — new/changed content that already exists verbatim
+    *                  elsewhere in the old corpus (exact fp hit — the
+    *                  Bloom maybe-set priced the check);
+    *   - `ingest`   — genuinely new content → the downstream gates
+    *                  (x50 near-dup, x26 quality, x57 embedding).
+    *
+    * Scale shape: the diff is one doc_id full-outer join of (doc_id,
+    * fp) projections; the delta join is doc_id-keyed and
+    * delta-proportional; the Bloom gate adds one broadcast position
+    * join + one agg over the DELTA only. Work scales with the churn
+    * rate, not the corpus — the whole point of a refresh pipeline.
+    */
+  def refreshPipeline(oldDocs: DataFrame, newDocs: DataFrame,
+      mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    val diff = Dedup.snapshotDiff(oldDocs, newDocs)
+    val delta = newDocs.join(
+      diff.filter(col("status").isin("added", "changed"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val gated = Dedup.bloomPreGate(oldDocs, delta, mBits, kHashes)
+      .select(col("doc_id"), col("maybe_dup"), col("is_dup"))
+    diff.join(gated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("maybe_dup"),
+        col("is_dup"),
+        when(col("status") === "unchanged", "skip")
+          .when(col("status") === "removed", "forget")
+          .when(coalesce(col("is_dup"), lit(false)), "drop_dup")
+          .otherwise("ingest").as("action"))
+  }
 }

@@ -93,6 +93,27 @@ class RetrievalSpec extends SparkSpec {
     assert(d3._3.isEmpty && d3._4.nonEmpty)
   }
 
+  test("refreshPipeline assigns every refresh action correctly") {
+    val s = spark
+    import s.implicits._
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val old = df(Seq(0L -> "alpha", 1L -> "beta", 2L -> "gamma",
+      3L -> "delta"))
+    // 0 unchanged; 1 edited; 2 removed; 10 adds NEW content;
+    // 11 re-adds doc 3's verbatim content under a fresh id
+    val next = df(Seq(0L -> "alpha", 1L -> "beta prime",
+      3L -> "delta", 10L -> "epsilon", 11L -> "gamma"))
+    val out = Pipeline.refreshPipeline(old, next).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(4)))).toMap
+    assert(out(0L) == (("unchanged", "skip")))
+    assert(out(1L) == (("changed", "ingest")))
+    assert(out(2L) == (("removed", "forget")))
+    assert(out(3L) == (("unchanged", "skip")))
+    assert(out(10L) == (("added", "ingest")))
+    assert(out(11L) == (("added", "drop_dup")),
+      "verbatim old content under a new id must be dropped as a dup")
+  }
+
   test("annRecallAudit: rerank recall dominates raw ADC recall per query") {
     // theorem (ties aside): pq top-k ⊆ the kShort shortlist, and the
     // exact rerank ranks every true-top-k member of the shortlist above
