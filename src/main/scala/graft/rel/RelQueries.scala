@@ -536,6 +536,62 @@ object RelQueries extends QueryPack {
       import s.implicits._
       t(s, dir, "events").select($"event_id",
         call_function("zorder2", $"user_id", $"ts".cast("long")).as("zval"))
+    }),
+
+    // ordered funnel conversion (view → click → purchase): per user,
+    // the FIRST view, the first click within 7 days AFTER it, and the
+    // first purchase within 7 days after THAT — every step a min-agg
+    // (deterministic, no tie rules needed), every join user_id-keyed so
+    // the whole funnel rides ONE shuffle key; the 7-day windows compare
+    // exact unix_micros. steps = how deep the user got (1-3).
+    "q33_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val wk = 7L * 86400 * 1000000
+      val e = t(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+      val c = e.filter($"event_type" === "click")
+        .join(v, Seq("user_id"))
+        .filter($"ts" >= $"view_ts" &&
+          unix_micros($"ts") - unix_micros($"view_ts") <= wk)
+        .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+      val p = e.filter($"event_type" === "purchase")
+        .join(c, Seq("user_id"))
+        .filter($"ts" >= $"click_ts" &&
+          unix_micros($"ts") - unix_micros($"click_ts") <= wk)
+        .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
+          (lit(1) + when($"click_ts".isNotNull, 1).otherwise(0) +
+            when($"purchase_ts".isNotNull, 1).otherwise(0)).as("steps"))
+    }),
+
+    // weekly cohort retention: cohort = a user's first active week,
+    // retention(offset) = |users of the cohort active cohort+offset
+    // weeks| / cohort size. Week index is INTEGER division of
+    // unix_micros (`div` / DuckDB `//`) — no calendar-week semantics to
+    // disagree on, no float boundary rounding. Counts are exact ints;
+    // retention is one double division. Scale: one distinct over
+    // (user, week) partials, one min-agg, one co-keyed join, one
+    // (cohort, offset) agg — all map-side combinable.
+    "q34_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val uw = t(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      val r = uw.join(cohort, Seq("user_id"))
+        .withColumn("week_offset", $"wk" - $"cohort_wk")
+        .groupBy($"cohort_wk", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+      val sz = r.filter($"week_offset" === 0)
+        .select($"cohort_wk", $"n_users".as("cohort_size"))
+      r.join(sz, Seq("cohort_wk"))
+        .select($"cohort_wk", $"week_offset", $"n_users",
+          ($"n_users".cast("double") / $"cohort_size").as("retention"))
     })
   )
 
@@ -838,6 +894,47 @@ object RelQueries extends QueryPack {
          SELECT event_id,
            CAST(sum((((ua >> i) & 1) << (2 * i))
                   + (((ub >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zval
-         FROM e, bits GROUP BY 1"""
+         FROM e, bits GROUP BY 1""",
+
+    // funnel: same min-agg steps, same exact-microsecond 7-day windows
+    "q33_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         v AS (SELECT user_id, min(ts) AS view_ts FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts
+               FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+                 AND epoch_us(e.ts) - epoch_us(v.view_ts) <= 604800000000
+               GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+               FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+                 AND epoch_us(e.ts) - epoch_us(c.click_ts) <= 604800000000
+               GROUP BY 1)
+         SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END
+             AS INT) AS steps
+         FROM v
+         LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id""",
+
+    // cohort retention: integer week indexes (// == Spark's div), exact
+    // distinct counts, one double division
+    "q34_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+                     FROM events),
+         coh AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+         r AS (SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+                 count(DISTINCT uw.user_id) AS n_users
+               FROM uw JOIN coh c ON uw.user_id = c.user_id
+               GROUP BY 1, 2),
+         sz AS (SELECT cohort_wk, n_users AS cohort_size FROM r
+                WHERE week_offset = 0)
+         SELECT r.cohort_wk, r.week_offset, r.n_users,
+           CAST(r.n_users AS DOUBLE) / sz.cohort_size AS retention
+         FROM r JOIN sz ON r.cohort_wk = sz.cohort_wk"""
   )
 }
