@@ -592,6 +592,26 @@ object RelQueries extends QueryPack {
       r.join(sz, Seq("cohort_wk"))
         .select($"cohort_wk", $"week_offset", $"n_users",
           ($"n_users".cast("double") / $"cohort_size").as("retention"))
+    }),
+
+    // event path mining (the Sankey/user-journey query): every
+    // consecutive 3-step event-type sequence per user in (ts, event_id)
+    // order, counted corpus-wide with the distinct users walking each
+    // path. One user_id window (two leads share it) + one
+    // map-side-combinable triple agg; path cardinality is bounded by
+    // |event_types|³, so the final agg is tiny at any corpus size.
+    "q35_event_paths" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"event_id".asc)
+      t(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("step2", lead($"event_type", 1).over(w))
+        .withColumn("step3", lead($"event_type", 2).over(w))
+        .filter($"step3".isNotNull)
+        .groupBy($"event_type".as("step1"), $"step2", $"step3")
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct($"user_id").as("n_users"))
     })
   )
 
@@ -935,6 +955,19 @@ object RelQueries extends QueryPack {
                 WHERE week_offset = 0)
          SELECT r.cohort_wk, r.week_offset, r.n_users,
            CAST(r.n_users AS DOUBLE) / sz.cohort_size AS retention
-         FROM r JOIN sz ON r.cohort_wk = sz.cohort_wk"""
+         FROM r JOIN sz ON r.cohort_wk = sz.cohort_wk""",
+
+    // path mining: identical (ts, event_id) lead window and triple agg
+    "q35_event_paths" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                      event_id FROM events),
+         p AS (SELECT user_id, event_type AS step1,
+                 lead(event_type, 1) OVER w AS step2,
+                 lead(event_type, 2) OVER w AS step3
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts, event_id))
+         SELECT step1, step2, step3, count(*) AS n_paths,
+           count(DISTINCT user_id) AS n_users
+         FROM p WHERE step3 IS NOT NULL GROUP BY 1, 2, 3"""
   )
 }
