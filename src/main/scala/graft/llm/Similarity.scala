@@ -873,8 +873,18 @@ object Similarity {
     * [[ivfCentroidTopK]]'s coarse cells and ADC only the probed cells.
     */
   def pqTopK(embeddings: DataFrame, initIds: Seq[Long], nQueries: Int,
-      k: Int, nSub: Int = 4, dim: Int = 64, iters: Int = 2): DataFrame = {
-    val cb = pqCodebook(embeddings, initIds, nSub, dim, iters)
+      k: Int, nSub: Int = 4, dim: Int = 64, iters: Int = 2): DataFrame =
+    pqTopKCb(embeddings,
+      pqCodebook(embeddings, initIds, nSub, dim, iters), nQueries, k, dim)
+
+  /** [[pqTopK]] against an ALREADY-trained codebook — the shared entry
+    * [[annRecallAudit]] and [[pqRerankTopK]] compose through so one
+    * audit trains the (driver-side Lloyd) codebook once, not per leg.
+    */
+  private[llm] def pqTopKCb(embeddings: DataFrame,
+      cb: Map[Int, Seq[Seq[Double]]], nQueries: Int, k: Int,
+      dim: Int): DataFrame = {
+    val nSub = cb.size
     val dsub = dim / nSub
     def subv(s: Int, v: Column) = slice(v, (s - 1) * dsub + 1, dsub)
     val enc = pqEncode(embeddings, cb, dim)
@@ -1061,10 +1071,14 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     val ivf = ivfCentroidTopK(embeddings, centroidIds, nQueries, k)
       .select(col("q_id"), col("vec_id"))
-    val pq = pqTopK(embeddings, centroidIds, nQueries, k)
+    // ONE codebook training shared by the ADC leg and the rerank leg
+    // (the audit's job is recall, and both legs must see the same
+    // quantizer anyway)
+    val cb = pqCodebook(embeddings, centroidIds, 4, 64, 2)
+    val pq = pqTopKCb(embeddings, cb, nQueries, k, 64)
       .select(col("q_id"), col("vec_id"))
-    val rerank = pqRerankTopK(embeddings, centroidIds, nQueries, k,
-        kShort = 4 * k)
+    val rerank = pqRerankTopKCb(embeddings, cb, nQueries, k,
+        kShort = 4 * k, dim = 64)
       .select(col("q_id"), col("vec_id"))
     def hits(approx: DataFrame, name: String): DataFrame =
       brute.join(approx, Seq("q_id", "vec_id"))
@@ -1112,10 +1126,19 @@ object Similarity {
     */
   def pqRerankTopK(embeddings: DataFrame, initIds: Seq[Long],
       nQueries: Int, k: Int, kShort: Int = 20, nSub: Int = 4,
-      dim: Int = 64, iters: Int = 2): DataFrame = {
+      dim: Int = 64, iters: Int = 2): DataFrame =
+    pqRerankTopKCb(embeddings,
+      pqCodebook(embeddings, initIds, nSub, dim, iters), nQueries, k,
+      kShort, dim)
+
+  /** [[pqRerankTopK]] against an already-trained codebook (see
+    * [[pqTopKCb]])
+    */
+  private[llm] def pqRerankTopKCb(embeddings: DataFrame,
+      cb: Map[Int, Seq[Seq[Double]]], nQueries: Int, k: Int,
+      kShort: Int, dim: Int): DataFrame = {
     graft.functions.CosineSim.register(embeddings.sparkSession)
-    val short = pqTopK(embeddings, initIds, nQueries, kShort, nSub, dim,
-        iters)
+    val short = pqTopKCb(embeddings, cb, nQueries, kShort, dim)
       .select(col("q_id"), col("vec_id"))
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
