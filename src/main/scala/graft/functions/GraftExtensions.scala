@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction(IcebergHash.info)
     ext.injectFunction(ZOrder2.info)
+    ext.injectFunction(DupBigramCount.info)
   }
 }

@@ -734,25 +734,20 @@ object TextOps {
         when(h > acc.getField("h"),
           struct(lit(l).as("l"), h.as("h"))).otherwise(acc)
     }
-    // bigrams off the bound token array; sorted once into its own
-    // bound column for the run fold
-    val bg = when(nt >= 2, transform(sequence(lit(1), nt - 1), i =>
-      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val staged2 = staged.select(col("doc_id"), col("text"), col("tk"),
-      best.as("best"), array_sort(bg).as("sbg"))
-    // duplicate-bigram occurrences = Σ run lengths ≥ 2 over the sorted
-    // bigram array, one left-to-right fold carrying (prev, run, acc) —
-    // every bigram contains a space, so the "" seed never matches
-    val st = (p: Column, r: Column, a: Column) =>
-      struct(p.as("prev"), r.as("run"), a.as("acc"))
-    val closeRun = (s: Column) => s.getField("acc") +
-      when(s.getField("run") >= 2, s.getField("run")).otherwise(lit(0))
-    val dupN = aggregate(col("sbg"), st(lit(""), lit(0), lit(0)),
-      (s, x) => when(x === s.getField("prev"),
-          st(x, s.getField("run") + 1, s.getField("acc")))
-        .otherwise(st(x, lit(1), closeRun(s))),
-      closeRun)
+      best.as("best"))
+    // duplicate-bigram occurrences = Σ{c : c ≥ 2} over bigram counts —
+    // the native codegen `dup_bigram_count` expression
+    // (graft.functions.DupBigramCount) fuses bigram construction, sort,
+    // and run count into ONE call off the bound token array: the former
+    // composition paid three interpreted higher-order steps per row
+    // (transform-concat, array_sort, aggregate fold — HOFs get no
+    // whole-stage codegen and dispatch a lambda per ELEMENT). Identical
+    // counts (spec-asserted against the fold composition); at toy scale
+    // the wall-clock delta sits inside host-load noise — the claim is
+    // the removed interpretation, not a measured constant.
+    graft.functions.DupBigramCount.register(docs.sparkSession)
+    val dupN = call_function("dup_bigram_count", col("tk"))
     val dupFrac = when(nt >= 2,
       dupN.cast("double") / (nt - 1).cast("double")).otherwise(0.0)
     // qualityScore's formula, inlined (identical expressions)
