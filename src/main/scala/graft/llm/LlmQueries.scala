@@ -196,7 +196,12 @@ object LlmQueries extends QueryPack {
       val d = docs(s, dir)
       Dedup.bloomPreGate(d.filter(col("doc_id") % 10 =!= 0),
         d.filter(col("doc_id") % 10 === 0))
-    })
+    }),
+    // model-based quality filter: fasttext-style linear classifier
+    // inference as a literal-map fold — shuffle-free scan-throughput
+    // projection (the mapped-x26 argument applied to a trained model)
+    "x66_classifier_score" -> ((s, dir) =>
+      TextOps.classifierScore(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -1839,6 +1844,29 @@ object LlmQueries extends QueryPack {
                  WHEN coalesce(gate.is_dup, false) THEN 'drop_dup'
                  ELSE 'ingest' END AS action
           FROM diff d LEFT JOIN gate ON d.doc_id = gate.doc_id"""
+    },
+
+    // linear classifier: the SAME milli-integer weight list interpolated
+    // as a VALUES table — integer sums are exact, the single /1000.0
+    // double division is the only float op (no libm)
+    "x66_classifier_score" -> {
+      val values = TextOps.ClassifierWeights
+        .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      val milli = s"""(${TextOps.ClassifierBiasMilli} + coalesce(h.s, 0)
+            - ${TextOps.ClassifierLenPenaltyMilli}
+              * greatest(0, len(k.tk) - ${TextOps.ClassifierLenFreeTokens}))"""
+      s"""WITH w(tok, wt) AS (VALUES $values),
+          tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents),
+          toks AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+          hs AS (SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS s,
+                   count(*) AS h
+                 FROM toks t JOIN w ON t.tok = w.tok GROUP BY 1)
+          SELECT k.doc_id, CAST(len(k.tk) AS INT) AS n_tokens,
+            coalesce(h.h, 0) AS vocab_hits,
+            CAST($milli AS DOUBLE) / 1000.0 AS logit,
+            $milli >= 0 AS keep
+          FROM tk k LEFT JOIN hs h ON k.doc_id = h.doc_id"""
     },
 
     // sqrt cap per source, rank by the seeded positional-hex hash (same

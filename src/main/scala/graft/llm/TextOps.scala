@@ -1005,4 +1005,56 @@ object TextOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
+
+  /** linear quality-classifier weights in MILLI units (integer, so the
+    * per-doc accumulation is exact integer arithmetic both engines
+    * perform identically — the x24/x42 no-libm discipline). Interpolated
+    * into the x66 oracle's VALUES list so the two sides can't
+    * desynchronize (the x37/x43 pattern). The terms mirror a
+    * fasttext-style bag-of-words model fitted offline: "trained weights
+    * arrive as a table", which is exactly how a production quality
+    * classifier ships to the cluster.
+    */
+  val ClassifierBiasMilli = -100L
+  val ClassifierLenFreeTokens = 30L
+  val ClassifierLenPenaltyMilli = 5L
+  val ClassifierWeights: Seq[(String, Long)] = Seq(
+    "fast" -> 400L, "spark" -> 300L, "query" -> 250L, "vector" -> 200L,
+    "merge" -> 150L, "join" -> 100L, "row" -> 50L,
+    "small" -> -50L, "big" -> -50L, "the" -> -150L, "a" -> -150L,
+    "slow" -> -400L)
+
+  /** fasttext-style linear classifier INFERENCE over the corpus — the
+    * model-based quality filter that complements the heuristic gates
+    * (x10/x26): logit = bias + Σ_token w(token) − lenPenalty·max(0,
+    * n_tokens − free), every term integer milli-units, one double
+    * division at the end. The weight table is a LITERAL map folded over
+    * the bound token array — per-row, shuffle-free, broadcast-free: at
+    * 100 TB this runs at scan throughput as a pure projection, the same
+    * argument as the mapped x26 gate (a joined shape would shuffle
+    * token-volume rows per corpus pass just to apply a KB-sized model).
+    * The lambda touches only the lambda variable, the accumulator, and
+    * the map literal (no-CSE-in-lambdas discipline).
+    */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val wmap = typedLit(ClassifierWeights.toMap)
+    val tk = col("tk")
+    val nt = size(tk).cast("long")
+    val acc0 = struct(lit(0L).as("s"), lit(0L).as("h"))
+    val folded = aggregate(tk, acc0, (acc, t) =>
+      struct(
+        (acc.getField("s") + coalesce(element_at(wmap, t), lit(0L))).as("s"),
+        (acc.getField("h") +
+          when(element_at(wmap, t).isNotNull, 1L).otherwise(0L)).as("h")))
+    val staged = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), nt.as("n_tokens"), folded.as("f"))
+    val milli = lit(ClassifierBiasMilli) + col("f").getField("s") -
+      lit(ClassifierLenPenaltyMilli) *
+        greatest(lit(0L), col("n_tokens") - lit(ClassifierLenFreeTokens))
+    staged.select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+      col("f").getField("h").as("vocab_hits"),
+      (milli.cast("double") / 1000.0).as("logit"),
+      (milli >= 0L).as("keep"))
+  }
 }
