@@ -639,4 +639,57 @@ object Dedup {
         (col("maybe_dup") && !coalesce(col("dup"), lit(false)))
           .as("false_positive"))
   }
+
+  /** takedown / right-to-be-forgotten PROPAGATION — the compliance
+    * operator a stored corpus needs: given a forget list (here the
+    * deterministic `doc_id % forgetMod = 0` stand-in for a takedown
+    * notice), remove not just the named docs but every copy of their
+    * content the pipeline would otherwise keep serving:
+    *   - `direct`:  the listed doc_ids themselves;
+    *   - `content`: any doc whose normalized-content fingerprint
+    *     ([[TextOps.fingerprint]]) matches a listed doc — verbatim
+    *     re-crawls under different ids;
+    *   - `cluster`: every member of a near-dup cluster
+    *     ([[dupClusters]]) containing a listed doc — paraphrased /
+    *     lightly-edited copies the exact fp misses.
+    * One row per removed doc with the strongest reason
+    * (direct > content > cluster). The caller anti-joins the corpus on
+    * the result to produce the post-takedown corpus.
+    *
+    * Scale: the forget list is notice-sized (KBs) — its fp set and its
+    * cluster-id set are both BROADCAST semi-join keys, so the corpus
+    * passes are scan-throughput; the only heavy machinery is
+    * [[dupClusters]], which a deployment already materializes for dedup
+    * (pass its stored output via [[takedownPropagateWithClusters]] and
+    * the whole takedown costs two broadcast semi-joins + one tiny agg —
+    * delta-proportional, the x65 refresh argument applied to removal).
+    */
+  def takedownPropagate(docs: DataFrame, forgetMod: Long = 41L): DataFrame =
+    takedownPropagateWithClusters(docs,
+      docs.filter(col("doc_id") % forgetMod === 0).select(col("doc_id")),
+      dupClusters(docs))
+
+  /** [[takedownPropagate]] against a PRE-BUILT cluster assignment (the
+    * stored dedup artifact) — the production entry point.
+    */
+  def takedownPropagateWithClusters(docs: DataFrame, forget: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val fps = TextOps.fingerprint(docs).select(col("doc_id"), col("fp"))
+    val forgetFps = fps.join(forget, Seq("doc_id"), "left_semi")
+      .select(col("fp")).distinct()
+    val badClusters = clusters.join(forget, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val direct = forget.select(col("doc_id"), lit(1).as("pri"))
+    val content = fps.join(broadcast(forgetFps), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(2).as("pri"))
+    val viaCluster = clusters
+      .join(broadcast(badClusters), Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"), lit(3).as("pri"))
+    direct.union(content).union(viaCluster)
+      .groupBy(col("doc_id")).agg(min(col("pri")).as("pri"))
+      .select(col("doc_id"),
+        when(col("pri") === 1, "direct")
+          .when(col("pri") === 2, "content")
+          .otherwise("cluster").as("reason"))
+  }
 }

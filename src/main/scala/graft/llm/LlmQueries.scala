@@ -201,7 +201,16 @@ object LlmQueries extends QueryPack {
     // inference as a literal-map fold — shuffle-free scan-throughput
     // projection (the mapped-x26 argument applied to a trained model)
     "x66_classifier_score" -> ((s, dir) =>
-      TextOps.classifierScore(docs(s, dir)))
+      TextOps.classifierScore(docs(s, dir))),
+    // takedown propagation over a corpus with the x60/x65 re-add slice
+    // unioned in (verbatim copies under fresh ids), so the content and
+    // cluster propagation paths genuinely fire, not just `direct`
+    "x67_takedown_propagate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.takedownPropagate(d.unionByName(
+        d.filter(col("doc_id") % 9 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000L)))
+    })
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -302,7 +311,12 @@ object LlmQueries extends QueryPack {
     * `(h1 + i·h2) mod p` in BIGINT arithmetic, plain "|"-joined band key
     */
   // private[graft]: st09's oracle reuses the same signature/band CTE
-  private[graft] val SIG_CTE = {
+  private[graft] val SIG_CTE = sigCteOver("documents")
+
+  /** [[SIG_CTE]] parameterized by the corpus relation (x67 runs the
+    * same minhash/band chain over an extended-corpus CTE)
+    */
+  private def sigCteOver(table: String): String = {
     // hex→u32 via DuckDB's 0x-literal cast — same value as the
     // positional digit parse (verified over real md5 output) at a
     // fraction of its cost, keeping the oracle an honest baseline
@@ -321,7 +335,7 @@ object LlmQueries extends QueryPack {
          SELECT doc_id, unnest(list_distinct(
            list_transform(generate_series(1, len(tk) - 2),
              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
-         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $table) t
          WHERE len(tk) >= 3),
        hh AS (SELECT doc_id, md5(shingle) AS mh FROM sh),
        hu AS (SELECT doc_id, ${u32(1)} AS u1, ${u32(9)} AS u2 FROM hh),
@@ -1868,6 +1882,42 @@ object LlmQueries extends QueryPack {
             $milli >= 0 AS keep
           FROM tk k LEFT JOIN hs h ON k.doc_id = h.doc_id"""
     },
+
+    // takedown propagation: x16's recursive closure over the EXTENDED
+    // corpus + the normalized-fp content match + min-priority fold
+    "x67_takedown_propagate" ->
+      s"""WITH RECURSIVE ext AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id % 9 = 4),
+          ${sigCteOver("ext")},
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM ext
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+          comp AS (SELECT doc_id, min(lbl) AS cluster_id
+                   FROM reach GROUP BY 1),
+          forget AS (SELECT doc_id FROM ext WHERE doc_id % 41 = 0),
+          fps AS (SELECT doc_id,
+                    md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
+                  FROM ext),
+          ffp AS (SELECT DISTINCT fp FROM fps JOIN forget USING (doc_id)),
+          bad AS (SELECT DISTINCT cluster_id
+                  FROM comp JOIN forget USING (doc_id)),
+          hits AS (
+            SELECT doc_id, 1 AS pri FROM forget
+            UNION ALL
+            SELECT f.doc_id, 2 AS pri FROM fps f JOIN ffp USING (fp)
+            UNION ALL
+            SELECT c.doc_id, 3 AS pri FROM comp c JOIN bad USING (cluster_id))
+          SELECT doc_id,
+            CASE min(pri) WHEN 1 THEN 'direct' WHEN 2 THEN 'content'
+              ELSE 'cluster' END AS reason
+          FROM hits GROUP BY 1""",
 
     // sqrt cap per source, rank by the seeded positional-hex hash (same
     // u32 as x17); row_number is BIGINT in DuckDB already, ceil(sqrt)

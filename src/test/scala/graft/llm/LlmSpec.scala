@@ -271,6 +271,32 @@ class DedupSpec extends SparkSpec {
     assert(all.values.forall(_._1), "a saturated filter passes everything")
     assert(all(1L) == ((true, true)), "non-dup becomes a measured FP")
   }
+
+  test("takedownPropagate: direct beats content beats cluster; untouched docs survive") {
+    val s = spark
+    import s.implicits._
+    val base = "a b c d e f g h i j k l m n o p q r s t"
+    val docs = Seq(
+      (0L, base),                          // forgotten (0 % 41 = 0)
+      (1L, base.toUpperCase),              // content copy (normalized fp match)
+      (2L, base.replace(" t", " T2")),     // near-dup of 0 → cluster
+      (3L, "z y x w v u zz yy xx ww vv uu tt ss rr qq pp oo nn mm"))
+      .map { case (i, t) => (i, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.takedownPropagate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(out(0L) == "direct")
+    assert(out(1L) == "content")
+    assert(out(2L) == "cluster")
+    assert(!out.contains(3L), "unrelated doc must not be swept up")
+    // a pre-built cluster table short-circuits the heavy machinery: the
+    // production route gives identical answers on the same assignment
+    val withIdx = Dedup.takedownPropagateWithClusters(docs,
+      docs.filter(col("doc_id") % 41 === 0).select(col("doc_id")),
+      Dedup.dupClusters(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(withIdx == out)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
