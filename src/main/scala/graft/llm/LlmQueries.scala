@@ -210,7 +210,11 @@ object LlmQueries extends QueryPack {
       Dedup.takedownPropagate(d.unionByName(
         d.filter(col("doc_id") % 9 === 4)
           .withColumn("doc_id", col("doc_id") + 1000000L)))
-    })
+    }),
+    // diversity-aware selection: cluster-round-robin top-32 — the
+    // distributed greedy stand-in for MMR (see Similarity.diverseSelect)
+    "x68_diverse_select" -> ((s, dir) =>
+      Similarity.diverseSelect(embs(s, dir), CentroidIds, k = 32))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -1881,6 +1885,39 @@ object LlmQueries extends QueryPack {
             CAST($milli AS DOUBLE) / 1000.0 AS logit,
             $milli >= 0 AS keep
           FROM tk k LEFT JOIN hs h ON k.doc_id = h.doc_id"""
+    },
+
+    // diverse selection: x14's assignment CTE + per-cluster centrality
+    // rank + round-robin pick over the unique (rank, cid) key
+    "x68_diverse_select" -> {
+      def cos(a: String, b: String) =
+        s"""list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"""
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM ev
+                    WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+          assigned AS (
+            SELECT vec_id, cid, ccos FROM (
+              SELECT vec_id, cid, ccos,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cid ASC) AS rn
+              FROM (SELECT e.vec_id, c.cid,
+                      ${cos("e.v", "c.cv")} AS ccos
+                    FROM ev e, cents c))
+            WHERE rn = 1),
+          ranked AS (
+            SELECT vec_id, cid, ccos,
+              CAST(row_number() OVER (PARTITION BY cid
+                ORDER BY ccos DESC, vec_id) AS INT) AS rank_in_cluster
+            FROM assigned),
+          cut AS (SELECT * FROM ranked
+                  ORDER BY rank_in_cluster, cid LIMIT 32)
+          SELECT vec_id, cid, ccos, rank_in_cluster,
+            CAST(row_number() OVER (ORDER BY rank_in_cluster, cid) AS INT)
+              AS pick_order
+          FROM cut"""
     },
 
     // takedown propagation: x16's recursive closure over the EXTENDED

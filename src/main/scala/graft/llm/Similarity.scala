@@ -1251,4 +1251,40 @@ object Similarity {
       .select(col("cid").as("cluster"), col("c_a"), col("c_b"),
         (dA * dA / col("e_a") + dB * dB / col("e_b")).as("chi2"))
   }
+
+  /** diversity-aware selection — the curation step that picks a
+    * k-subset SPREAD ACROSS the embedding space instead of the k
+    * most-typical (near-identical) docs: assign every vector to its
+    * nearest centroid ([[assign1nn]] semantics: max cosine, ties →
+    * lowest cid), rank within each cluster by centrality (cosine to
+    * centroid desc, vec_id tiebreak), then pick globally in ROUND-ROBIN
+    * order — every cluster's #1 before any cluster's #2, clusters in
+    * cid order within a round. The distributed greedy stand-in for MMR:
+    * redundancy is bounded by construction (picks spread over clusters)
+    * at zero pairwise-similarity cost, where true MMR is a sequential
+    * O(k·n) driver loop no 1000-executor cluster can parallelize.
+    *
+    * Scale: one broadcast-centroid assignment scan + a per-cluster
+    * window (shuffle keyed on cid — bounded groups) + a DISTRIBUTED
+    * TakeOrderedAndProject pre-cut on the unique (rank_in_cluster, cid)
+    * key; the only global window runs over the k pre-cut rows (the
+    * x45/x47/x54 discipline).
+    */
+  def diverseSelect(embeddings: DataFrame, centroidIds: Seq[Long],
+      k: Int): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wc = Window.partitionBy(col("cid"))
+      .orderBy(col("ccos").desc, col("vec_id").asc)
+    val ranked = assign1nn(e, cents)
+      .select(col("vec_id"), col("cid"), col("ccos"))
+      .withColumn("rank_in_cluster", row_number().over(wc))
+    val cut = ranked
+      .orderBy(col("rank_in_cluster").asc, col("cid").asc).limit(k)
+    val wp = Window.orderBy(col("rank_in_cluster").asc, col("cid").asc)
+    cut.withColumn("pick_order", row_number().over(wp))
+  }
 }

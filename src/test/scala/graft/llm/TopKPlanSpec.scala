@@ -66,6 +66,40 @@ class TopKPlanSpec extends SparkSpec {
     assertTopKShape(Bpe.pairRanking(docs, topK = 5), "pairRanking")
   }
 
+  test("x68 diverseSelect: global pick window only above the k-row cut") {
+    val s = spark
+    import s.implicits._
+    // 3 tight clusters of 3 around orthogonal axes; centroids = one
+    // member of each, so assignment is unambiguous
+    def v(x: Double, y: Double, z: Double, j: Double) =
+      Array(x, y, z, j).map(_.toFloat)
+    val e = Seq(
+      (0L, v(1, 0.1, 0, 0)), (1L, v(1, 0, 0.1, 0)), (2L, v(1, 0, 0, 0.1)),
+      (10L, v(0.1, 1, 0, 0)), (11L, v(0, 1, 0.1, 0)), (12L, v(0, 1, 0, 0.1)),
+      (20L, v(0.1, 0, 1, 0)), (21L, v(0, 0.1, 1, 0)), (22L, v(0, 0, 1, 0.1)))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val out = Similarity.diverseSelect(e, Seq(0L, 10L, 20L), k = 7)
+    // plan shape: the pick_order window must sit above the GlobalLimit
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "expected the unpartitioned pick window")
+    global.foreach { w =>
+      assert(w.collectFirst { case g: GlobalLimit => g }.nonEmpty,
+        "pick_order window runs over an un-limited input")
+    }
+    // round-robin semantics: all rank-1 picks (one per cluster) precede
+    // every rank-2 pick, clusters in cid order within a round
+    val rows = out.collect().sortBy(_.getAs[Int]("pick_order"))
+    val ranks = rows.map(_.getAs[Int]("rank_in_cluster")).toSeq
+    assert(ranks == ranks.sorted, "picks must advance round by round")
+    assert(ranks.take(3) == Seq(1, 1, 1) && rows.length == 7)
+    assert(rows.take(3).map(_.getAs[Long]("cid")).toSeq ==
+      rows.take(3).map(_.getAs[Long]("cid")).toSeq.sorted)
+  }
+
   test("vocabCoverage pre-cut is bit-identical to ranking the full table") {
     // the unbounded reference shape the operator used before r9: rank
     // the FULL filtered count table, then keep rank <= topK
