@@ -114,10 +114,11 @@ object Bench {
     * round-9 vector additions (r9 verdict task 4): quality gate x26,
     * dup-span x41, DSIR x43/x44, percentile sort q13, and the
     * embedding-side x56–x59 (SemDeDup, ingest gate, PQ, recall audit),
-    * and the round-10 retrieval compositions x62/x63
+    * the round-10 retrieval compositions x62/x63, and the curation trio
+    * x66/x67/x68 (classifier, takedown, diverse select)
     */
   private val AmplifySet =
-    "^(q13|x02|x03|x16|x21|x22|x23|x26|x30|x33|x36|x38|x41|x43|x44|x50|x53|x56|x57|x58|x59|x61|x62|x63|x64|x65)"
+    "^(q13|x02|x03|x16|x21|x22|x23|x26|x30|x33|x36|x38|x41|x43|x44|x50|x53|x56|x57|x58|x59|x61|x62|x63|x64|x65|x66|x67|x68)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1037,15 +1037,14 @@ object TextOps {
     * the map literal (no-CSE-in-lambdas discipline).
     */
   def classifierScore(docs: DataFrame): DataFrame = {
+    graft.functions.TokenWeightSum.register(docs.sparkSession)
     val wmap = typedLit(ClassifierWeights.toMap)
     val tk = col("tk")
     val nt = size(tk).cast("long")
-    val acc0 = struct(lit(0L).as("s"), lit(0L).as("h"))
-    val folded = aggregate(tk, acc0, (acc, t) =>
-      struct(
-        (acc.getField("s") + coalesce(element_at(wmap, t), lit(0L))).as("s"),
-        (acc.getField("h") +
-          when(element_at(wmap, t).isNotNull, 1L).otherwise(0L)).as("h")))
+    // one fused codegen pass (hash-probe per token) — the interpreted
+    // `aggregate` fold with linear map-literal lookups measured 7.8×
+    // DuckDB at ×30; identity to the fold is spec-asserted
+    val folded = call_function("token_weight_sum", tk, wmap)
     val staged = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), nt.as("n_tokens"), folded.as("f"))
