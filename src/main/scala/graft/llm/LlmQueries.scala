@@ -214,7 +214,12 @@ object LlmQueries extends QueryPack {
     // diversity-aware selection: cluster-round-robin top-32 — the
     // distributed greedy stand-in for MMR (see Similarity.diverseSelect)
     "x68_diverse_select" -> ((s, dir) =>
-      Similarity.diverseSelect(embs(s, dir), CentroidIds, k = 32))
+      Similarity.diverseSelect(embs(s, dir), CentroidIds, k = 32)),
+    // kNN graph off the x06 demo band geometry (8-bit buckets so the
+    // toy corpus collides); the API default is the 16-bit scale setting
+    "x69_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(embs(s, dir), k = 5, nBands = LshBands,
+        bitsPerBand = LshBits))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -1886,6 +1891,30 @@ object LlmQueries extends QueryPack {
             $milli >= 0 AS keep
           FROM tk k LEFT JOIN hs h ON k.doc_id = h.doc_id"""
     },
+
+    // kNN graph: x06's band-bucket candidate CTE, symmetrized, per-src
+    // cosine rank
+    "x69_knn_graph" ->
+      s"""WITH $VecBbCte,
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bb a JOIN bb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pv AS (
+            SELECT c.vec_a, c.vec_b, ea.v AS qv, eb.v AS v
+            FROM cand c
+            JOIN ev ea ON ea.vec_id = c.vec_a
+            JOIN ev eb ON eb.vec_id = c.vec_b),
+          pc AS (SELECT vec_a, vec_b, $COS AS cos FROM pv),
+          directed AS (
+            SELECT vec_a AS src, vec_b AS dst, cos FROM pc
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst, cos FROM pc)
+          SELECT src, dst, cos, CAST(rk AS INT) AS nbr_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst) AS rk FROM directed)
+          WHERE rk <= 5""",
 
     // diverse selection: x14's assignment CTE + per-cluster centrality
     // rank + round-robin pick over the unique (rank, cid) key

@@ -222,6 +222,40 @@ object Similarity {
         col("bb.bucket").as("bucket"))
   }
 
+  /** bucketed kNN-GRAPH construction — the neighbor-graph artifact a
+    * curation stack materializes once and reuses for graph-based dedup,
+    * cluster discovery, and label propagation: for every vector, its
+    * top-k nearest co-bucketed neighbors by exact cosine (ties → lowest
+    * dst). Candidates come from the SAME capped multi-band hyperplane
+    * buckets as [[lshNearDup]] (never all-pairs: per-bucket pair work
+    * bounded at ~maxBucket², degenerate buckets re-sharded), so graph
+    * construction is candidate-volume-bound at 100 TB; the per-node
+    * top-k is a src-keyed rank window Spark bounds with
+    * WindowGroupLimit (per-partition k-heaps before the shuffle).
+    * A node in no bucket collision has no rows — the graph's isolated
+    * vertices, by construction the vectors with no near neighbor at
+    * this band geometry.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, nBands: Int = 4,
+      bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    graft.functions.CosineSim.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val bb = vecBuckets(e, nBands, bitsPerBand, dim)
+    // minCos below -1 keeps every verified candidate: the graph ranks,
+    // it does not threshold
+    val pairs = lshNearDupFrom(e, bb, minCos = -2.0, maxBucket)
+    val directed = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .union(pairs
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    directed.withColumn("nbr_rank", row_number().over(w))
+      .filter(col("nbr_rank") <= k)
+  }
+
   /** capped-bucket diagnostic for [[lshNearDup]]: (band, bucket, bsz)
     * for every hyperplane-sign bucket whose pair generation was
     * re-sharded — mirrors [[Dedup.oversizedBuckets]] so the embedding

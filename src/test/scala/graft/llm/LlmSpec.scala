@@ -307,6 +307,37 @@ class SimilaritySpec extends SparkSpec {
     vs.toDF("vec_id", "embedding", "label")
   }
 
+  test("knnGraph: symmetric candidates, per-src rank bound, isolated vertices absent") {
+    // two tight groups on opposite axes: within-group vectors co-bucket
+    // under every hyperplane band (identical signs); across groups the
+    // signs differ — the graph must contain each group's internal edges
+    // and no cross edges, and rank by exact cosine
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val e = embDf(Seq(
+      (0L, v(1, 0.01, 0.02, 0.03), 0),
+      (1L, v(1, 0.02, 0.01, 0.03), 0),
+      (2L, v(1, 0.03, 0.02, 0.01), 0),
+      (3L, v(-1, -0.01, -0.02, -0.03), 1),
+      (4L, v(-1, -0.02, -0.01, -0.03), 1)))
+    val out = Similarity.knnGraph(e, k = 2, nBands = 2, bitsPerBand = 4,
+      dim = 4).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Int]("nbr_rank")))
+    val bySrc = out.groupBy(_._1)
+    // every vertex with a co-bucketed neighbor appears; no cross-group edge
+    out.foreach { case (s0, d, _) =>
+      assert((s0 < 3) == (d < 3), s"cross-group edge $s0 -> $d") }
+    // rank is 1..k dense per src and respects k
+    bySrc.foreach { case (_, es) =>
+      assert(es.map(_._3).sorted.toSeq == (1 to es.size).toSeq)
+      assert(es.size <= 2)
+    }
+    // the graph is candidate-symmetric: src->dst implies dst has src as
+    // a candidate (it may fall off dst's top-k, but here k covers all)
+    val edges = out.map(e0 => (e0._1, e0._2)).toSet
+    assert(edges.forall { case (a, b) => edges.contains((b, a)) })
+  }
+
   test("cosine: self-similarity 1.0, opposite -1.0, orthogonal 0.0") {
     val df = embDf(Seq(
       (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
