@@ -388,4 +388,32 @@ object StreamOps {
           .as("maybe_dup"))
     runToTable(gated, "st_bloom_gate", "append")
   }
+
+  /** st15 — the streaming TAKEDOWN gate, the refusal-at-ingest half of
+    * x67: a doc whose normalized content fingerprint matches a
+    * FORGOTTEN doc must not re-enter the corpus, however fresh its id.
+    * The forget list's fp set (notice-sized — KBs) is collected once
+    * and embedded in the stream plan as a LITERAL map, so each
+    * micro-batch marks docs with one O(1) lookup per row: no join, no
+    * state store, scan throughput — the fourth stateless ingest gate
+    * (st11 band keys / st12 vector bands / st14 Bloom positions / this).
+    * Near-dup (cluster) propagation stays batch-side where x67 prices
+    * it — the same exact/approximate split as x64 vs st14.
+    */
+  def takedownGateStream(spark: SparkSession, dir: String,
+      forgetMod: Long = 41L): DataFrame = {
+    def norm = regexp_replace(lower(col("text")), " +", " ")
+    val forgetFps: Seq[String] = graft.core.Tables
+      .load(spark, dir, "documents")
+      .filter(col("doc_id") % forgetMod === 0)
+      .select(md5(norm).as("fp")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val fmap = typedLit(forgetFps.map(_ -> true).toMap)
+    val gated = fileStream(spark, dir, "documents")
+      .select(col("doc_id"), md5(norm).as("fp"))
+      .select(col("doc_id"),
+        when(element_at(fmap, col("fp")).isNotNull, "forget")
+          .otherwise("ingest").as("action"))
+    runToTable(gated, "st_takedown_gate", "append")
+  }
 }

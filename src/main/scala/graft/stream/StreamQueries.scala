@@ -32,7 +32,9 @@ object StreamQueries extends QueryPack {
     "st13_quality_gate" -> ((s, dir) =>
       StreamOps.qualityGateStream(s, dir)),
     "st14_bloom_gate" -> ((s, dir) =>
-      StreamOps.bloomGateStream(s, dir))
+      StreamOps.bloomGateStream(s, dir)),
+    "st15_takedown_gate" -> ((s, dir) =>
+      StreamOps.takedownGateStream(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -214,6 +216,22 @@ object StreamQueries extends QueryPack {
                 FROM bpos LEFT JOIN cpos ON bpos.pos = cpos.pos
                 GROUP BY 1)
           SELECT doc_id, (n_hit = n_pos) AS maybe_dup FROM g"""
-    }
+    },
+
+    // streaming takedown gate == x67's content-match half over the full
+    // documents stream (same normalized fp; direct ids match their own
+    // fp, so the named docs are refused too) — cluster propagation is
+    // the batch side's job
+    "st15_takedown_gate" ->
+      """WITH f AS (SELECT DISTINCT
+             md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
+           FROM documents WHERE doc_id % 41 = 0),
+         n AS (SELECT doc_id,
+             md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp
+           FROM documents)
+         SELECT n.doc_id,
+           CASE WHEN f.fp IS NOT NULL THEN 'forget' ELSE 'ingest' END
+             AS action
+         FROM n LEFT JOIN f ON n.fp = f.fp"""
   )
 }
