@@ -416,4 +416,55 @@ object StreamOps {
           .otherwise("ingest").as("action"))
     runToTable(gated, "st_takedown_gate", "append")
   }
+
+  /** st16 — the streaming DRIFT monitor, x54's live twin: the reference
+    * slice's head vocabulary (top-`headK` tokens by count, tie-broken
+    * tok-asc — the deterministic `TakeOrderedAndProject` cut) is fit
+    * once batch-side and pinned into the stream as a K-sized literal,
+    * and the incoming corpus streams through ONE bounded complete-mode
+    * aggregation: explode → head-token filter → per-token count, so the
+    * state store holds AT MOST K keys regardless of corpus size — the
+    * drift monitor a crawl-ingest deployment leaves running against
+    * each new shard. The K-row final counts then merge with the pinned
+    * reference counts (zero-count head tokens included via the left
+    * join) and the x54 chi-square contribution prices each token's
+    * deviation from the expected proportional split — same fixed-order
+    * double arithmetic, mirrored op-for-op in the oracle. Alert rule
+    * (consumer-side): a head token with chi2 over threshold, or a
+    * head-vocab occupancy shift, pages before the corpus ships.
+    */
+  def driftMonitorStream(spark: SparkSession, dir: String,
+      headK: Int = 50): DataFrame = {
+    import graft.llm.TextOps
+    import spark.implicits._
+    val ref = graft.core.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+    val head: Array[(String, Long)] = TextOps.tokens(ref)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_ref"))
+      .orderBy(col("c_ref").desc, col("tok").asc).limit(headK)
+      .as[(String, Long)].collect()
+    val incoming = fileStream(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+    val counts = TextOps.tokens(incoming)
+      .filter(col("tok").isin(head.map(_._1).toSeq: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_new"))
+    val streamed = runToTable(counts, "st_drift_monitor", "complete")
+    val merged = head.toSeq.toDF("tok", "c_ref")
+      .join(streamed, Seq("tok"), "left")
+      .select(col("tok"), col("c_ref"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val totals = merged.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_new")).as("n_new"))
+    val t = (col("c_ref") + col("c_new")).cast("double")
+    val dRef = col("c_ref").cast("double") - col("e_ref")
+    val dNew = col("c_new").cast("double") - col("e_new")
+    merged.crossJoin(broadcast(totals))
+      .withColumn("e_ref", t * col("n_ref").cast("double") /
+        (col("n_ref") + col("n_new")).cast("double"))
+      .withColumn("e_new", t * col("n_new").cast("double") /
+        (col("n_ref") + col("n_new")).cast("double"))
+      .select(col("tok"), col("c_ref"), col("c_new"),
+        (dRef * dRef / col("e_ref") + dNew * dNew / col("e_new"))
+          .as("chi2"))
+  }
 }

@@ -34,7 +34,9 @@ object StreamQueries extends QueryPack {
     "st14_bloom_gate" -> ((s, dir) =>
       StreamOps.bloomGateStream(s, dir)),
     "st15_takedown_gate" -> ((s, dir) =>
-      StreamOps.takedownGateStream(s, dir))
+      StreamOps.takedownGateStream(s, dir)),
+    "st16_drift_monitor" -> ((s, dir) =>
+      StreamOps.driftMonitorStream(s, dir))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -232,6 +234,43 @@ object StreamQueries extends QueryPack {
          SELECT n.doc_id,
            CASE WHEN f.fp IS NOT NULL THEN 'forget' ELSE 'ingest' END
              AS action
-         FROM n LEFT JOIN f ON n.fp = f.fp"""
+         FROM n LEFT JOIN f ON n.fp = f.fp""",
+
+    // streaming drift monitor == the head-vocab-pinned chi-square over
+    // the same bounded input: reference head fit on the even slice
+    // (count desc, tok asc — the deterministic top-K cut), stream
+    // counts on the odd slice restricted to that vocabulary, zero rows
+    // kept by the left join, x54's fixed-order double arithmetic
+    "st16_drift_monitor" ->
+      """WITH toks AS (
+           SELECT doc_id, x.i AS pos, tk[x.i] AS tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents) t,
+                unnest(generate_series(1, len(tk))) AS x(i)),
+         ca AS (SELECT tok, count(*) AS c FROM toks
+                WHERE doc_id % 2 = 0 GROUP BY 1),
+         hd AS (SELECT tok, CAST(c AS BIGINT) AS c_ref,
+                  row_number() OVER (ORDER BY c DESC, tok) AS rn
+                FROM ca),
+         h AS (SELECT tok, c_ref FROM hd WHERE rn <= 50),
+         cb AS (SELECT tok, count(*) AS c FROM toks
+                WHERE doc_id % 2 = 1 GROUP BY 1),
+         m AS (SELECT h.tok, h.c_ref,
+                 CAST(coalesce(cb.c, 0) AS BIGINT) AS c_new
+               FROM h LEFT JOIN cb ON h.tok = cb.tok),
+         tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(c_new) AS BIGINT) AS n_new FROM m),
+         e AS (SELECT tok, c_ref, c_new,
+                 CAST(c_ref + c_new AS DOUBLE) * CAST(n_ref AS DOUBLE) /
+                   CAST(n_ref + n_new AS DOUBLE) AS e_ref,
+                 CAST(c_ref + c_new AS DOUBLE) * CAST(n_new AS DOUBLE) /
+                   CAST(n_ref + n_new AS DOUBLE) AS e_new
+               FROM m, tot)
+         SELECT tok, c_ref, c_new,
+           (CAST(c_ref AS DOUBLE) - e_ref) * (CAST(c_ref AS DOUBLE) - e_ref)
+             / e_ref
+           + (CAST(c_new AS DOUBLE) - e_new) * (CAST(c_new AS DOUBLE) - e_new)
+             / e_new AS chi2
+         FROM e"""
   )
 }

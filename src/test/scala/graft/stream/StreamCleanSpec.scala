@@ -69,6 +69,37 @@ class StreamCleanSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("driftMonitorStream equals the batch head-vocab chi-square twin") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val streamed = rows(StreamOps.driftMonitorStream(spark, dir, headK = 8))
+    // batch twin: same head fit, same counts, same fixed-order doubles
+    val d = graft.core.Tables.load(spark, dir, "documents")
+    val head = graft.llm.TextOps.tokens(d.filter(col("doc_id") % 2 === 0))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_ref"))
+      .orderBy(col("c_ref").desc, col("tok").asc).limit(8)
+      .as[(String, Long)].collect()
+    val cNew = graft.llm.TextOps.tokens(d.filter(col("doc_id") % 2 === 1))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_new"))
+      .as[(String, Long)].collect().toMap
+    val merged = head.map { case (t, cr) => (t, cr, cNew.getOrElse(t, 0L)) }
+    val (nRef, nNew) = (merged.map(_._2).sum, merged.map(_._3).sum)
+    val batch = merged.map { case (tok, cr, cn) =>
+      val t = (cr + cn).toDouble
+      val eR = t * nRef.toDouble / (nRef + nNew).toDouble
+      val eN = t * nNew.toDouble / (nRef + nNew).toDouble
+      val (dR, dN) = (cr.toDouble - eR, cn.toDouble - eN)
+      (tok, cr, cn, dR * dR / eR + dN * dN / eN)
+    }.sortBy(_._1).toSeq
+    assert(streamed.size == 8 && streamed == batch)
+    // the state bound IS the head size: never more rows than headK
+    assert(streamed.map(_._1).distinct.size == streamed.size)
+  }
+
   test("ingestDedupGate distinct doc_ids equal x50's dup_vs_corpus set") {
     val dir = "/root/testdata/sf0.001"
     val streamedDocs = StreamOps.ingestDedupGate(spark, dir).collect()
