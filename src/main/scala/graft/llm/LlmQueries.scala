@@ -219,7 +219,8 @@ object LlmQueries extends QueryPack {
     // toy corpus collides); the API default is the 16-bit scale setting
     "x69_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(embs(s, dir), k = 5, nBands = LshBands,
-        bitsPerBand = LshBits))
+        bitsPerBand = LshBits)),
+    "x70_epoch_schedule" -> ((s, dir) => Pipeline.epochSchedule(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2083,7 +2084,36 @@ object LlmQueries extends QueryPack {
           FROM documents d
             JOIN capped USING (doc_id) JOIN clean USING (doc_id)
           GROUP BY 1, 2"""
-    }
+    },
+
+    // epoch scheduler: integer per-source counts, IEEE-exact sqrt, the
+    // ONE order-sensitive double sum (Z) folded value-sorted — the
+    // x42/x43 sorted-fold discipline; per-row arithmetic mirrors the
+    // Spark projection op-for-op (left-assoc products, least() cap)
+    "x70_epoch_schedule" ->
+      """WITH per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         z AS (SELECT
+             list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+               (a, b) -> a + b) AS z,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           FROM per),
+         w AS (SELECT source, n_docs, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight,
+             2.0 * CAST(total_tokens AS DOUBLE)
+               * (sqrt(CAST(n_tokens AS DOUBLE)) / z) AS target_tokens
+           FROM per, z),
+         e AS (SELECT *,
+             target_tokens / CAST(n_tokens AS DOUBLE) AS epochs_raw
+           FROM w)
+         SELECT source, n_docs, n_tokens, weight, target_tokens,
+           least(epochs_raw, 4.0) AS epochs,
+           least(epochs_raw, 4.0) * CAST(n_tokens AS DOUBLE)
+             AS tokens_served,
+           epochs_raw > 4.0 AS capped
+         FROM e"""
   )
 }
 

@@ -76,4 +76,49 @@ object Pipeline {
           .when(coalesce(col("is_dup"), lit(false)), "drop_dup")
           .otherwise("ingest").as("action"))
   }
+
+  /** mixture EPOCH scheduler — the step after the manifest: given the
+    * per-source token counts, a temperature-flattened target mixture
+    * (weight ∝ √n_tokens, the mBERT/XLM-R α=½ convention — x46's keep
+    * gate solves the same imbalance by thinning; this one plans
+    * repetition), and a token budget (`budgetMult` × the corpus), how
+    * many EPOCHS of each source does the run take? Sources whose
+    * target exceeds `maxEpochs` passes are capped (Muennighoff et al.
+    * 2023: repeating beyond ~4 epochs stops helping), surfacing the
+    * budget a re-balance would have to redistribute.
+    *
+    * Determinism: doc/token counts are integer aggs; √n is IEEE-exact;
+    * the ONE order-sensitive double reduction (the weight normalizer
+    * Z = Σ√n_s) folds a value-sorted collect_list — the x42/x43
+    * sorted-fold discipline, mirrored `list_reduce(list_sort(...))`
+    * in the oracle. Everything else is fixed-order per-row arithmetic.
+    *
+    * Scale shape: one map-side-combined agg over |sources| groups, a
+    * 1-row broadcast of (Z, total), then a K-row projection — the
+    * whole schedule is source-cardinality-sized, never corpus-sized.
+    */
+  def epochSchedule(docs: DataFrame, budgetMult: Double = 2.0,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val per = docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val z = per.agg(
+      aggregate(sort_array(collect_list(
+          sqrt(col("n_tokens").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("z"),
+      sum(col("n_tokens")).as("total_tokens"))
+    val epochsRaw = col("target_tokens") / col("n_tokens").cast("double")
+    per.crossJoin(broadcast(z))
+      .withColumn("weight",
+        sqrt(col("n_tokens").cast("double")) / col("z"))
+      .withColumn("target_tokens",
+        lit(budgetMult) * col("total_tokens").cast("double") * col("weight"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"),
+        least(epochsRaw, lit(maxEpochs)).as("epochs"),
+        (least(epochsRaw, lit(maxEpochs)) * col("n_tokens").cast("double"))
+          .as("tokens_served"),
+        (epochsRaw > lit(maxEpochs)).as("capped"))
+  }
 }

@@ -667,4 +667,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSet == Set((10L, 0L)))
     assert(out.head._3 > 0.99)
   }
+
+  test("epochSchedule: sqrt-temperature weights, budget split, epoch cap") {
+    // big: 12 tokens across 2 docs; small: 3 tokens in 1 doc — the
+    // imbalance makes the √-flattened schedule want > maxEpochs of the
+    // small source, so the cap binds exactly there
+    val df = docsDf(Seq(
+      (0L, "a b c d e f", "big"), (1L, "g h i j k l", "big"),
+      (2L, "m n o", "small")))
+    val out = Pipeline.epochSchedule(df, budgetMult = 2.0, maxEpochs = 4.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("weight"), r.getAs[Double]("epochs"),
+          r.getAs[Double]("tokens_served"), r.getAs[Boolean]("capped"))))
+      .toMap
+    val z = math.sqrt(3.0) + math.sqrt(12.0) // sorted ascending fold
+    val wBig = math.sqrt(12.0) / z
+    val wSmall = math.sqrt(3.0) / z
+    assert(out("big") == ((2L, 12L, wBig,
+      2.0 * 15.0 * wBig / 12.0, 2.0 * 15.0 * wBig / 12.0 * 12.0,
+      false)))
+    // small source: raw epochs = 30·w/3 = 10·w ≈ 3.66 < 4 — uncapped
+    assert(!out("small")._6 && out("small")._4 < 4.0)
+    // weights sum to 1 within one ulp-ish tolerance
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-12)
+    // with a bigger budget the small source hits the cap
+    val capped = Pipeline.epochSchedule(df, budgetMult = 3.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Boolean]("capped")).toMap
+    assert(capped("small") && !capped("big"))
+  }
 }
