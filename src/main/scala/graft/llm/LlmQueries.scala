@@ -220,7 +220,10 @@ object LlmQueries extends QueryPack {
     "x69_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(embs(s, dir), k = 5, nBands = LshBands,
         bitsPerBand = LshBits)),
-    "x70_epoch_schedule" -> ((s, dir) => Pipeline.epochSchedule(docs(s, dir)))
+    "x70_epoch_schedule" -> ((s, dir) => Pipeline.epochSchedule(docs(s, dir))),
+    "x71_knn_communities" -> ((s, dir) =>
+      Similarity.knnCommunities(embs(s, dir), minCos = 0.3, k = 5,
+        nBands = LshBands, bitsPerBand = LshBits))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2113,7 +2116,48 @@ object LlmQueries extends QueryPack {
            least(epochs_raw, 4.0) * CAST(n_tokens AS DOUBLE)
              AS tokens_served,
            epochs_raw > 4.0 AS capped
-         FROM e"""
+         FROM e""",
+
+    // kNN communities: x69's graph CTE, tau-filtered, symmetrized to
+    // undirected edges, then x16's recursive min-label closure
+    "x71_knn_communities" ->
+      s"""WITH RECURSIVE $VecBbCte,
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bb a JOIN bb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pv AS (
+            SELECT c.vec_a, c.vec_b, ea.v AS qv, eb.v AS v
+            FROM cand c
+            JOIN ev ea ON ea.vec_id = c.vec_a
+            JOIN ev eb ON eb.vec_id = c.vec_b),
+          pc AS (SELECT vec_a, vec_b, $COS AS cos FROM pv),
+          directed AS (
+            SELECT vec_a AS src, vec_b AS dst, cos FROM pc
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst, cos FROM pc),
+          knn AS (
+            SELECT src, dst, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst) AS rk FROM directed)
+            WHERE rk <= 5),
+          ue AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM knn WHERE cos >= 0.3),
+          edges AS (SELECT a AS src, b AS dst FROM ue
+                    UNION SELECT b, a FROM ue),
+          reach(vec_id, lbl) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r
+              ON r.vec_id = e.dst),
+          comp AS (SELECT vec_id, min(lbl) AS community_id
+                   FROM reach GROUP BY 1),
+          sizes AS (SELECT community_id, count(*) AS community_size
+                    FROM comp GROUP BY 1)
+          SELECT c.vec_id, c.community_id, s.community_size
+          FROM comp c JOIN sizes s USING (community_id)"""
   )
 }
 

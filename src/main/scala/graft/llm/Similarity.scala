@@ -256,6 +256,38 @@ object Similarity {
       .filter(col("nbr_rank") <= k)
   }
 
+  /** semantic duplicate COMMUNITIES — connected components over the
+    * [[knnGraph]]'s cos ≥ minCos edges, labeling every vector with the
+    * min vec_id of its component plus the component size: the
+    * transitive near-dup GROUPS (a exemplar picker, diversity sampler,
+    * or takedown propagator consumes whole communities) that SemDeDup's
+    * flat per-cluster tau scan can't express — A~B and B~C group A,B,C
+    * even when cos(A,C) < tau. Edges are the UNION kNN graph (either
+    * endpoint ranking the other into its top-k keeps the edge),
+    * undirected via least/greatest + distinct.
+    *
+    * Scale shape: the graph build is x69's capped-band-bucket
+    * machinery (per-bucket pair work bounded, never corpus²); the CC
+    * loop is x16's checkpointed O(log D) min-label propagation with
+    * pointer-doubling, run over the edge-SURVIVOR subgraph only —
+    * vectors in no qualifying edge are singletons by definition and
+    * never enter the loop.
+    */
+  def knnCommunities(embeddings: DataFrame, minCos: Double = 0.3,
+      k: Int = 5, nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame = {
+    val g = knnGraph(embeddings, k, nBands, bitsPerBand, dim, maxBucket)
+    val edges = g.filter(col("cos") >= minCos)
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"))
+      .distinct()
+    Dedup.clustersFromPairs(
+        embeddings.select(col("vec_id").as("doc_id")), edges, maxIter)
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("community_id"),
+        col("cluster_size").as("community_size"))
+  }
+
   /** capped-bucket diagnostic for [[lshNearDup]]: (band, bucket, bsz)
     * for every hyperplane-sign bucket whose pair generation was
     * re-sharded — mirrors [[Dedup.oversizedBuckets]] so the embedding
