@@ -201,101 +201,185 @@ object Dedup {
       maxIter)
 
   /** connected components over an explicit (doc_a, doc_b) pair set:
-    * iterative min-label propagation WITH SHORTCUTTING — each round takes
-    * the min over {own label, neighbors' labels, label(label)} (the
-    * pointer-doubling step), so label chains halve per round and a path
-    * graph of diameter D converges in O(log D) rounds instead of O(D).
-    * Each round is two equi-joins + one aggregation over id-only rows,
-    * state checkpointed, convergence checked with a count — the standard
-    * large-graph CC loop (large-star/small-star is the same idea with
-    * re-rooted edges). The label state is CHECKPOINTED EVERY round, not
-    * persisted: a round references its input state THREE times (neighbor
-    * join, shortcut self-join, base), and persist does not truncate the
-    * LOGICAL plan, so with persist alone the plan tree grows ~3× per
-    * round — 3^k copies of the seed lineage by round k — and driver-side
-    * analysis/cache-substitution over that tree came to dominate the
-    * whole query (measured at sf0.1: rounds of 0.55 → 1.1 → 3.2 s and an
-    * 8 s final assembly on a 313-pair graph; with per-round checkpoints
-    * every round is flat ~0.3 s). The edge set is checkpointed once for
-    * the same reason — it rides into every round's plan. Checkpoint I/O
-    * is one write+scan of the id-only state per round (KB here; at
-    * deployment the checkpoint dir is durable storage, which also bounds
-    * recompute depth on executor loss to one round).
+    * alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * standard large-graph CC algorithm). Each half-round rewrites the
+    * edge set through per-node neighborhood minima: large-star hooks
+    * every strictly-larger neighbor of a node to the minimum of its
+    * closed neighborhood (halving long monotone chains), small-star
+    * hooks every smaller-or-equal neighbor (collapsing the
+    * randomly-numbered chains large-star can't shorten). The paper's
+    * potential argument gives O(log² n) rounds on ANY numbering and a
+    * sound termination test: one full alternation that leaves the edge
+    * set unchanged means BOTH operators are at their fixed point, and
+    * the joint fixed points are exactly star forests rooted at each
+    * component's MINIMUM id — the labels read off in one aggregation.
+    *
+    * Why not min-label propagation with a label(label) shortcut (the
+    * r1–r10 loop): the doubling argument behind that scheme holds only
+    * when ids grow monotonically along a chain (the unit-test path
+    * graph). On the randomly-numbered chains a 5-NN community graph
+    * produces, label(label) usually points sideways, and the loop
+    * crawled — measured at sf0.1 on x71's graph (1 351 vertices, 1 139
+    * edges): still 9 label changes at round 25, i.e. maxIter exhausted
+    * with an UNCONVERGED labeling. And why not plain min-contraction:
+    * it collapses random numberings in O(log n) but shrinks a MONOTONE
+    * chain by one node per round — each scheme's blind spot is the
+    * other's strength, which is exactly the two-operator alternation.
+    *
+    * Each half-round is one aggregation (the neighborhood min) + one
+    * equi-join over id-only rows. The carried edge set is SPILLED TO
+    * PARQUET EVERY
+    * round, not persisted and not `Dataset.checkpoint`ed:
+    *
+    *   - persist does not truncate the LOGICAL plan: a round references
+    *     its input state THREE times (neighbor join, shortcut self-join,
+    *     base), so with persist alone the plan tree grows ~3× per round
+    *     — 3^k copies of the seed lineage by round k — and driver-side
+    *     analysis over that tree came to dominate the whole query
+    *     (measured at sf0.1: rounds of 0.55 → 1.1 → 3.2 s and an 8 s
+    *     final assembly on a 313-pair graph).
+    *   - `Dataset.checkpoint` truncates the plan to a `LogicalRDD`, but
+    *     (Spark ≥3.4, `LogicalRDD.fromDataset`) that leaf PRESERVES the
+    *     ORIGIN PLAN'S STATISTICS. A CC round's size estimate is a
+    *     product over its joins, so the carried `sizeInBytes` roughly
+    *     SQUARES every round — measured: 8 → 17 → 37 → 75 decimal
+    *     digits over four rounds — and by round ~15 the driver is doing
+    *     Toom-Cook multiplications on million-digit BigIntegers inside
+    *     `SizeInBytesOnlyStatsPlanVisitor.visitJoin` (the r10 x71
+    *     failure: a deep 5-NN community graph runs many more rounds
+    *     than a shallow dup-clique graph, so x16 never surfaced it).
+    *     Reliable checkpoint also COMPUTES EACH ROUND TWICE (once for
+    *     the convergence count, once more to write the checkpoint
+    *     files).
+    *
+    * A parquet round-trip fixes all three at once: the re-read plan is
+    * a plain file-scan leaf whose stats are the REAL on-disk size (flat
+    * across rounds, KB here), lineage is fully truncated at both the
+    * plan and RDD level, and each round executes exactly once (the
+    * write is the action; the convergence count re-scans the tiny
+    * file). [[DedupSpec]] pins both the plan node count and the stats
+    * digit count flat across rounds so neither failure mode can return
+    * silently. The edge set spills once for the same reason — it rides
+    * into every round's plan. Spill I/O is one write+scan of the
+    * id-only state per round (KB here; at deployment the spill dir is
+    * durable storage, which also bounds recompute depth on executor
+    * loss to one round).
+    */
+  /** `planProbe(round, nodes, statsDigits)` receives, each round, the
+    * analyzed-plan node count of the carried label state AND the decimal
+    * digit count of its `sizeInBytes` estimate — DedupSpec asserts both
+    * stay flat (the BpeSpec `planProbe` discipline applied to the loop
+    * that invented it; the digit pin is what would have caught the r10
+    * x71 originStats explosion).
     */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      planProbe: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
     val spark = ids.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        graft.stream.StreamOps.checkpointDir("dup-clusters"))
-    // checkpoint (not persist): truncates the candidate-generation
-    // lineage out of every round's plan — see the scaladoc
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .checkpoint()
-    // label state is one row per doc (ids only) — tiny, re-read every
-    // iteration. The state carries BOTH the label at the last
-    // materialization (`prev`) and the current label, so the convergence
-    // count filters the checkpointed rows directly instead of re-joining
-    // new-vs-old.
-    //
-    // One propagation round, composed lazily over the incoming state:
-    // min over {own label, neighbor labels, and — when `shortcut` —
-    // label(label)}. The shortcut is a self-join of the label state on
-    // (label = doc_id); round 1 skips it (identity labels make it a
-    // no-op), so a shallow clique-shaped dup graph — the common near-dup
-    // case, converging in 2 rounds — pays nothing for the machinery.
-    // `prev` rides through untouched.
-    def oneRound(st: DataFrame, shortcut: Boolean): DataFrame = {
-      val lbl = st.select(col("doc_id"), col("label"))
-      val nbrMin = edges
-        .join(lbl.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        .withColumnRenamed("src", "doc_id")
-      val base = st.join(nbrMin, Seq("doc_id"), "left")
-      val withS =
-        if (!shortcut) base.withColumn("slabel", col("label"))
-        else base.join(lbl.select(col("doc_id").as("label"),
-          col("label").as("slabel")), Seq("label"), "left")
-      withS.select(col("doc_id"), col("prev"),
-        least(col("label"), coalesce(col("nlabel"), col("label")),
-          coalesce(col("slabel"), col("label"))).as("label"))
+    val root = graft.stream.StreamOps.checkpointDir("dup-clusters")
+    // parquet spill: truncates the candidate-generation lineage (and its
+    // carried stats) out of every round's plan — see the scaladoc
+    def spill(df: DataFrame, name: String): DataFrame = {
+      val p = s"$root/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
     }
-    // the loop runs over the candidate-graph VERTICES only — docs in no
+    // the loop runs over the subgraph INDUCED on `ids` only — docs in no
     // pair are singleton clusters by definition and are unioned back at
-    // the end. At 100 TB this is the difference between iterating over
-    // the whole corpus and iterating over the near-dup subgraph (a tiny
-    // fraction of it); locally it shrinks every per-round join input.
-    // restrict the vertex set to `ids`: a pair member absent from `ids`
-    // must not surface in (or become the representative of) the output —
-    // edges through such a vertex contribute nothing (its label rows
-    // don't exist, so the neighbor join drops them)
-    val verts = edges.select(col("src").as("doc_id")).distinct()
-      .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    var state = verts.select(col("doc_id"), col("doc_id").as("prev"),
-      col("doc_id").as("label")).checkpoint()
-    def labels = state.select(col("doc_id"), col("label"))
+    // the end, and a pair member absent from `ids` must not surface in
+    // (or bridge through, or become the representative of) the output,
+    // so edges touching such a vertex are dropped up front. At 100 TB
+    // this is the difference between iterating over the whole corpus
+    // and iterating over the near-dup subgraph (a tiny fraction of it).
+    val inIds = pairs
+      .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    // canonical undirected form (lo < hi) — both star operators emit
+    // (min-of-neighborhood, node) pairs, which are already canonical
+    val edges = spill(inIds
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct(), "edges")
+    def verts = edges.select(col("lo").as("doc_id"))
+      .union(edges.select(col("hi").as("doc_id"))).distinct()
+    // directed view (u, v): both orientations, so one groupBy(u) sees
+    // every closed neighborhood
+    def dir(e: DataFrame): DataFrame =
+      e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    // large-star: per node u with m = min(u ∪ N(u)), hook every
+    // strictly larger neighbor v to m
+    def largeStar(e: DataFrame): DataFrame = {
+      val d = dir(e)
+      val mTab = d.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      d.filter(col("v") > col("u")).join(mTab, Seq("u"))
+        .filter(col("m") =!= col("v"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct()
+    }
+    // small-star: per node u with m = min of its smaller neighbors,
+    // hook those neighbors AND u itself to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = dir(e).filter(col("v") < col("u"))
+      val mTab = d.groupBy(col("u")).agg(min(col("v")).as("m"))
+      d.join(mTab, Seq("u"))
+        .select(col("m"), col("v"))
+        .union(mTab.select(col("m"), col("u").as("v")))
+        .filter(col("m") =!= col("v"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct()
+    }
+    // materialization regime, decided from the spilled edge file's REAL
+    // size (driver-side stats — free): in the small regime (toy/local,
+    // < 64 MB of edges) both half-rounds compose into ONE spill per
+    // alternation — the repeated sub-references inside the composed
+    // plan re-scan a KB parquet file, and the per-job scheduling floor
+    // dominates locally; in the large regime (deployment candidate
+    // sets) each half-round materializes so the big first-round edge
+    // shuffles run once, not once per sub-reference.
+    val smallRegime =
+      edges.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
+    // sound termination, ONE cheap job per alternation: a canonical
+    // (lo < hi) edge set is a MIN-ROOTED STAR FOREST iff no node is
+    // both a root (lo) and a leaf (hi) and no leaf repeats — and the
+    // min-rooted star forests are exactly the joint fixed points of the
+    // two operators (paper §3), so testing the OUTPUT directly stops
+    // one alternation earlier than comparing consecutive edge sets.
+    def starViolations(t: DataFrame): Long =
+      t.select(col("hi").as("n"), lit(1L).as("h"))
+        .union(t.select(col("lo").as("n"), lit(0L).as("h")))
+        .groupBy(col("n"))
+        .agg(sum(col("h")).as("nHi"), count(lit(1)).as("tot"))
+        .filter((col("nHi") > 0 && col("nHi") < col("tot")) ||
+          col("nHi") > 1)
+        .limit(1).count()
+    var e = edges
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // exactly ONE round per materialization: a round references its
-      // input state three times (neighbor join, shortcut self-join, base),
-      // which is fine against a materialized state but multiplies work
-      // threefold per extra composed round if rounds are stacked lazily
-      // (measured: 2-round composition tripled x16's runtime) — the
-      // classic no-subplan-reuse trap, same family as the no-CSE-in-
-      // lambdas rule.
-      val st0 = state.select(col("doc_id"), col("label").as("prev"),
-        col("label"))
-      // lazy checkpoint: the convergence count below is the action that
-      // both computes the round and writes the checkpoint — one
-      // scheduling round trip per iteration instead of two
-      val next = oneRound(st0, shortcut = iter > 0).checkpoint(eager = false)
-      changed = next.filter(col("label") < col("prev")).count()
-      state = next
+    var notStar = starViolations(e)
+    while (notStar > 0 && iter < maxIter) {
+      // the spill writes are the actions that compute the half-rounds.
+      // Ping-pong paths: round i reads *_{(i+1)%2} while writing
+      // *_{i%2}; the loop exit leaves the final edge file live for the
+      // lazy caller.
+      val e2 =
+        if (smallRegime) spill(smallStar(largeStar(e)), s"ss_${iter % 2}")
+        else spill(smallStar(spill(largeStar(e), s"ls_${iter % 2}")),
+          s"ss_${iter % 2}")
+      planProbe(iter + 1,
+        e2.queryExecution.analyzed.collect { case p => p }.length,
+        e2.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length)
+      notStar = starViolations(e2)
+      e = e2
       iter += 1
     }
+    // read labels off the star forest: l(v) = min(v ∪ N(v)); vertices
+    // whose component collapsed away from the edge set keep themselves
+    val nbrMin = dir(e).groupBy(col("u")).agg(min(col("v")).as("mn"))
+    def labels = verts
+      .join(nbrMin.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
+          .as("label"))
     val singletons = ids.join(verts, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     val all = labels.union(singletons)

@@ -969,9 +969,10 @@ object LlmQueries extends QueryPack {
                     CAST(n_a + n_b AS DOUBLE) AS e_b
                 FROM r, tot WHERE rank <= 100)
           SELECT CAST(rank AS BIGINT) AS rank, tok, c_a, c_b,
-            (CAST(c_a AS DOUBLE) - e_a) * (CAST(c_a AS DOUBLE) - e_a) / e_a
-              + (CAST(c_b AS DOUBLE) - e_b) * (CAST(c_b AS DOUBLE) - e_b)
-                / e_b AS chi2
+            (CASE WHEN e_a > 0 THEN (CAST(c_a AS DOUBLE) - e_a)
+                * (CAST(c_a AS DOUBLE) - e_a) / e_a ELSE 0.0 END)
+              + (CASE WHEN e_b > 0 THEN (CAST(c_b AS DOUBLE) - e_b)
+                * (CAST(c_b AS DOUBLE) - e_b) / e_b ELSE 0.0 END) AS chi2
           FROM e""",
 
     // embedding-space drift: x32's nearest-centroid assignment (the
@@ -1007,9 +1008,10 @@ object LlmQueries extends QueryPack {
                     CAST(n_a + n_b AS DOUBLE) AS e_b
                 FROM tc, tot)
           SELECT cid AS cluster, c_a, c_b,
-            (CAST(c_a AS DOUBLE) - e_a) * (CAST(c_a AS DOUBLE) - e_a) / e_a
-              + (CAST(c_b AS DOUBLE) - e_b) * (CAST(c_b AS DOUBLE) - e_b)
-                / e_b AS chi2
+            (CASE WHEN e_a > 0 THEN (CAST(c_a AS DOUBLE) - e_a)
+                * (CAST(c_a AS DOUBLE) - e_a) / e_a ELSE 0.0 END)
+              + (CASE WHEN e_b > 0 THEN (CAST(c_b AS DOUBLE) - e_b)
+                * (CAST(c_b AS DOUBLE) - e_b) / e_b ELSE 0.0 END) AS chi2
           FROM e"""
     },
 
@@ -2094,7 +2096,7 @@ object LlmQueries extends QueryPack {
     // x42/x43 sorted-fold discipline; per-row arithmetic mirrors the
     // Spark projection op-for-op (left-assoc products, least() cap)
     "x70_epoch_schedule" ->
-      """WITH per AS (
+      s"""WITH per AS (
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
            FROM documents GROUP BY 1),
@@ -2105,17 +2107,17 @@ object LlmQueries extends QueryPack {
            FROM per),
          w AS (SELECT source, n_docs, n_tokens,
              sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight,
-             2.0 * CAST(total_tokens AS DOUBLE)
+             ${Pipeline.EpochBudgetMult} * CAST(total_tokens AS DOUBLE)
                * (sqrt(CAST(n_tokens AS DOUBLE)) / z) AS target_tokens
            FROM per, z),
          e AS (SELECT *,
              target_tokens / CAST(n_tokens AS DOUBLE) AS epochs_raw
            FROM w)
          SELECT source, n_docs, n_tokens, weight, target_tokens,
-           least(epochs_raw, 4.0) AS epochs,
-           least(epochs_raw, 4.0) * CAST(n_tokens AS DOUBLE)
-             AS tokens_served,
-           epochs_raw > 4.0 AS capped
+           least(epochs_raw, ${Pipeline.EpochMaxEpochs}) AS epochs,
+           least(epochs_raw, ${Pipeline.EpochMaxEpochs})
+             * CAST(n_tokens AS DOUBLE) AS tokens_served,
+           epochs_raw > ${Pipeline.EpochMaxEpochs} AS capped
          FROM e""",
 
     // kNN communities: x69's graph CTE, tau-filtered, symmetrized to

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** [[epochSchedule]] defaults, shared with the x70 oracle SQL (the
+    * x37/DsirBuckets discipline: interpolated constants, so changing a
+    * default here cannot silently desynchronize the oracle)
+    */
+  val EpochBudgetMult = 2.0
+  val EpochMaxEpochs = 4.0
+
   /** training-mixture manifest: documents that survive the per-domain
     * cap ([[Sampling.domainCap]]) AND fuzzy eval-decontamination
     * ([[Dedup.fuzzyDecontam]] — the eval slice itself never trains),
@@ -97,8 +104,9 @@ object Pipeline {
     * 1-row broadcast of (Z, total), then a K-row projection — the
     * whole schedule is source-cardinality-sized, never corpus-sized.
     */
-  def epochSchedule(docs: DataFrame, budgetMult: Double = 2.0,
-      maxEpochs: Double = 4.0): DataFrame = {
+  def epochSchedule(docs: DataFrame,
+      budgetMult: Double = Pipeline.EpochBudgetMult,
+      maxEpochs: Double = Pipeline.EpochMaxEpochs): DataFrame = {
     val per = docs.select(col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy(col("source"))

@@ -1309,13 +1309,18 @@ object Similarity {
     val t = (col("c_a") + col("c_b")).cast("double")
     val dA = col("c_a").cast("double") - col("e_a")
     val dB = col("c_b").cast("double") - col("e_b")
+    // e_x = 0 iff slice x is globally empty → c_x = 0 → 0²/0
+    // contribution is 0 (the corpusDrift convention; unguarded, ANSI
+    // throws DIVIDE_BY_ZERO on a crawl with an empty slice)
+    def contrib(d: Column, e: Column): Column =
+      when(e > 0d, d * d / e).otherwise(lit(0d))
     tc.crossJoin(broadcast(totals))
       .withColumn("e_a", t * col("n_a").cast("double") /
         (col("n_a") + col("n_b")).cast("double"))
       .withColumn("e_b", t * col("n_b").cast("double") /
         (col("n_a") + col("n_b")).cast("double"))
       .select(col("cid").as("cluster"), col("c_a"), col("c_b"),
-        (dA * dA / col("e_a") + dB * dB / col("e_b")).as("chi2"))
+        (contrib(dA, col("e_a")) + contrib(dB, col("e_b"))).as("chi2"))
   }
 
   /** diversity-aware selection — the curation step that picks a

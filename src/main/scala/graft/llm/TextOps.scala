@@ -119,6 +119,13 @@ object TextOps {
     val t = (col("c_a") + col("c_b")).cast("double")
     val dA = col("c_a").cast("double") - col("e_a")
     val dB = col("c_b").cast("double") - col("e_b")
+    // e_x = 0 exactly when slice x is globally empty (n_x = 0), and then
+    // c_x = 0 and d_x = 0 too: the 0²/0 contribution is 0 by the usual
+    // chi-square convention (an empty slice drifts nowhere). Unguarded,
+    // ANSI mode throws DIVIDE_BY_ZERO on any empty/disjoint slice — the
+    // r10 st16 sf0.1 crash.
+    def contrib(d: Column, e: Column): Column =
+      when(e > 0d, d * d / e).otherwise(lit(0d))
     tc.filter(col("c_a") + col("c_b") >= minCount)
       .orderBy((col("c_a") + col("c_b")).desc, col("tok").asc).limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -128,7 +135,7 @@ object TextOps {
       .withColumn("e_b", t * col("n_b").cast("double") /
         (col("n_a") + col("n_b")).cast("double"))
       .select(col("rank"), col("tok"), col("c_a"), col("c_b"),
-        (dA * dA / col("e_a") + dB * dB / col("e_b")).as("chi2"))
+        (contrib(dA, col("e_a")) + contrib(dB, col("e_b"))).as("chi2"))
   }
 
   /** tiny per-language stopword table for the lang-ID heuristic — joined

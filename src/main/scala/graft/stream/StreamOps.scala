@@ -45,19 +45,49 @@ object StreamOps {
   }
 
   /** streaming view of any sf table (the documents corpus included):
-    * same staging trick, schema inferred from a batch read of the file
+    * same staging trick, schema inferred from a batch read of the file.
+    *
+    * The table path may be a single parquet FILE (the raw fixture
+    * layout) or a DIRECTORY of part files (the staged/partitioned
+    * layout a real writer produces). The file-stream source monitors
+    * the staged directory's top level and does NOT traverse a
+    * symlinked subdirectory — linking the directory wholesale makes
+    * the stream silently read ZERO rows (the r10 finding: every
+    * streaming bench number was an empty-stream time). So a directory
+    * target is staged by linking each contained data file
+    * individually, exactly what a landing-zone ingest does
+    * (files arrive flat; StreamSpec pins stream-count == batch-count
+    * on a multi-file fixture).
     */
   def fileStream(spark: SparkSession, dir: String,
       table: String): DataFrame = {
-    val path = s"$dir/$table.parquet"
-    val staged = java.nio.file.Paths.get(
+    import java.nio.file.{Files, Path, Paths}
+    val path = Paths.get(s"$dir/$table.parquet")
+    val staged = Paths.get(
       s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}_$table")
-    val link = staged.resolve(s"$table.parquet")
-    java.nio.file.Files.createDirectories(staged)
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(path))
-    val schema = spark.read.parquet(path).schema
+    Files.createDirectories(staged)
+    // self-heal a previously-staged dir: drop broken links (restaged
+    // fixture) and directory links (the pre-fix wholesale-dir staging)
+    locally {
+      val it = Files.list(staged)
+      try it.forEach { p =>
+        if (Files.isSymbolicLink(p) &&
+          (!Files.exists(p) || Files.isDirectory(p))) Files.delete(p)
+      } finally it.close()
+    }
+    def linkIn(target: Path, name: String): Unit = {
+      val link = staged.resolve(name)
+      if (!Files.exists(link)) Files.createSymbolicLink(link, target)
+    }
+    if (Files.isDirectory(path)) {
+      val it = Files.list(path)
+      try it.filter(p => {
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }).forEach(p => linkIn(p, s"${table}_${p.getFileName}"))
+      finally it.close()
+    } else linkIn(path, s"$table.parquet")
+    val schema = spark.read.parquet(path.toString).schema
     spark.readStream.schema(schema).parquet(staged.toString)
   }
 
@@ -417,6 +447,42 @@ object StreamOps {
     runToTable(gated, "st_takedown_gate", "append")
   }
 
+  /** st17 — streaming takedown with CLUSTER propagation, the stored-
+    * cluster broadcast half st15's content match leaves open (closing
+    * the x67 loop the way st11 closed x50's): the batch side reads the
+    * STORED dedup cluster assignment ([[graft.llm.Dedup.dupClusters]] —
+    * in deployment the parquet artifact the dedup pass already wrote),
+    * resolves the clusters touched by the forget list with two
+    * delta-proportional semi-joins, and pins the member doc_ids of
+    * those clusters into the stream as a literal map — bounded by
+    * |forget list| × avg cluster size, NOT corpus size. Every incoming
+    * document then gates through ONE stateless codegen projection: a
+    * member of any forgotten cluster (the near-dups x67 labels
+    * `cluster`, the forgotten originals themselves included) refuses
+    * with `forget`, everything else ingests — no watermark, no state
+    * store, no join. Refresh = restart with the re-resolved set, the
+    * st10/st15 discipline.
+    */
+  def takedownClusterGateStream(spark: SparkSession, dir: String,
+      forgetMod: Long = 41L): DataFrame = {
+    import graft.llm.Dedup
+    val corpus = graft.core.Tables.load(spark, dir, "documents")
+    val clusters = Dedup.dupClusters(corpus)
+    val forget = corpus.filter(col("doc_id") % forgetMod === 0)
+      .select(col("doc_id"))
+    val badClusters = clusters.join(forget, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val badDocs: Seq[Long] = clusters
+      .join(broadcast(badClusters), Seq("cluster_id"), "left_semi")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val bmap = typedLit(badDocs.map(_ -> true).toMap)
+    val gated = fileStream(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(element_at(bmap, col("doc_id")).isNotNull, "forget")
+          .otherwise("ingest").as("action"))
+    runToTable(gated, "st_takedown_cluster_gate", "append")
+  }
+
   /** st16 — the streaming DRIFT monitor, x54's live twin: the reference
     * slice's head vocabulary (top-`headK` tokens by count, tie-broken
     * tok-asc — the deterministic `TakeOrderedAndProject` cut) is fit
@@ -458,13 +524,21 @@ object StreamOps {
     val t = (col("c_ref") + col("c_new")).cast("double")
     val dRef = col("c_ref").cast("double") - col("e_ref")
     val dNew = col("c_new").cast("double") - col("e_new")
+    // e_new = 0 exactly when the incoming slice contributes zero head-
+    // token occurrences (n_new = 0: empty stream, or a shard with no
+    // head-vocab overlap) — then c_new = 0 and the 0²/0 contribution is
+    // 0, same convention as the batch twin TextOps.corpusDrift.
+    // Unguarded, ANSI mode throws DIVIDE_BY_ZERO — the r10 sf0.1 crash.
+    def contrib(d: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(e > 0d, d * d / e).otherwise(lit(0d))
     merged.crossJoin(broadcast(totals))
       .withColumn("e_ref", t * col("n_ref").cast("double") /
         (col("n_ref") + col("n_new")).cast("double"))
       .withColumn("e_new", t * col("n_new").cast("double") /
         (col("n_ref") + col("n_new")).cast("double"))
       .select(col("tok"), col("c_ref"), col("c_new"),
-        (dRef * dRef / col("e_ref") + dNew * dNew / col("e_new"))
+        (contrib(dRef, col("e_ref")) + contrib(dNew, col("e_new")))
           .as("chi2"))
   }
 }

@@ -36,8 +36,16 @@ object StreamQueries extends QueryPack {
     "st15_takedown_gate" -> ((s, dir) =>
       StreamOps.takedownGateStream(s, dir)),
     "st16_drift_monitor" -> ((s, dir) =>
-      StreamOps.driftMonitorStream(s, dir))
+      StreamOps.driftMonitorStream(s, dir, headK = DriftHeadK)),
+    "st17_takedown_cluster_gate" -> ((s, dir) =>
+      StreamOps.takedownClusterGateStream(s, dir))
   )
+
+  /** head-vocabulary cut shared by the st16 registration and its oracle
+    * (the x37/DsirBuckets discipline: interpolate shared constants into
+    * the oracle SQL so the two sides cannot silently desynchronize)
+    */
+  private val DriftHeadK = 50
 
   override val oracles: Map[String, String] = Map(
     "st01_tumbling_counts" ->
@@ -242,7 +250,7 @@ object StreamQueries extends QueryPack {
     // counts on the odd slice restricted to that vocabulary, zero rows
     // kept by the left join, x54's fixed-order double arithmetic
     "st16_drift_monitor" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id, x.i AS pos, tk[x.i] AS tok
            FROM (SELECT doc_id, string_split(text, ' ') AS tk
                  FROM documents) t,
@@ -252,7 +260,7 @@ object StreamQueries extends QueryPack {
          hd AS (SELECT tok, CAST(c AS BIGINT) AS c_ref,
                   row_number() OVER (ORDER BY c DESC, tok) AS rn
                 FROM ca),
-         h AS (SELECT tok, c_ref FROM hd WHERE rn <= 50),
+         h AS (SELECT tok, c_ref FROM hd WHERE rn <= $DriftHeadK),
          cb AS (SELECT tok, count(*) AS c FROM toks
                 WHERE doc_id % 2 = 1 GROUP BY 1),
          m AS (SELECT h.tok, h.c_ref,
@@ -267,10 +275,36 @@ object StreamQueries extends QueryPack {
                    CAST(n_ref + n_new AS DOUBLE) AS e_new
                FROM m, tot)
          SELECT tok, c_ref, c_new,
-           (CAST(c_ref AS DOUBLE) - e_ref) * (CAST(c_ref AS DOUBLE) - e_ref)
-             / e_ref
-           + (CAST(c_new AS DOUBLE) - e_new) * (CAST(c_new AS DOUBLE) - e_new)
-             / e_new AS chi2
-         FROM e"""
+           (CASE WHEN e_ref > 0 THEN (CAST(c_ref AS DOUBLE) - e_ref)
+               * (CAST(c_ref AS DOUBLE) - e_ref) / e_ref ELSE 0.0 END)
+           + (CASE WHEN e_new > 0 THEN (CAST(c_new AS DOUBLE) - e_new)
+               * (CAST(c_new AS DOUBLE) - e_new) / e_new ELSE 0.0 END)
+             AS chi2
+         FROM e""",
+
+    // st17: every incoming doc tagged by the STORED cluster assignment
+    // (the x67 production path's broadcast set, here a literal map):
+    // forget if its near-dup cluster contains a forgotten doc, else
+    // ingest — the oracle recomputes cluster membership recursively
+    // from the candidate-pair graph exactly like x16's closure
+    "st17_takedown_cluster_gate" ->
+      s"""WITH RECURSIVE ${graft.llm.LlmQueries.SIG_CTE},
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM cand
+           UNION SELECT doc_b, doc_a FROM cand),
+         reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r
+             ON r.doc_id = e.dst),
+         comp AS (SELECT doc_id, min(lbl) AS cluster_id
+                  FROM reach GROUP BY 1),
+         forget AS (SELECT doc_id FROM documents WHERE doc_id % 41 = 0),
+         bad AS (SELECT DISTINCT cluster_id
+                 FROM comp JOIN forget USING (doc_id))
+         SELECT c.doc_id,
+           CASE WHEN b.cluster_id IS NOT NULL THEN 'forget'
+             ELSE 'ingest' END AS action
+         FROM comp c LEFT JOIN bad b USING (cluster_id)"""
   )
 }

@@ -95,11 +95,12 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (5L, 1L)) // singleton keeps its own id
   }
 
-  test("adversarial long path graph: shortcutting converges in O(log D)") {
+  test("adversarial long path graph converges in O(log D) rounds") {
     // 60-node path 0-1-2-...-59: plain min-label propagation needs 59
-    // rounds (a doc's label walks one hop per round), so maxIter=10 would
-    // leave the tail mislabeled; with the label(label) shortcut each
-    // round halves every chain, so 10 rounds cover diameter ≤ ~2^10
+    // rounds (a doc's label walks one hop per round), so maxIter=10
+    // would leave the tail mislabeled; star contraction merges every
+    // non-local-minimum supernode per round, so 10 rounds cover any
+    // diameter ≤ ~2^10
     val s = spark
     import s.implicits._
     val n = 60
@@ -110,6 +111,55 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == n)
     assert((0 until n).forall(i => out(i.toLong) == (0L, n.toLong)))
+  }
+
+  test("RANDOM-numbered long path converges well inside maxIter") {
+    // the r10 x71 failure shape: a 5-NN community graph is chain-like
+    // with ids in RANDOM order along the chain, which defeats the
+    // label(label) doubling argument (it only doubles on monotone
+    // numberings — the previous loop was still unconverged at round 25
+    // on x71's sf0.1 graph). Star contraction must converge regardless
+    // of numbering; maxIter=12 on a 300-node shuffled path pins it.
+    val s = spark
+    import s.implicits._
+    val n = 300
+    val perm = new scala.util.Random(4242L).shuffle((0 until n).toVector)
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == n)
+    assert((0 until n).forall(i => out(i.toLong) == (0L, n.toLong)),
+      "every vertex of the shuffled path must label to the global min")
+  }
+
+  test("CC loop: plan node count AND stats digits stay flat per round") {
+    // the r10 x71 postmortem, spec-pinned: Dataset.checkpoint preserves
+    // the origin plan's statistics in its LogicalRDD, so a loop that
+    // re-checkpoints per round compounds join-product sizeInBytes —
+    // measured 8 → 17 → 37 → 75 decimal digits in four rounds, million-
+    // digit BigIntegers in the driver's stats visitor by round ~15. A
+    // long path graph forces many rounds; both probes must stay FLAT.
+    val s = spark
+    import s.implicits._
+    val n = 200
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 25,
+      planProbe = (r, nodes, digits) => probes += ((r, nodes, digits)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until n).forall(i => out(i.toLong) == 0L))
+    assert(probes.size >= 5, s"path graph should run many rounds: $probes")
+    assert(probes.map(_._2).distinct.size == 1,
+      s"plan node count must stay flat across rounds: $probes")
+    assert(probes.map(_._3).max <= probes.map(_._3).min + 2,
+      s"stats sizeInBytes digits must stay flat across rounds: $probes")
+    assert(probes.map(_._3).max <= 20,
+      s"stats must be real file sizes, not compounded estimates: $probes")
   }
 
   test("dup clusters match a union-find ground truth on a chained corpus") {

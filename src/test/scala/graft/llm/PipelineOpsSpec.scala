@@ -508,6 +508,39 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("corpusDrift: an empty incoming slice yields finite chi2, no crash") {
+    // the r10 st16 sf0.1 failure: n_b = 0 makes e_b = 0 for every row
+    // and the unguarded d²/e threw ANSI DIVIDE_BY_ZERO. The guarded
+    // contribution is 0 (c_b = 0 → d_b = 0 → 0²/0 ≡ 0 by convention),
+    // so drift reduces to the reference side's own deviation — which is
+    // also 0 when the reference equals the pooled total: chi2 = 0.
+    val a = docsDf(Seq((0L, "a a a b", "s"), (2L, "a b c", "s")))
+    val b = a.filter(col("doc_id") < 0L) // empty slice, same schema
+    val out = TextOps.corpusDrift(a, b, topK = 10, minCount = 1L).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val chi2 = r.getAs[Double]("chi2")
+      assert(!chi2.isNaN && !chi2.isInfinite && chi2 == 0.0,
+        s"empty slice must contribute zero drift: $r")
+      assert(r.getAs[Long]("c_b") == 0L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("embeddingDrift: an empty slice yields finite chi2, no crash") {
+    val df = embDf(Seq(
+      (0L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.2f))))
+    // isA always true → slice B globally empty → e_b = 0 everywhere
+    val out = Similarity.embeddingDrift(df, Seq(0L), isA = lit(true))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val chi2 = r.getAs[Double]("chi2")
+      assert(!chi2.isNaN && !chi2.isInfinite && chi2 == 0.0, s"$r")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("embeddingDrift: hand-computed cluster-occupancy chi-square") {
     val df = embDf(Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),        // the two centroids
