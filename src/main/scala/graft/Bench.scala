@@ -311,10 +311,28 @@ object Bench {
     // bench_out.json keeps every map at full precision.
     val total = sfTimings.values.sum
     val loads = loadSamples.map(r3).mkString("[", ",", "]")
+    // m-suite regression guard (r10 verdict task 8): the metadata suite
+    // is KB-sized and its r8 regression class (cache-substitution over
+    // ballooned plans) shows up as a section total far above the ~3.5 s
+    // healthy floor. When the FULL m-suite ran and host load was sane,
+    // a total over 6 s marks the artifact BREACH so a silent return of
+    // that class is visible in the JSON, not just derivable from it.
+    val mGuard: String = {
+      val fullSuite =
+        mQueries.size == SparkEntry.queries.keys.count(_.startsWith("m"))
+      val saneLoad = loadSamples.nonEmpty && loadSamples.max < 16.0
+      if (!fullSuite || mTimings.isEmpty) "n/a"
+      else if (mTimings.values.sum <= 6.0) "ok"
+      else if (!saneLoad) "high_load"
+      else "BREACH"
+    }
+    if (mGuard == "BREACH")
+      Console.err.println(s"[bench] m-suite guard BREACH: " +
+        f"m_total=${mTimings.values.sum}%.2f s > 6 s at sane load")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"m_guard":${jstr(mGuard)},"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
     val jsonShort =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"m_guard":${jstr(mGuard)},"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
 
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(jsonShort)

@@ -223,6 +223,9 @@ object LlmQueries extends QueryPack {
     "x70_epoch_schedule" -> ((s, dir) => Pipeline.epochSchedule(docs(s, dir))),
     "x71_knn_communities" -> ((s, dir) =>
       Similarity.knnCommunities(embs(s, dir), minCos = 0.3, k = 5,
+        nBands = LshBands, bitsPerBand = LshBits)),
+    "x72_community_quality" -> ((s, dir) =>
+      Similarity.communityQuality(embs(s, dir), minCos = 0.3, k = 5,
         nBands = LshBands, bitsPerBand = LshBits))
   )
 
@@ -2159,7 +2162,88 @@ object LlmQueries extends QueryPack {
           sizes AS (SELECT community_id, count(*) AS community_size
                     FROM comp GROUP BY 1)
           SELECT c.vec_id, c.community_id, s.community_size
-          FROM comp c JOIN sizes s USING (community_id)"""
+          FROM comp c JOIN sizes s USING (community_id)""",
+
+    // per-community quality audit over the same graph + closure:
+    // integer edge tallies, then the Newman modularity contribution and
+    // conductance in the identical fixed-order double arithmetic as the
+    // Spark projection (guards mirrored: 0 for edge-free slices)
+    "x72_community_quality" ->
+      s"""WITH RECURSIVE $VecBbCte,
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bb a JOIN bb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pv AS (
+            SELECT c.vec_a, c.vec_b, ea.v AS qv, eb.v AS v
+            FROM cand c
+            JOIN ev ea ON ea.vec_id = c.vec_a
+            JOIN ev eb ON eb.vec_id = c.vec_b),
+          pc AS (SELECT vec_a, vec_b, $COS AS cos FROM pv),
+          directed AS (
+            SELECT vec_a AS src, vec_b AS dst, cos FROM pc
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst, cos FROM pc),
+          knn AS (
+            SELECT src, dst, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst) AS rk FROM directed)
+            WHERE rk <= 5),
+          ua AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM knn),
+          ue AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM knn WHERE cos >= 0.3),
+          edges AS (SELECT a AS src, b AS dst FROM ue
+                    UNION SELECT b, a FROM ue),
+          reach(vec_id, lbl) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r
+              ON r.vec_id = e.dst),
+          comp AS (SELECT vec_id, min(lbl) AS community_id
+                   FROM reach GROUP BY 1),
+          tag AS (SELECT ua.a, ua.b,
+                    ca.community_id AS comm_a, cb.community_id AS comm_b
+                  FROM ua
+                  JOIN comp ca ON ca.vec_id = ua.a
+                  JOIN comp cb ON cb.vec_id = ua.b),
+          mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tag),
+          intl AS (SELECT comm_a AS community_id,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM tag WHERE comm_a = comm_b GROUP BY 1),
+          cut AS (SELECT community_id, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT comm_a AS community_id FROM tag
+                        WHERE comm_a != comm_b
+                        UNION ALL
+                        SELECT comm_b FROM tag WHERE comm_a != comm_b)
+                  GROUP BY 1),
+          base AS (SELECT community_id,
+                     CAST(count(*) AS BIGINT) AS community_size
+                   FROM comp GROUP BY 1),
+          q AS (SELECT b.community_id, b.community_size,
+                  CAST(coalesce(i.n, 0) AS BIGINT) AS n_internal,
+                  CAST(coalesce(ct.n, 0) AS BIGINT) AS n_cut
+                FROM base b
+                LEFT JOIN intl i USING (community_id)
+                LEFT JOIN cut ct USING (community_id)),
+          v AS (SELECT *, CAST(2 * n_internal + n_cut AS BIGINT)
+                  AS volume FROM q)
+          SELECT community_id, community_size, n_internal, n_cut, volume,
+            CASE WHEN m > 0 THEN
+              CAST(n_internal AS DOUBLE) / CAST(m AS DOUBLE)
+              - (CAST(volume AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                * (CAST(volume AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+            ELSE 0.0 END AS modularity,
+            CASE WHEN least(CAST(volume AS DOUBLE),
+                2.0 * CAST(m AS DOUBLE) - CAST(volume AS DOUBLE)) > 0
+              THEN CAST(n_cut AS DOUBLE)
+                / least(CAST(volume AS DOUBLE),
+                    2.0 * CAST(m AS DOUBLE) - CAST(volume AS DOUBLE))
+            ELSE 0.0 END AS conductance
+          FROM v, mt"""
   )
 }
 

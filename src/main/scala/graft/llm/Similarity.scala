@@ -288,6 +288,94 @@ object Similarity {
         col("cluster_size").as("community_size"))
   }
 
+  /** community QUALITY metrics over the [[knnCommunities]] partition —
+    * the audit a graph-curation stack runs before trusting communities
+    * for exemplar picking or takedown propagation (the
+    * [[lshRecallAudit]] discipline applied to the graph layer).
+    * Communities come from the STRONG edges (cos ≥ `minCos` — exactly
+    * x71's partition), but quality is measured against the FULL ranked
+    * kNN graph: the sub-tau edges are the weak affinities a hard
+    * threshold discards, and how much of that volume leaks across
+    * community boundaries is precisely what separates a clean partition
+    * from an arbitrary one (against the tau-filtered graph alone every
+    * edge is internal by construction and the metrics are vacuous).
+    * Per community: node count, internal and cut edge counts over the
+    * full graph, volume (2·internal + cut, the degree sum), Newman
+    * MODULARITY contribution (internal/m − (vol/2m)², so Σ over rows =
+    * the partition's modularity Q), and CONDUCTANCE
+    * (cut / min(vol, 2m−vol) — low means well-separated; 0 by
+    * convention for edge-free singletons and for a community holding
+    * the entire edge volume).
+    *
+    * Determinism: every input is an integer count; the double
+    * arithmetic is fixed-order (+,·,/ only, no libm) — bit-exact
+    * against the oracle's identical expression.
+    *
+    * Scale shape: the graph build + CC are x69/x71's machinery; the
+    * metrics add two broadcast-size joins tagging each edge with its
+    * endpoints' communities, two map-side-combined aggs over community
+    * keys, and a 1-row total broadcast — nothing corpus².
+    */
+  def communityQuality(embeddings: DataFrame, minCos: Double = 0.3,
+      k: Int = 5, nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame = {
+    val g = knnGraph(embeddings, k, nBands, bitsPerBand, dim, maxBucket)
+    // full undirected ranked edge set (cos rides along: identical for
+    // both directions of a pair, so max() is pure dedup), shared by the
+    // strong-edge CC input and the metric aggregations (persist: two
+    // consumers; caller clears cache)
+    val ue = g
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"), col("cos"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("cos")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val strong = ue.filter(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"))
+    val comm = Dedup.clustersFromPairs(
+        embeddings.select(col("vec_id").as("doc_id")), strong, maxIter)
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("community_id"))
+    val tagged = ue.select(col("doc_a"), col("doc_b"))
+      .join(comm.select(col("vec_id").as("doc_a"),
+        col("community_id").as("comm_a")), Seq("doc_a"))
+      .join(comm.select(col("vec_id").as("doc_b"),
+        col("community_id").as("comm_b")), Seq("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mTot = tagged.agg(count(lit(1)).as("m"))
+    val internal = tagged.filter(col("comm_a") === col("comm_b"))
+      .groupBy(col("comm_a").as("community_id"))
+      .agg(count(lit(1)).as("n_internal"))
+    val cut = tagged.filter(col("comm_a") =!= col("comm_b"))
+      .select(col("comm_a").as("community_id"))
+      .union(tagged.filter(col("comm_a") =!= col("comm_b"))
+        .select(col("comm_b").as("community_id")))
+      .groupBy(col("community_id")).agg(count(lit(1)).as("n_cut"))
+    val base = comm.groupBy(col("community_id"))
+      .agg(count(lit(1)).as("community_size"))
+    val mD = col("m").cast("double")
+    val volD = col("volume").cast("double")
+    val minSide = least(volD, lit(2d) * mD - volD)
+    base
+      .join(internal, Seq("community_id"), "left")
+      .join(cut, Seq("community_id"), "left")
+      .select(col("community_id"), col("community_size"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+      .withColumn("volume", lit(2L) * col("n_internal") + col("n_cut"))
+      .crossJoin(broadcast(mTot))
+      .select(col("community_id"), col("community_size"),
+        col("n_internal"), col("n_cut"), col("volume"),
+        // m = 0 (an edge-free graph at this tau) leaves only singleton
+        // communities: modularity is 0 by convention, and the guard
+        // keeps ANSI mode from throwing on the /m — the st16 lesson
+        when(col("m") > 0L,
+          col("n_internal").cast("double") / mD -
+            (volD / (lit(2d) * mD)) * (volD / (lit(2d) * mD)))
+          .otherwise(lit(0d)).as("modularity"),
+        when(minSide > 0d, col("n_cut").cast("double") / minSide)
+          .otherwise(lit(0d)).as("conductance"))
+  }
+
   /** capped-bucket diagnostic for [[lshNearDup]]: (band, bucket, bsz)
     * for every hyperplane-sign bucket whose pair generation was
     * re-sharded — mirrors [[Dedup.oversizedBuckets]] so the embedding

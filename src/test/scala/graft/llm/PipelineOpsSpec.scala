@@ -508,6 +508,71 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("communityQuality matches a driver-side recomputation on sf0.001") {
+    // ground truth rebuilt from the SAME graph: union-find over the
+    // strong (cos >= tau) edges, then modularity/conductance from
+    // integer tallies over the FULL ranked edge set in the identical
+    // double arithmetic — exact equality expected, bit for bit
+    val tau = 0.3
+    val embs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val g = Similarity.knnGraph(embs, k = 5, nBands = 4, bitsPerBand = 8)
+    val ua = g.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("cos"))
+      .groupBy(col("a"), col("b")).agg(max(col("cos")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nodes = embs.select(col("vec_id")).collect().map(_.getLong(0))
+    val idx = nodes.sorted.zipWithIndex.toMap
+    val parent = Array.tabulate(nodes.length)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x
+      else { parent(x) = find(parent(x)); parent(x) }
+    ua.filter(_._3 >= tau).foreach { case (a, b, _) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rev = idx.map(_.swap)
+    val commOf = nodes.map(n => n -> rev(find(idx(n)))).toMap
+      .map { case (n, rootIdxId) => n -> rootIdxId }
+    // min-id label per component: rootIdxId is the min because idx is
+    // ordered by id and union always roots at the smaller index
+    val m = ua.length.toLong
+    val size = commOf.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val internal = ua.filter { case (a, b, _) => commOf(a) == commOf(b) }
+      .groupBy { case (a, _, _) => commOf(a) }
+      .map { case (c, v) => c -> v.size.toLong }
+    val cut = ua.filter { case (a, b, _) => commOf(a) != commOf(b) }
+      .flatMap { case (a, b, _) => Seq(commOf(a), commOf(b)) }
+      .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val out = Similarity.communityQuality(embs, minCos = tau, k = 5,
+      nBands = 4, bitsPerBand = 8).collect()
+    assert(out.length == size.size)
+    assert(out.map(_.getAs[Double]("modularity")).sum <= 1.0 + 1e-12)
+    out.foreach { r =>
+      val c = r.getAs[Long]("community_id")
+      val ni = internal.getOrElse(c, 0L)
+      val nc = cut.getOrElse(c, 0L)
+      val vol = 2L * ni + nc
+      assert(r.getAs[Long]("community_size") == size(c), s"size $c")
+      assert(r.getAs[Long]("n_internal") == ni, s"internal $c")
+      assert(r.getAs[Long]("n_cut") == nc, s"cut $c")
+      assert(r.getAs[Long]("volume") == vol, s"volume $c")
+      val mD = m.toDouble
+      val expMod = if (m > 0) ni.toDouble / mD -
+        (vol.toDouble / (2.0 * mD)) * (vol.toDouble / (2.0 * mD)) else 0.0
+      val minSide = math.min(vol.toDouble, 2.0 * mD - vol.toDouble)
+      val expCond = if (minSide > 0) nc.toDouble / minSide else 0.0
+      assert(r.getAs[Double]("modularity") == expMod, s"modularity $c")
+      assert(r.getAs[Double]("conductance") == expCond, s"conductance $c")
+      val cond = r.getAs[Double]("conductance")
+      assert(cond >= 0.0 && cond <= 1.0, s"conductance range $c")
+    }
+    // the fixture must actually exercise both edge classes
+    assert(out.map(_.getAs[Long]("n_internal")).sum > 0)
+    assert(out.map(_.getAs[Long]("n_cut")).sum > 0,
+      "tau must leave some weak cross-community edges")
+    spark.catalog.clearCache()
+  }
+
   test("corpusDrift: an empty incoming slice yields finite chi2, no crash") {
     // the r10 st16 sf0.1 failure: n_b = 0 makes e_b = 0 for every row
     // and the unguarded d²/e threw ANSI DIVIDE_BY_ZERO. The guarded
