@@ -17,18 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val HexDigits = "0123456789abcdef"
-
-  /** uniform u32 in [0, 2^32) from md5(seed ':' key) — per-digit
-    * positional arithmetic, mirrored verbatim in oracle SQL
+  /** uniform u32 in [0, 2^32) from md5(seed ':' key): the first 8 hex
+    * digits parsed as an integer. One `conv` call — value-identical to
+    * the per-digit positional parse the oracles mirror (a hex string IS
+    * its positional digit sum; SamplingSpec pins the equivalence
+    * against an independent JVM MessageDigest reference) at a fraction
+    * of the cost: the previous 8 × (instr + substring) chain was the
+    * measured bottleneck of every hash-gated operator's Spark side
+    * (x64 at the ×100 corpus: hash arithmetic, not I/O or shuffle),
+    * while the DuckDB twins already use the cheap cast
+    * (`('0x' || substr(..)))::BIGINT` — this keeps the two sides'
+    * per-row cost honest, not just their values.
     */
-  def hashU32(key: Column, seed: String): Column = {
-    val h = md5(concat(lit(seed), lit(":"), key))
-    (1 to 8).map { i =>
-      (instr(lit(HexDigits), substring(h, i, 1)) - 1).cast("long") *
-        (1L << (4 * (8 - i)))
-    }.reduce(_ + _)
-  }
+  def hashU32(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), key)), 1, 8), 16, 10)
+      .cast("long")
 
   /** train/val/test assignment by hash range: fractions are exact 32-bit
     * thresholds, e.g. 0.8/0.1/0.1 → train < floor(0.8·2^32) ≤ val <
