@@ -47,17 +47,30 @@ object Bench {
   /** rewrite each sf table as a multi-file parquet copy; returns the
     * staged dir. Events' ns-as-long column passes through as written
     * (Tables.load converts by schema, not by path).
+    *
+    * The staged copy is a pure function of the (static) sf dir, so an
+    * existing staging is REUSED via the same `.staged` marker contract
+    * as the amplified path — unconditional re-staging made two
+    * concurrent bench invocations race (one overwrote part files the
+    * other was reading: 112 FILE_NOT_EXIST failures in one r11 run)
+    * and re-paid the copy on every targeted run. `SPARK_GRAFT_RESTAGE=1`
+    * forces a rewrite after the fixture data changes.
     */
   private def stage(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_bench_staged/$tag"
+    val marker = java.nio.file.Paths.get(s"$out/.staged")
+    if (sys.env.get("SPARK_GRAFT_RESTAGE").forall(_ != "1") &&
+        java.nio.file.Files.exists(marker))
+      return out
     core.Tables.names.foreach { t =>
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
       val rows = df.count()
       val parts = math.min(32L, math.max(1L, rows / 10000L)).toInt
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    java.nio.file.Files.createFile(marker)
     out
   }
 

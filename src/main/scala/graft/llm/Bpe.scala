@@ -160,12 +160,19 @@ object Bpe {
     * tables per round — at deployment the checkpoint dir is durable
     * storage, which also bounds recompute on executor loss to one round.
     *
-    * `planProbe(round, nodes)` receives the analyzed-plan node count of
+    * `planProbe(round, nodes, statsDigits)` receives the analyzed-plan
+    * node count AND the decimal digit count of the carried count
+    * table's `sizeInBytes` estimate — `Dataset.checkpoint` preserves
+    * the ORIGIN plan's statistics in its `LogicalRDD` (the r10 x71
+    * lesson), and this loop's one-join-per-round shape grows that
+    * estimate multiplicatively (linearly in digits), so BpeSpec pins
+    * the per-round digit GROWTH small on top of the flat node count.
+    * Historically `planProbe(round, nodes)` — it receives the analyzed-plan node count of
     * the carried count table each round — the TopKPlanSpec idea applied
     * to loops; BpeSpec asserts it stays flat.
     */
   def bpeTrainIncremental(docs: DataFrame, nMerges: Int,
-      planProbe: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
+      planProbe: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
     val spark = docs.sparkSession
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
@@ -177,7 +184,9 @@ object Bpe {
     var round = 1
     var done = false
     while (round <= nMerges && !done) {
-      planProbe(round, pc.queryExecution.analyzed.collect { case p => p }.length)
+      planProbe(round,
+        pc.queryExecution.analyzed.collect { case p => p }.length,
+        pc.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length)
       val top = pc.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
       if (top.isEmpty || top(0).getAs[Long]("cnt") < 2L) done = true
       else {

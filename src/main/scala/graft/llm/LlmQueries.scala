@@ -226,7 +226,20 @@ object LlmQueries extends QueryPack {
         nBands = LshBands, bitsPerBand = LshBits)),
     "x72_community_quality" -> ((s, dir) =>
       Similarity.communityQuality(embs(s, dir), minCos = 0.3, k = 5,
-        nBands = LshBands, bitsPerBand = LshBits))
+        nBands = LshBands, bitsPerBand = LshBits)),
+    // incremental ingest into the stored community structure: corpus =
+    // vec_id%10!=0 (the st12/x57 split), its x71 communities as the
+    // stored artifact, the %10==0 slice as the arriving batch
+    "x73_assign_communities" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      val comms = Similarity.knnCommunities(corpus, minCos = 0.3, k = 5,
+        nBands = LshBands, bitsPerBand = LshBits)
+        .select(col("vec_id"), col("community_id"))
+      Similarity.assignToCommunities(corpus, comms,
+        e.filter(col("vec_id") % 10 === 0), minCos = 0.3,
+        nBands = LshBands, bitsPerBand = LshBits)
+    })
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2243,7 +2256,72 @@ object LlmQueries extends QueryPack {
                 / least(CAST(volume AS DOUBLE),
                     2.0 * CAST(m AS DOUBLE) - CAST(volume AS DOUBLE))
             ELSE 0.0 END AS conductance
-          FROM v, mt"""
+          FROM v, mt""",
+
+    // incremental community assignment: x71's closure restricted to the
+    // corpus slice (banding the slice ≡ slicing the full band table —
+    // buckets are per-vector), then each batch vector's banded
+    // candidates verify by exact cosine and the best tau match donates
+    // its community; no match → own id, is_new
+    "x73_assign_communities" ->
+      s"""WITH RECURSIVE $VecBbCte,
+          cbb AS (SELECT * FROM bb WHERE vec_id % 10 != 0),
+          bbb AS (SELECT * FROM bb WHERE vec_id % 10 = 0),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM cbb a JOIN cbb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pv AS (
+            SELECT c.vec_a, c.vec_b, ea.v AS qv, eb.v AS v
+            FROM cand c
+            JOIN ev ea ON ea.vec_id = c.vec_a
+            JOIN ev eb ON eb.vec_id = c.vec_b),
+          pc AS (SELECT vec_a, vec_b, $COS AS cos FROM pv),
+          directed AS (
+            SELECT vec_a AS src, vec_b AS dst, cos FROM pc
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst, cos FROM pc),
+          knn AS (
+            SELECT src, dst, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst) AS rk FROM directed)
+            WHERE rk <= 5),
+          ue AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM knn WHERE cos >= 0.3),
+          edges AS (SELECT a AS src, b AS dst FROM ue
+                    UNION SELECT b, a FROM ue),
+          reach(vec_id, lbl) AS (
+            SELECT vec_id, vec_id FROM embeddings WHERE vec_id % 10 != 0
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r
+              ON r.vec_id = e.dst),
+          comp AS (SELECT vec_id, min(lbl) AS community_id
+                   FROM reach GROUP BY 1),
+          bcand AS (
+            SELECT DISTINCT b.vec_id, c.vec_id AS cand_id
+            FROM bbb b JOIN cbb c
+              ON b.band = c.band AND b.bucket = c.bucket),
+          bver AS (
+            SELECT x.vec_id, x.cand_id, $COS AS cos
+            FROM (SELECT bc.vec_id, bc.cand_id, q.v AS qv, cv.v AS v
+                  FROM bcand bc
+                  JOIN ev q ON q.vec_id = bc.vec_id
+                  JOIN ev cv ON cv.vec_id = bc.cand_id) x),
+          best AS (
+            SELECT vec_id, cand_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cand_id) AS rn
+              FROM bver WHERE cos >= 0.3)
+            WHERE rn = 1)
+          SELECT b.vec_id,
+            coalesce(cm.community_id, b.vec_id) AS community_id,
+            bs.cand_id AS matched_vec, bs.cos AS match_cos,
+            cm.community_id IS NULL AS is_new
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) b
+          LEFT JOIN best bs ON bs.vec_id = b.vec_id
+          LEFT JOIN comp cm ON cm.vec_id = bs.cand_id"""
   )
 }
 

@@ -376,6 +376,56 @@ object Similarity {
           .otherwise(lit(0d)).as("conductance"))
   }
 
+  /** INCREMENTAL community assignment — the vector-graph member of the
+    * incremental-ingest family (x50 band-key gate, x60 snapshot diff,
+    * x65 refresh pipeline): new vectors join the STORED community
+    * structure without a full graph rebuild. Each new vector probes the
+    * corpus band buckets (in deployment: the stored [[VecBandIndex]]
+    * buckets), its collided candidates verify by exact cosine, and the
+    * best tau-qualifying match (max cos, tie → lowest vec_id) donates
+    * its stored community id; a vector with no qualifying neighbor
+    * founds a new singleton community under its own id. Work is
+    * delta-proportional: batch × per-bucket collisions, never
+    * batch × corpus, and the corpus side is all pre-built artifacts.
+    *
+    * Deliberate approximation, same seam as every incremental gate: a
+    * new vector bridging TWO stored communities adopts the best match
+    * only — the merge the full [[knnCommunities]] rebuild would make is
+    * deferred to the next scheduled rebuild (the x65 refresh
+    * discipline: cheap per-ingest delta work, periodic full pass).
+    */
+  def assignToCommunities(corpus: DataFrame, communities: DataFrame,
+      batch: DataFrame, minCos: Double = 0.3, nBands: Int = 4,
+      bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    val cbr = vecBandRows(corpus, nBands, bitsPerBand, dim)
+      .select(col("vec_id").as("cand_id"), col("band"), col("bucket"))
+    val bbr = vecBandRows(batch, nBands, bitsPerBand, dim)
+    val cand = bbr.join(cbr, Seq("band", "bucket"))
+      .select(col("vec_id"), col("cand_id")).distinct()
+    val bv = batch.select(col("vec_id"), asDouble(col("embedding")).as("qv"))
+    val cv = corpus.select(col("vec_id").as("cand_id"),
+      asDouble(col("embedding")).as("cvv"))
+    val verified = cand.join(bv, Seq("vec_id")).join(cv, Seq("cand_id"))
+      .select(col("vec_id"), col("cand_id"),
+        call_function("cosine_sim", col("qv"), col("cvv")).as("cos"))
+      .filter(col("cos") >= minCos)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(communities.select(col("vec_id").as("cand_id"),
+        col("community_id")), Seq("cand_id"))
+      .select(col("vec_id"), col("cand_id").as("matched_vec"),
+        col("cos").as("match_cos"), col("community_id"))
+    batch.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("community_id"), col("vec_id")).as("community_id"),
+        col("matched_vec"), col("match_cos"),
+        col("community_id").isNull.as("is_new"))
+  }
+
   /** capped-bucket diagnostic for [[lshNearDup]]: (band, bucket, bsz)
     * for every hyperplane-sign bucket whose pair generation was
     * re-sharded — mirrors [[Dedup.oversizedBuckets]] so the embedding

@@ -121,9 +121,9 @@ class BpeSpec extends SparkSpec {
     val rows = (0L until 30L).map { i =>
       (i, Seq.fill(5)(vocab(rnd.nextInt(vocab.length))).mkString(" "), "s")
     }
-    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     Bpe.bpeTrainIncremental(docsDf(rows), nMerges = 12,
-      planProbe = (r, n) => sizes += ((r, n)))
+      planProbe = (r, n, d) => sizes += ((r, n, d)))
     spark.catalog.clearCache()
     val later = sizes.toSeq.filter(_._1 >= 2).map(_._2)
     assert(later.nonEmpty, "expected at least 2 rounds")
@@ -131,6 +131,15 @@ class BpeSpec extends SparkSpec {
       s"carried count-table plan must be flat across rounds, got $sizes")
     assert(later.head <= 10,
       s"checkpointed plan should be a handful of nodes, got ${later.head}")
+    // Dataset.checkpoint carries ORIGIN stats (the r10 x71 lesson):
+    // this loop's one-join-per-round shape grows the carried
+    // sizeInBytes multiplicatively — a few digits per round is the
+    // expected linear creep; squaring-per-round (the x71 class) would
+    // blow the per-round bound immediately
+    val digits = sizes.toSeq.filter(_._1 >= 2).map(_._3)
+    val growth = digits.zip(digits.tail).map { case (a, b) => b - a }
+    assert(growth.forall(_ <= 6),
+      s"carried stats digits must grow at most linearly per round: $sizes")
   }
 
   test("bpeTrainIncremental: early stop and empty corpus behave like bpeTrain") {

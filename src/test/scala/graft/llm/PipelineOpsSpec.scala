@@ -573,6 +573,36 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("assignToCommunities: adopt best match's community, found new ones") {
+    // corpus: two tight pairs (near-identical directions) → two
+    // communities {0,1} and {2,3}; batch: 10 ≈ copy of 0 (adopts
+    // community 0), 11 ≈ copy of 2 (adopts community 2), 12 orthogonal
+    // to everything (new singleton). 2-dim vectors, 1-bit bands so
+    // half-space buckets collide broadly.
+    val corpus = embDf(Seq(
+      (0L, Seq(1f, 0.05f)), (1L, Seq(1f, 0.06f)),
+      (2L, Seq(0.05f, 1f)), (3L, Seq(0.06f, 1f))))
+    val comms = Similarity.knnCommunities(corpus, minCos = 0.9, k = 2,
+      nBands = 4, bitsPerBand = 1, dim = 2)
+      .select(col("vec_id"), col("community_id"))
+    val cm = comms.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm(0L) == 0L && cm(1L) == 0L && cm(2L) == 2L && cm(3L) == 2L)
+    val batch = embDf(Seq(
+      (10L, Seq(1f, 0.04f)), (11L, Seq(0.04f, 1f)),
+      (12L, Seq(-1f, 1f))))
+    val out = Similarity.assignToCommunities(corpus, comms, batch,
+      minCos = 0.9, nBands = 4, bitsPerBand = 1, dim = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4)))).toMap
+    assert(out(10L)._1 == 0L && !out(10L)._3, s"$out")
+    assert(out(11L)._1 == 2L && !out(11L)._3, s"$out")
+    assert(out(12L) == ((12L, None, true)),
+      s"orthogonal vector must found a new community: $out")
+    // the adopted match must be the HIGHEST-cosine corpus neighbor
+    assert(out(10L)._2.contains(0L) || out(10L)._2.contains(1L))
+  }
+
   test("corpusDrift: an empty incoming slice yields finite chi2, no crash") {
     // the r10 st16 sf0.1 failure: n_b = 0 makes e_b = 0 for every row
     // and the unguarded d²/e threw ANSI DIVIDE_BY_ZERO. The guarded
