@@ -239,7 +239,8 @@ object LlmQueries extends QueryPack {
       Similarity.assignToCommunities(corpus, comms,
         e.filter(col("vec_id") % 10 === 0), minCos = 0.3,
         nBands = LshBands, bitsPerBand = LshBits)
-    })
+    }),
+    "x74_budget_select" -> ((s, dir) => Sampling.budgetSelect(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2321,7 +2322,45 @@ object LlmQueries extends QueryPack {
             cm.community_id IS NULL AS is_new
           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) b
           LEFT JOIN best bs ON bs.vec_id = b.vec_id
-          LEFT JOIN comp cm ON cm.vec_id = bs.cand_id"""
+          LEFT JOIN comp cm ON cm.vec_id = bs.cand_id""",
+
+    // budget-constrained quality selection: the x22 quality score, the
+    // global greedy ranked prefix under a token budget — the oracle IS
+    // the single-partition window the Spark side's histogram-boundary
+    // decomposition avoids; kept sets identical by construction
+    "x74_budget_select" ->
+      s"""WITH q AS (
+           SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g'))
+               AS DOUBLE) AS alnum,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CASE WHEN n > 0 THEN (n - alnum) / n ELSE 0.0 END
+               AS punct_ratio,
+             CASE WHEN ntok > 0 THEN (n - (ntok - 1)) / ntok ELSE 0.0 END
+               AS mean_tok_len
+           FROM q),
+         s AS (
+           SELECT doc_id, n_tokens,
+             greatest(0.0, least(1.0,
+               1.0 - punct_ratio - abs(mean_tok_len - 5.0) / 10.0))
+               AS quality_score
+           FROM c),
+         tot AS (SELECT CAST(floor(${Sampling.BudgetFrac}
+                   * CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT)
+                   AS budget FROM s),
+         r AS (
+           SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS prev
+           FROM s)
+         SELECT doc_id, quality_score, n_tokens, prev < budget AS kept
+         FROM r, tot"""
   )
 }
 

@@ -204,4 +204,78 @@ object Sampling {
       .filter(col("u") * lit(wMax) < col("dsir_score"))
       .select(col("doc_id"), col("n_grams"), col("dsir_score"), col("u"))
   }
+
+  /** [[budgetSelect]] default budget as a fraction of the corpus's
+    * total tokens — shared with the x74 oracle SQL (interpolated, the
+    * x37/DsirBuckets discipline).
+    */
+  val BudgetFrac = 0.5
+
+  /** token-BUDGET-constrained quality selection — "train on the best N
+    * tokens": rank the corpus by quality (desc, doc_id-asc tie-break)
+    * and keep the greedy prefix whose preceding cumulative token count
+    * is under the budget (`BudgetFrac` × total tokens by default). The
+    * data-mixing counterpart of x46's keep gate: a budget, not a
+    * threshold, decides the cut.
+    *
+    * Scale shape (the q13 histogram discipline — the oracle's global
+    * ranked cumulative sum is exactly the single-partition window a
+    * 100 TB corpus cannot run): scores bucket into `nBuckets` histogram
+    * cells, the ≤ nBuckets cell token-totals collect to the driver (the
+    * codebook-collect class), and the driver locates the BOUNDARY cell
+    * where the budget runs out. Cells above it are kept wholesale,
+    * cells below dropped wholesale — per-row work is one comparison —
+    * and only the boundary cell's docs (≈ 1/nBuckets of the corpus)
+    * pay a ranked window, offset by the tokens above. Kept set is
+    * EXACTLY the global greedy rule (buckets partition disjoint score
+    * ranges, so cross-bucket order is total); a degenerate corpus
+    * massing one score value degrades to the global window, the same
+    * caveat q13 documents.
+    */
+  def budgetSelect(docs: DataFrame, budgetFrac: Double = BudgetFrac,
+      nBuckets: Int = 1024): DataFrame = {
+    val s = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor(col("quality_score") * nBuckets).cast("int"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells: Array[(Int, Long)] = s.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val budget = math.floor(budgetFrac * cells.map(_._2).sum).toLong
+    // walk cells from the top score down; the boundary cell is where
+    // the running total first reaches the budget
+    var above = 0L
+    var boundary = -1
+    for ((b, t) <- cells.sortBy(-_._1) if boundary < 0) {
+      if (above + t >= budget) boundary = b else above += t
+    }
+    val base = s.select(col("doc_id"), col("quality_score"),
+      col("n_tokens"), col("bucket"))
+    val out =
+      if (budget <= 0L) base.withColumn("kept", lit(false))
+      else if (boundary < 0) base.withColumn("kept", lit(true))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val bref = s.filter(col("bucket") === boundary)
+          .withColumn("prev",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"),
+            (col("prev") + lit(above) < budget).as("bkept"))
+        base.join(bref, Seq("doc_id"), "left")
+          .withColumn("kept",
+            when(col("bucket") > boundary, lit(true))
+              .when(col("bucket") < boundary, lit(false))
+              .otherwise(col("bkept")))
+      }
+    out.select(col("doc_id"), col("quality_score"), col("n_tokens"),
+      col("kept"))
+  }
 }

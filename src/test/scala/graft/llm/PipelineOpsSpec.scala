@@ -573,6 +573,36 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("budgetSelect equals the global greedy rule incl. boundary bucket") {
+    // real corpus slice so scores spread across buckets AND collide
+    // within one (the boundary-refinement path must actually run for
+    // most fractions); ground truth = driver-side global greedy
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    for (frac <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val total = rows.map(_._3).sum
+      val budget = math.floor(frac * total).toLong
+      val ordered = rows.sortBy { case (id, sc, _) => (-sc, id) }
+      var acc = 0L
+      val expect = ordered.map { case (id, _, nt) =>
+        val kept = acc < budget; acc += nt; id -> kept
+      }.toMap
+      val out = Sampling.budgetSelect(docs, budgetFrac = frac,
+        nBuckets = 64).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(out.size == rows.length, s"frac=$frac")
+      rows.foreach { case (id, _, _) =>
+        assert(out(id) == expect(id), s"frac=$frac doc=$id")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("assignToCommunities: adopt best match's community, found new ones") {
     // corpus: two tight pairs (near-identical directions) → two
     // communities {0,1} and {2,3}; batch: 10 ≈ copy of 0 (adopts
