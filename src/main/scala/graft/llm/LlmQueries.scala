@@ -240,7 +240,9 @@ object LlmQueries extends QueryPack {
         e.filter(col("vec_id") % 10 === 0), minCos = 0.3,
         nBands = LshBands, bitsPerBand = LshBits)
     }),
-    "x74_budget_select" -> ((s, dir) => Sampling.budgetSelect(docs(s, dir)))
+    "x74_budget_select" -> ((s, dir) => Sampling.budgetSelect(docs(s, dir))),
+    "x75_cluster_safe_split" -> ((s, dir) =>
+      Sampling.clusterSafeSplit(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2360,7 +2362,34 @@ object LlmQueries extends QueryPack {
              AS BIGINT) AS prev
            FROM s)
          SELECT doc_id, quality_score, n_tokens, prev < budget AS kept
-         FROM r, tot"""
+         FROM r, tot""",
+
+    // cluster-safe split: x16's recursive closure, then the x17 hash
+    // split keyed on the CLUSTER id — near-dup groups cannot straddle
+    // splits by construction
+    "x75_cluster_safe_split" -> {
+      def u32(expr: String) =
+        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+      val u = u32("'csplit' || ':' || CAST(cluster_id AS VARCHAR)")
+      s"""WITH RECURSIVE $SIG_CTE,
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+          reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r
+              ON r.doc_id = e.dst),
+          comp AS (SELECT doc_id, min(lbl) AS cluster_id
+                   FROM reach GROUP BY 1)
+          SELECT doc_id, cluster_id,
+            CASE WHEN $u < ${math.floor(0.8 * 4294967296.0).toLong}
+                   THEN 'train'
+                 WHEN $u < ${math.floor(0.9 * 4294967296.0).toLong}
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM comp"""
+    }
   )
 }
 

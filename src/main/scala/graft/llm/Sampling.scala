@@ -205,6 +205,34 @@ object Sampling {
       .select(col("doc_id"), col("n_grams"), col("dsir_score"), col("u"))
   }
 
+  /** cluster-SAFE train/val/test split — the PREVENTION counterpart of
+    * the x53 leakage AUDIT: the reproducible hash split keyed on the
+    * near-dup CLUSTER id instead of the doc id, so every transitive
+    * near-dup group lands in ONE split and the cross-split near-dup
+    * pairs x53 hunts for cannot exist by construction (spec-asserted:
+    * the audit over this split returns empty on a dup-heavy corpus).
+    * Same stability property as [[hashSplit]], one level up: corpus
+    * growth never moves an existing CLUSTER between splits (though new
+    * members can lower a cluster's min-id label — re-split after a
+    * scheduled full dedup rebuild, the x65/x73 refresh discipline).
+    *
+    * Scale shape: the cluster assignment is the stored dedup artifact
+    * ([[Dedup.dupClusters]] — pass it via the 2-arg overload in
+    * production); the split itself is one hash projection.
+    */
+  def clusterSafeSplit(docs: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame =
+    clusterSafeSplitWith(Dedup.dupClusters(docs), trainFrac, valFrac)
+
+  /** [[clusterSafeSplit]] off a pre-built cluster assignment — the
+    * production entry point (stored artifact, one projection).
+    */
+  def clusterSafeSplitWith(clusters: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame =
+    clusters.select(col("doc_id"), col("cluster_id"),
+      hashSplit(col("cluster_id"), "csplit", trainFrac, valFrac)
+        .as("split"))
+
   /** [[budgetSelect]] default budget as a fraction of the corpus's
     * total tokens — shared with the x74 oracle SQL (interpolated, the
     * x37/DsirBuckets discipline).

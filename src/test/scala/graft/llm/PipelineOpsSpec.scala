@@ -603,6 +603,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterSafeSplit: no near-dup pair straddles a split boundary") {
+    // dup-heavy corpus (sliding-window texts chain into multi-doc
+    // clusters — the same fixture as the CC ground-truth test); the
+    // x53-style audit over the cluster-keyed split must find ZERO
+    // cross-split candidate pairs, while the doc-keyed split (x17's)
+    // demonstrably leaks on the same corpus
+    // 10 DISJOINT chained groups (docs 10g..10g+9 share sliding-window
+    // vocabulary within the group only) → 10 multi-doc clusters, so the
+    // cluster-keyed hash actually spreads over several splits
+    val df = docsDf((0 until 100).map { i =>
+      val g = i / 10
+      val words = (0 until 40).map(j => s"g${g}tok$j")
+      (i.toLong, words.slice(i % 10, i % 10 + 20).mkString(" "), "s")
+    })
+    val split = Sampling.clusterSafeSplit(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size == 100)
+    val pairs = Dedup.candidatePairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dup pair ($a,$b) must share a split")
+      assert(split(a)._1 == split(b)._1)
+    }
+    // same-cluster docs share the split by construction; the doc-keyed
+    // split leaks on this corpus (sanity that the fixture is hard)
+    val docKeyed = df.select(col("doc_id"),
+      Sampling.hashSplit(col("doc_id"), "split").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => docKeyed(a) != docKeyed(b) },
+      "fixture should make the naive doc-keyed split leak")
+    // all three splits occupied across clusters (hash spread sanity)
+    assert(split.values.map(_._2).toSet.size >= 2)
+  }
+
   test("assignToCommunities: adopt best match's community, found new ones") {
     // corpus: two tight pairs (near-identical directions) → two
     // communities {0,1} and {2,3}; batch: 10 ≈ copy of 0 (adopts
