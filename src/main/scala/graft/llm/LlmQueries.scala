@@ -242,7 +242,8 @@ object LlmQueries extends QueryPack {
     }),
     "x74_budget_select" -> ((s, dir) => Sampling.budgetSelect(docs(s, dir))),
     "x75_cluster_safe_split" -> ((s, dir) =>
-      Sampling.clusterSafeSplit(docs(s, dir)))
+      Sampling.clusterSafeSplit(docs(s, dir))),
+    "x76_token_shards" -> ((s, dir) => Sampling.tokenShards(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2389,6 +2390,29 @@ object LlmQueries extends QueryPack {
                    THEN 'val'
                  ELSE 'test' END AS split
           FROM comp"""
+    },
+
+    // token-balanced first-fit shards in deterministic hash order: the
+    // oracle IS the global running-sum window the Spark side's
+    // bucketed prefix-sum decomposition avoids
+    "x76_token_shards" -> {
+      def u32(expr: String) =
+        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+      val u = u32("'shard' || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (
+            SELECT doc_id, $u AS u32,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+          r AS (
+            SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                ORDER BY u32, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+            FROM t)
+          SELECT doc_id, u32, n_tokens,
+            CAST(floor(prev / ${Sampling.ShardTokens}.0) AS BIGINT)
+              AS shard_id
+          FROM r"""
     }
   )
 }

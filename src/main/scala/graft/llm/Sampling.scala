@@ -233,6 +233,59 @@ object Sampling {
       hashSplit(col("cluster_id"), "csplit", trainFrac, valFrac)
         .as("split"))
 
+  /** [[tokenShards]] default tokens per shard — shared with the x76
+    * oracle SQL (interpolated).
+    */
+  val ShardTokens = 4096L
+
+  /** token-BALANCED shard assignment — the write-side partitioner a
+    * training pipeline runs before materializing shards: documents in a
+    * deterministic hash order (u32 of doc_id, doc_id tie-break) are
+    * first-fit packed so each shard holds ~`shardTokens` tokens
+    * (a boundary-straddling doc belongs to the shard where it starts).
+    * Equal-token shards mean equal training-step cost per file; the
+    * hash order decorrelates shard content from ingest order.
+    *
+    * Scale shape — the textbook DISTRIBUTED PREFIX SUM, the pattern the
+    * oracle's global running-sum window cannot scale: the u32 keyspace
+    * cuts into `nBuckets` ORDERED ranges (bucket = u32 >> shift, so
+    * bucket order IS hash order), per-bucket token totals collect to
+    * the driver (≤ nBuckets rows), the driver prefix-sums them into
+    * per-bucket OFFSETS (a literal map), and each doc's global running
+    * total is its bounded within-bucket window sum plus its bucket's
+    * offset. Per-row work: one window over ~1/nBuckets of the corpus +
+    * one map lookup.
+    */
+  def tokenShards(docs: DataFrame, shardTokens: Long = ShardTokens,
+      nBuckets: Int = 1024): DataFrame = {
+    require(Integer.bitCount(nBuckets) == 1, "nBuckets must be a power of 2")
+    val shift = 32 - Integer.numberOfTrailingZeros(nBuckets)
+    val t = docs.select(col("doc_id"),
+        hashU32(col("doc_id"), "shard").as("u32"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", shiftright(col("u32"), shift).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums: Array[(Int, Long)] = t.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    var acc = 0L
+    val offsets: Map[Int, Long] = sums.sortBy(_._1).map { case (b, s) =>
+      val o = b -> acc; acc += s; o
+    }.toMap
+    val offMap = typedLit(offsets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("u32").asc, col("doc_id").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t.withColumn("prev",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+          element_at(offMap, col("bucket")))
+      .select(col("doc_id"), col("u32"), col("n_tokens"),
+        floor(col("prev") / lit(shardTokens.toDouble)).cast("long")
+          .as("shard_id"))
+  }
+
   /** [[budgetSelect]] default budget as a fraction of the corpus's
     * total tokens — shared with the x74 oracle SQL (interpolated, the
     * x37/DsirBuckets discipline).

@@ -603,6 +603,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenShards equals the global first-fit packing, shards balanced") {
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Sampling.tokenShards(docs, shardTokens = 512L,
+      nBuckets = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    // driver ground truth: global hash-order first-fit
+    val ordered = out.sortBy { case (id, u, _, _) => (u, id) }
+    var acc = 0L
+    ordered.foreach { case (id, _, nt, shard) =>
+      assert(shard == acc / 512L,
+        s"doc $id: shard $shard != ${acc / 512L}")
+      acc += nt
+    }
+    // balance property: through the end of every non-final shard s the
+    // cumulative token count reaches (s+1)·shardTokens — each shard is
+    // "full" once its boundary doc is counted
+    val byShard = ordered.groupBy(_._4).toSeq.sortBy(_._1)
+    var cum = 0L
+    byShard.init.foreach { case (s, ds) =>
+      cum += ds.map(_._3).sum
+      assert(cum >= (s + 1) * 512L, s"shard $s under-full: cum=$cum")
+    }
+    assert(byShard.size >= 5, s"expected several shards, got ${byShard.size}")
+  }
+
   test("clusterSafeSplit: no near-dup pair straddles a split boundary") {
     // dup-heavy corpus (sliding-window texts chain into multi-doc
     // clusters — the same fixture as the CC ground-truth test); the
