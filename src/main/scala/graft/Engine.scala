@@ -194,6 +194,37 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.stream.StreamOps.clickPurchaseJoin(spark, eventsDir)
   def incrementalHealth(fixtureDir: String): DataFrame =
     graft.stream.IncrementalHealth.run(spark, fixtureDir)
+  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame =
+    graft.llm.Similarity.knnGraph(embeddings, k)
+  def knnCommunities(embeddings: DataFrame,
+      minCos: Double = 0.3, k: Int = 5): DataFrame =
+    graft.llm.Similarity.knnCommunities(embeddings, minCos, k)
+  def communityQuality(embeddings: DataFrame,
+      minCos: Double = 0.3, k: Int = 5): DataFrame =
+    graft.llm.Similarity.communityQuality(embeddings, minCos, k)
+  def assignToCommunities(corpus: DataFrame, communities: DataFrame,
+      batch: DataFrame, minCos: Double = 0.3): DataFrame =
+    graft.llm.Similarity.assignToCommunities(corpus, communities, batch,
+      minCos)
+  def classifierQualityScores(docs: DataFrame): DataFrame =
+    graft.llm.TextOps.classifierScore(docs)
+  def takedownPropagate(docs: DataFrame, forgetMod: Long = 41L): DataFrame =
+    graft.llm.Dedup.takedownPropagate(docs, forgetMod)
+  def takedownPropagateWithClusters(docs: DataFrame, forget: DataFrame,
+      clusters: DataFrame): DataFrame =
+    graft.llm.Dedup.takedownPropagateWithClusters(docs, forget, clusters)
+  def refreshPipeline(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    graft.llm.Pipeline.refreshPipeline(oldDocs, newDocs)
+  def epochSchedule(docs: DataFrame): DataFrame =
+    graft.llm.Pipeline.epochSchedule(docs)
+  def selectByTokenBudget(docs: DataFrame,
+      budgetFrac: Double = graft.llm.Sampling.BudgetFrac): DataFrame =
+    graft.llm.Sampling.budgetSelect(docs, budgetFrac)
+  def clusterSafeSplit(docs: DataFrame): DataFrame =
+    graft.llm.Sampling.clusterSafeSplit(docs)
+  def tokenBalancedShards(docs: DataFrame,
+      shardTokens: Long = graft.llm.Sampling.ShardTokens): DataFrame =
+    graft.llm.Sampling.tokenShards(docs, shardTokens)
   def streamingCleanDocs(docsDir: String): DataFrame =
     graft.stream.StreamOps.cleanDocs(spark, docsDir)
   def streamingDecontamGate(docsDir: String): DataFrame =

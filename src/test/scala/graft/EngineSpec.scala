@@ -44,4 +44,27 @@ class EngineSpec extends SparkSpec {
     assert(eng.bpeEncode(docs, pairs).count() == 500)
     spark.catalog.clearCache()
   }
+
+  test("graph + budget curation surface through the facade") {
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val embs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(eng.knnGraph(embs).count() > 0)
+    val comms = eng.knnCommunities(embs)
+    assert(comms.count() == embs.count())
+    assert(eng.communityQuality(embs).count() > 0)
+    val corpus = embs.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 10 =!= 0)
+    assert(eng.assignToCommunities(corpus, eng.knnCommunities(corpus)
+        .select("vec_id", "community_id"),
+      embs.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0))
+      .count() == 50)
+    assert(eng.selectByTokenBudget(docs).count() == 500)
+    assert(eng.clusterSafeSplit(docs).count() == 500)
+    assert(eng.tokenBalancedShards(docs).count() == 500)
+    assert(eng.epochSchedule(docs).count() > 0)
+    assert(eng.takedownPropagate(docs).count() > 0)
+    spark.catalog.clearCache()
+  }
 }
