@@ -483,6 +483,45 @@ object StreamOps {
     runToTable(gated, "st_takedown_cluster_gate", "append")
   }
 
+  /** st18 — the streaming BUDGET gate, x74's train/serve composition
+    * (the st10 discipline applied to budget selection): the batch side
+    * fits the token-budget cut on the reference corpus —
+    * [[graft.llm.Sampling.budgetSelect]]'s greedy prefix ends at a
+    * marginal (quality_score, doc_id) pair, collected as TWO literals —
+    * and every incoming document gates through one stateless codegen
+    * projection: score computed in-flight, `train` iff it beats the
+    * marginal doc in greedy order (strictly better score, or equal
+    * score and id ≤ the marginal id — the deployment reading: "at
+    * least as good as the last doc the budget admitted"). No state
+    * store, no join; re-fit = restart with fresh literals.
+    */
+  def budgetGateStream(spark: SparkSession, dir: String,
+      budgetFrac: Double = graft.llm.Sampling.BudgetFrac): DataFrame = {
+    import graft.llm.{Sampling, TextOps}
+    val fit = Sampling.budgetSelect(
+        graft.core.Tables.load(spark, dir, "documents"), budgetFrac)
+      .filter(col("kept"))
+      .orderBy(col("quality_score").asc, col("doc_id").desc)
+      .limit(1).collect()
+    val gated =
+      if (fit.isEmpty) {
+        // zero-budget fit: nothing is ever admitted
+        fileStream(spark, dir, "documents")
+          .select(col("doc_id"), lit("skip").as("action"))
+      } else {
+        val sCut = fit(0).getAs[Double]("quality_score")
+        val idCut = fit(0).getAs[Long]("doc_id")
+        val score = TextOps.qualityScoreCols(col("text"))._3
+        fileStream(spark, dir, "documents")
+          .select(col("doc_id"), score.as("s"))
+          .select(col("doc_id"),
+            when(col("s") > sCut ||
+                (col("s") === sCut && col("doc_id") <= idCut), "train")
+              .otherwise("skip").as("action"))
+      }
+    runToTable(gated, "st_budget_gate", "append")
+  }
+
   /** st16 — the streaming DRIFT monitor, x54's live twin: the reference
     * slice's head vocabulary (top-`headK` tokens by count, tie-broken
     * tok-asc — the deterministic `TakeOrderedAndProject` cut) is fit

@@ -38,7 +38,8 @@ object StreamQueries extends QueryPack {
     "st16_drift_monitor" -> ((s, dir) =>
       StreamOps.driftMonitorStream(s, dir, headK = DriftHeadK)),
     "st17_takedown_cluster_gate" -> ((s, dir) =>
-      StreamOps.takedownClusterGateStream(s, dir))
+      StreamOps.takedownClusterGateStream(s, dir)),
+    "st18_budget_gate" -> ((s, dir) => StreamOps.budgetGateStream(s, dir))
   )
 
   /** head-vocabulary cut shared by the st16 registration and its oracle
@@ -281,6 +282,15 @@ object StreamQueries extends QueryPack {
                * (CAST(c_new AS DOUBLE) - e_new) / e_new ELSE 0.0 END)
              AS chi2
          FROM e""",
+
+    // st18: x74's greedy-prefix kept set re-read as an admit/skip
+    // action — the batch-fitted (score, id) threshold and the oracle's
+    // global ranked prefix agree exactly on the fit corpus
+    "st18_budget_gate" ->
+      s"""WITH x74 AS (${graft.llm.LlmQueries.oracles("x74_budget_select")})
+         SELECT doc_id, CASE WHEN kept THEN 'train' ELSE 'skip' END
+           AS action
+         FROM x74""",
 
     // st17: every incoming doc tagged by the STORED cluster assignment
     // (the x67 production path's broadcast set, here a literal map):

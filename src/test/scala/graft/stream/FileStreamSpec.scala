@@ -67,6 +67,20 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.count() == 10L)
   }
 
+  test("budget gate: zero budget skips everything, full budget admits all") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fsspec-budget-").toString
+    writeDocs(dir, nParts = 2)
+    val none = StreamOps.budgetGateStream(spark, dir, budgetFrac = 0.0)
+    assert(none.count() == 60L &&
+      none.filter(col("action") === "skip").count() == 60L,
+      "zero budget must skip every incoming doc")
+    val all = StreamOps.budgetGateStream(spark, dir, budgetFrac = 1.0)
+    assert(all.filter(col("action") === "train").count() == 60L,
+      "full budget must admit every incoming doc")
+    spark.catalog.clearCache()
+  }
+
   test("restaging self-heals stale directory links from the pre-fix layout") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-fsspec-heal-").toString
