@@ -202,6 +202,10 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
   def communityQuality(embeddings: DataFrame,
       minCos: Double = 0.3, k: Int = 5): DataFrame =
     graft.llm.Similarity.communityQuality(embeddings, minCos, k)
+  /** re-score a stored partition without a graph/CC rebuild */
+  def communityQualityWith(graph: DataFrame,
+      communities: DataFrame): DataFrame =
+    graft.llm.Similarity.communityQualityWith(graph, communities)
   def assignToCommunities(corpus: DataFrame, communities: DataFrame,
       batch: DataFrame, minCos: Double = 0.3): DataFrame =
     graft.llm.Similarity.assignToCommunities(corpus, communities, batch,

@@ -335,7 +335,21 @@ object Similarity {
         embeddings.select(col("vec_id").as("doc_id")), strong, maxIter)
       .select(col("doc_id").as("vec_id"),
         col("cluster_id").as("community_id"))
-    val tagged = ue.select(col("doc_a"), col("doc_b"))
+    communityQualityWith(ue.select(col("doc_a"), col("doc_b")), comm)
+  }
+
+  /** [[communityQuality]] off STORED artifacts — the production entry
+    * point (the `takedownPropagateWithClusters` discipline): `graph` is
+    * the undirected ranked edge set (doc_a, doc_b) a deployment
+    * materializes once ([[knnGraph]] symmetrized), `communities` the
+    * stored (vec_id, community_id) assignment; re-scoring the partition
+    * after an incremental ingest costs only the metric joins, never a
+    * graph or CC rebuild.
+    */
+  def communityQualityWith(graph: DataFrame,
+      communities: DataFrame): DataFrame = {
+    val comm = communities.select(col("vec_id"), col("community_id"))
+    val tagged = graph.select(col("doc_a"), col("doc_b"))
       .join(comm.select(col("vec_id").as("doc_a"),
         col("community_id").as("comm_a")), Seq("doc_a"))
       .join(comm.select(col("vec_id").as("doc_b"),

@@ -696,6 +696,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(10L)._2.contains(0L) || out(10L)._2.contains(1L))
   }
 
+  test("communityQualityWith(stored artifacts) equals the one-shot form") {
+    val embs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val oneShot = Similarity.communityQuality(embs, minCos = 0.3, k = 5,
+      nBands = 4, bitsPerBand = 8).collect()
+      .map(r => r.toSeq.toList).toSet
+    spark.catalog.clearCache()
+    // the stored artifacts a deployment would materialize
+    val g = Similarity.knnGraph(embs, k = 5, nBands = 4, bitsPerBand = 8)
+    val ua = g.select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"), col("cos"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("cos")).as("cos"))
+    val comms = Similarity.knnCommunities(embs, minCos = 0.3, k = 5,
+      nBands = 4, bitsPerBand = 8)
+    val stored = Similarity.communityQualityWith(
+      ua.select(col("doc_a"), col("doc_b")),
+      comms.select(col("vec_id"), col("community_id"))).collect()
+      .map(r => r.toSeq.toList).toSet
+    assert(stored == oneShot)
+    spark.catalog.clearCache()
+  }
+
   test("corpusDrift: an empty incoming slice yields finite chi2, no crash") {
     // the r10 st16 sf0.1 failure: n_b = 0 makes e_b = 0 for every row
     // and the unguarded d²/e threw ANSI DIVIDE_BY_ZERO. The guarded
