@@ -221,6 +221,8 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Pipeline.refreshPipeline(oldDocs, newDocs)
   def epochSchedule(docs: DataFrame): DataFrame =
     graft.llm.Pipeline.epochSchedule(docs)
+  def curationFunnel(docs: DataFrame): DataFrame =
+    graft.llm.Pipeline.curationFunnel(docs)
   def selectByTokenBudget(docs: DataFrame,
       budgetFrac: Double = graft.llm.Sampling.BudgetFrac): DataFrame =
     graft.llm.Sampling.budgetSelect(docs, budgetFrac)

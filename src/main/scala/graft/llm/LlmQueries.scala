@@ -243,7 +243,9 @@ object LlmQueries extends QueryPack {
     "x74_budget_select" -> ((s, dir) => Sampling.budgetSelect(docs(s, dir))),
     "x75_cluster_safe_split" -> ((s, dir) =>
       Sampling.clusterSafeSplit(docs(s, dir))),
-    "x76_token_shards" -> ((s, dir) => Sampling.tokenShards(docs(s, dir)))
+    "x76_token_shards" -> ((s, dir) => Sampling.tokenShards(docs(s, dir))),
+    "x77_curation_funnel" -> ((s, dir) =>
+      Pipeline.curationFunnel(docs(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -490,6 +492,70 @@ object LlmQueries extends QueryPack {
               ORDER BY bit) AS bucket
           FROM proj GROUP BY vec_id, band)"""
   }
+
+  /** x26 oracle, reusable (st13 shares the registration; x77 composes the funnel) */
+  private[graft] lazy val QualityGateSql: String = {
+      val vals = TextOpsOracle.stopwordValues
+      val gateCase =
+        """CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN n_tokens > 100000 THEN 'too_long'
+                WHEN pred_lang != 'en' THEN 'wrong_lang'
+                WHEN quality_score < 0.5 THEN 'low_quality'
+                WHEN dup_bigram_frac > 0.2 THEN 'repetitive'
+                ELSE 'pass' END"""
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          sw(lang_cand, stopword) AS (VALUES $vals),
+          hits AS (
+            SELECT doc_id, lang_cand, count(*) AS hits
+            FROM toks JOIN sw ON tok = stopword GROUP BY 1, 2),
+          top AS (
+            SELECT doc_id, lang_cand FROM hits
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY hits DESC, lang_cand) = 1),
+          q AS (
+            SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+              CAST(length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) AS alnum,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+            FROM documents),
+          qs AS (
+            SELECT doc_id, greatest(0.0, least(1.0,
+              1.0 - (CASE WHEN n > 0 THEN (n - alnum) / n ELSE 0.0 END)
+                  - abs((CASE WHEN ntok > 0 THEN (n - (ntok - 1)) / ntok
+                              ELSE 0.0 END) - 5.0) / 10.0)) AS quality_score
+            FROM q),
+          tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                 FROM documents),
+          bg AS (
+            SELECT doc_id, tk[x.i] || ' ' || tk[x.i + 1] AS bigram
+            FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
+            WHERE len(tk) >= 2),
+          bcounts AS (SELECT doc_id, bigram, count(*) AS c
+                      FROM bg GROUP BY 1, 2),
+          dup AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_n
+            FROM bcounts GROUP BY 1),
+          dims AS (SELECT doc_id, len(tk) AS n_tokens FROM tk),
+          sig AS (
+            SELECT d.doc_id,
+              coalesce(t.lang_cand, 'unknown') AS pred_lang,
+              CAST(d.n_tokens AS INT) AS n_tokens,
+              qs.quality_score,
+              CASE WHEN d.n_tokens >= 2 THEN
+                CAST(coalesce(u.dup_n, 0) AS DOUBLE)
+                  / CAST(d.n_tokens - 1 AS DOUBLE) ELSE 0.0 END
+                AS dup_bigram_frac
+            FROM dims d
+            LEFT JOIN top t ON t.doc_id = d.doc_id
+            JOIN qs ON qs.doc_id = d.doc_id
+            LEFT JOIN dup u ON u.doc_id = d.doc_id)
+          SELECT doc_id, pred_lang, n_tokens, quality_score,
+            dup_bigram_frac, $gateCase AS gate_reason,
+            ($gateCase = 'pass') AS keep
+          FROM sig"""
+    }
 
   override val oracles: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -1222,69 +1288,9 @@ object LlmQueries extends QueryPack {
 
     // the composed keep/drop gate: same signal CTEs as x09/x10/x23 with
     // an order-pinned CASE chain for the first-failing-rule reason
-    "x26_quality_gate" -> {
-      val vals = TextOpsOracle.stopwordValues
-      val gateCase =
-        """CASE WHEN n_tokens < 10 THEN 'too_short'
-                WHEN n_tokens > 100000 THEN 'too_long'
-                WHEN pred_lang != 'en' THEN 'wrong_lang'
-                WHEN quality_score < 0.5 THEN 'low_quality'
-                WHEN dup_bigram_frac > 0.2 THEN 'repetitive'
-                ELSE 'pass' END"""
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents),
-          sw(lang_cand, stopword) AS (VALUES $vals),
-          hits AS (
-            SELECT doc_id, lang_cand, count(*) AS hits
-            FROM toks JOIN sw ON tok = stopword GROUP BY 1, 2),
-          top AS (
-            SELECT doc_id, lang_cand FROM hits
-            QUALIFY row_number() OVER (PARTITION BY doc_id
-              ORDER BY hits DESC, lang_cand) = 1),
-          q AS (
-            SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
-              CAST(length(regexp_replace(text, '[^a-z0-9A-Z ]', '', 'g')) AS DOUBLE) AS alnum,
-              CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
-            FROM documents),
-          qs AS (
-            SELECT doc_id, greatest(0.0, least(1.0,
-              1.0 - (CASE WHEN n > 0 THEN (n - alnum) / n ELSE 0.0 END)
-                  - abs((CASE WHEN ntok > 0 THEN (n - (ntok - 1)) / ntok
-                              ELSE 0.0 END) - 5.0) / 10.0)) AS quality_score
-            FROM q),
-          tk AS (SELECT doc_id, string_split(text, ' ') AS tk
-                 FROM documents),
-          bg AS (
-            SELECT doc_id, tk[x.i] || ' ' || tk[x.i + 1] AS bigram
-            FROM tk, unnest(generate_series(1, len(tk) - 1)) AS x(i)
-            WHERE len(tk) >= 2),
-          bcounts AS (SELECT doc_id, bigram, count(*) AS c
-                      FROM bg GROUP BY 1, 2),
-          dup AS (
-            SELECT doc_id,
-              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_n
-            FROM bcounts GROUP BY 1),
-          dims AS (SELECT doc_id, len(tk) AS n_tokens FROM tk),
-          sig AS (
-            SELECT d.doc_id,
-              coalesce(t.lang_cand, 'unknown') AS pred_lang,
-              CAST(d.n_tokens AS INT) AS n_tokens,
-              qs.quality_score,
-              CASE WHEN d.n_tokens >= 2 THEN
-                CAST(coalesce(u.dup_n, 0) AS DOUBLE)
-                  / CAST(d.n_tokens - 1 AS DOUBLE) ELSE 0.0 END
-                AS dup_bigram_frac
-            FROM dims d
-            LEFT JOIN top t ON t.doc_id = d.doc_id
-            JOIN qs ON qs.doc_id = d.doc_id
-            LEFT JOIN dup u ON u.doc_id = d.doc_id)
-          SELECT doc_id, pred_lang, n_tokens, quality_score,
-            dup_bigram_frac, $gateCase AS gate_reason,
-            ($gateCase = 'pass') AS keep
-          FROM sig"""
-    },
+    "x26_quality_gate" -> QualityGateSql,
 
+    
     // sliding-window chunking: chunk count in integer arithmetic, chunk
     // body via an inclusive list slice — strings only, trivially exact
     "x25_chunking" ->
@@ -2413,6 +2419,73 @@ object LlmQueries extends QueryPack {
             CAST(floor(prev / ${Sampling.ShardTokens}.0) AS BIGINT)
               AS shard_id
           FROM r"""
+    },
+
+    // the sequential attrition rollup: each stage's pass set is the
+    // EXISTING gate oracle's verdict (x26 keep, x16 min-id rep, x36
+    // not-contaminated over the non-eval slice, x35 kept), intersected
+    // in production order and exploded into 4 stage rows
+    "x77_curation_funnel" -> {
+      def u32(expr: String) =
+        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+      val uCap = u32("'cap' || ':' || source || '/' || CAST(doc_id AS VARCHAR)")
+      s"""WITH q AS ($QualityGateSql),
+          dd AS (
+            WITH RECURSIVE $SIG_CTE,
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+            reach(doc_id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r
+                ON r.doc_id = e.dst),
+            comp AS (SELECT doc_id, min(lbl) AS cluster_id
+                     FROM reach GROUP BY 1)
+            SELECT doc_id, doc_id = cluster_id AS p2 FROM comp),
+          dc AS (
+            WITH $SIG_CTE,
+            hits AS (
+              SELECT t.doc_id
+              FROM bands t JOIN bands e ON t.band = e.band AND t.bh = e.bh
+              WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0
+              GROUP BY 1)
+            SELECT d.doc_id, h.doc_id IS NULL AS pc
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 10 != 0),
+          cap AS (
+            WITH h AS (SELECT doc_id, source, $uCap AS u32 FROM documents),
+            r AS (SELECT doc_id, u32,
+                    count(*) OVER (PARTITION BY source) AS n_source,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY u32, doc_id) AS rk
+                  FROM h)
+            SELECT doc_id,
+              rk <= CAST(ceil(sqrt(n_source)) AS BIGINT) AS p4
+            FROM r),
+          flags AS (
+            SELECT d.doc_id, q.keep AS p1, dd.p2,
+              coalesce(dc.pc, false) AS p3, cap.p4
+            FROM documents d
+            JOIN q USING (doc_id)
+            JOIN dd USING (doc_id)
+            LEFT JOIN dc USING (doc_id)
+            JOIN cap USING (doc_id)),
+          a AS (SELECT
+              CAST(count(*) AS BIGINT) AS n0,
+              CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2,
+              CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n3,
+              CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n4
+            FROM flags)
+          SELECT CAST(1 AS BIGINT) AS stage_id, 'quality_gate' AS stage,
+            n0 AS n_in, n1 AS n_out, n0 - n1 AS n_dropped FROM a
+          UNION ALL SELECT 2, 'near_dedup', n1, n2, n1 - n2 FROM a
+          UNION ALL SELECT 3, 'eval_decontam', n2, n3, n2 - n3 FROM a
+          UNION ALL SELECT 4, 'domain_cap', n3, n4, n3 - n4 FROM a"""
     }
   )
 }

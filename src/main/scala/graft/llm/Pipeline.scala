@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end pipeline compositions — the "final SELECT" a training-data
@@ -128,5 +128,56 @@ object Pipeline {
         (least(epochsRaw, lit(maxEpochs)) * col("n_tokens").cast("double"))
           .as("tokens_served"),
         (epochsRaw > lit(maxEpochs)).as("capped"))
+  }
+
+  /** the curation FUNNEL — the observability rollup every pipeline run
+    * reports: how many documents each gate dropped, with the gates
+    * composed SEQUENTIALLY in their production order (quality → near-dup
+    * keep → eval exclusion+decontamination → domain cap), so stage k's
+    * `n_in` is stage k−1's `n_out` and the numbers read as the actual
+    * attrition curve, not four independent audits. Each gate's pass set
+    * is the EXISTING operator's verdict column (x26 keep, x16 min-id
+    * representative, x36 not-contaminated over the non-eval slice, x35
+    * kept) — the funnel adds four doc_id equi-joins of boolean flags
+    * and ONE aggregation row exploded into the 4 stage rows; nothing
+    * here re-derives a gate.
+    */
+  def curationFunnel(docs: DataFrame, evalMod: Long = 10L): DataFrame = {
+    val q = TextOps.qualityGate(docs)
+      .select(col("doc_id"), col("keep").as("p1"))
+    val d = Dedup.dupClusters(docs)
+      .select(col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as("p2"))
+    // eval docs have no decontam row (they ARE the eval set): the left
+    // join's null coalesces to false — excluded at this stage
+    val c = Dedup.fuzzyDecontam(docs, evalMod)
+      .select(col("doc_id"), (!col("contaminated")).as("pc"))
+    val cap = Sampling.domainCap(docs)
+      .select(col("doc_id"), col("kept").as("p4"))
+    val flags = docs.select(col("doc_id"))
+      .join(q, Seq("doc_id"))
+      .join(d, Seq("doc_id"))
+      .join(c, Seq("doc_id"), "left")
+      .join(cap, Seq("doc_id"))
+      .select(col("p1"), col("p2"),
+        coalesce(col("pc"), lit(false)).as("p3"), col("p4"))
+    def surv(ps: Column*): Column =
+      sum(when(ps.reduce(_ && _), 1L).otherwise(0L))
+    val agg = flags.agg(count(lit(1)).as("n0"),
+      surv(col("p1")).as("n1"),
+      surv(col("p1"), col("p2")).as("n2"),
+      surv(col("p1"), col("p2"), col("p3")).as("n3"),
+      surv(col("p1"), col("p2"), col("p3"), col("p4")).as("n4"))
+    def stageRow(id: Long, name: String, nIn: Column, nOut: Column) =
+      struct(lit(id).as("stage_id"), lit(name).as("stage"),
+        nIn.as("n_in"), nOut.as("n_out"))
+    agg.select(explode(array(
+        stageRow(1L, "quality_gate", col("n0"), col("n1")),
+        stageRow(2L, "near_dedup", col("n1"), col("n2")),
+        stageRow(3L, "eval_decontam", col("n2"), col("n3")),
+        stageRow(4L, "domain_cap", col("n3"), col("n4")))).as("s"))
+      .select(col("s.stage_id").as("stage_id"), col("s.stage").as("stage"),
+        col("s.n_in").as("n_in"), col("s.n_out").as("n_out"),
+        (col("s.n_in") - col("s.n_out")).as("n_dropped"))
   }
 }

@@ -573,6 +573,27 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curationFunnel: sequential attrition consistent with the gates") {
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = Pipeline.curationFunnel(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq ==
+      Seq("quality_gate", "near_dedup", "eval_decontam", "domain_cap"))
+    assert(rows.head._3 == 500L, "stage 1 n_in = corpus size")
+    rows.foreach { case (_, st, nIn, nOut, nDrop) =>
+      assert(nDrop == nIn - nOut && nOut <= nIn && nOut >= 0, st)
+    }
+    // chained: stage k's n_in is stage k-1's n_out
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._3 == a._4) }
+    // independent cross-checks of the endpoints
+    val nQuality = TextOps.qualityGate(docs).filter(col("keep")).count()
+    assert(rows(0)._4 == nQuality)
+    assert(rows(3)._4 > 0, "some docs must survive the whole funnel")
+    spark.catalog.clearCache()
+  }
+
   test("budgetSelect equals the global greedy rule incl. boundary bucket") {
     // real corpus slice so scores spread across buckets AND collide
     // within one (the boundary-refinement path must actually run for
