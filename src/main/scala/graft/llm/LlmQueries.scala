@@ -493,6 +493,13 @@ object LlmQueries extends QueryPack {
           FROM proj GROUP BY vec_id, band)"""
   }
 
+  /** oracle-side u32 of an md5 prefix — ONE spelling for every split/
+    * cap/shard hash so the seven call sites cannot desynchronize from
+    * [[graft.llm.Sampling.hashU32]]'s conv parse
+    */
+  private def u32(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+
   /** x26 oracle, reusable (st13 shares the registration; x77 composes the funnel) */
   private[graft] lazy val QualityGateSql: String = {
       val vals = TextOpsOracle.stopwordValues
@@ -1104,8 +1111,6 @@ object LlmQueries extends QueryPack {
     // near-dup pairs straddling the x17 hash split — the within-corpus
     // leakage audit
     "x53_split_leakage" -> {
-      def u32(expr: String) =
-        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
       def splitOf(idCol: String) = {
         val u = u32(s"'split' || ':' || CAST($idCol AS VARCHAR)")
         s"""CASE WHEN $u < ${math.floor(0.8 * 4294967296.0).toLong} THEN 'train'
@@ -1315,8 +1320,6 @@ object LlmQueries extends QueryPack {
     "x17_hash_split" -> {
       // hex→u32 via the 0x-literal cast (same value as Sampling.hashU32's
       // conv parse; see SIG_CTE note)
-      def u32(expr: String) =
-        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
       val uSplit = u32("'split' || ':' || CAST(doc_id AS VARCHAR)")
       val uSample =
         u32("'sample' || ':' || lang || '/' || CAST(doc_id AS VARCHAR)")
@@ -2021,8 +2024,6 @@ object LlmQueries extends QueryPack {
     // u32 as x17); row_number is BIGINT in DuckDB already, ceil(sqrt)
     // DOUBLE → BIGINT
     "x35_domain_cap" -> {
-      def u32(expr: String) =
-        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
       val u = u32("'cap' || ':' || source || '/' || CAST(doc_id AS VARCHAR)")
       s"""WITH h AS (SELECT doc_id, source, $u AS u32 FROM documents),
           r AS (SELECT doc_id, source, u32,
@@ -2084,8 +2085,6 @@ object LlmQueries extends QueryPack {
     // the composed gates: x35's cap ∩ x36's clean slice, x17's split,
     // rolled up per (source, split); sums are HUGEINT → BIGINT casts
     "x38_pipeline_manifest" -> {
-      def u32(expr: String) =
-        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
       val uCap = u32("'cap' || ':' || source || '/' || CAST(doc_id AS VARCHAR)")
       val uSplit = u32("'split' || ':' || CAST(doc_id AS VARCHAR)")
       s"""WITH $SIG_CTE,
@@ -2375,8 +2374,6 @@ object LlmQueries extends QueryPack {
     // split keyed on the CLUSTER id — near-dup groups cannot straddle
     // splits by construction
     "x75_cluster_safe_split" -> {
-      def u32(expr: String) =
-        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
       val u = u32("'csplit' || ':' || CAST(cluster_id AS VARCHAR)")
       s"""WITH RECURSIVE $SIG_CTE,
           edges AS (
@@ -2402,8 +2399,6 @@ object LlmQueries extends QueryPack {
     // oracle IS the global running-sum window the Spark side's
     // bucketed prefix-sum decomposition avoids
     "x76_token_shards" -> {
-      def u32(expr: String) =
-        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
       val u = u32("'shard' || ':' || CAST(doc_id AS VARCHAR)")
       s"""WITH t AS (
             SELECT doc_id, $u AS u32,
@@ -2426,8 +2421,6 @@ object LlmQueries extends QueryPack {
     // not-contaminated over the non-eval slice, x35 kept), intersected
     // in production order and exploded into 4 stage rows
     "x77_curation_funnel" -> {
-      def u32(expr: String) =
-        s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
       val uCap = u32("'cap' || ':' || source || '/' || CAST(doc_id AS VARCHAR)")
       s"""WITH q AS ($QualityGateSql),
           dd AS (

@@ -104,7 +104,21 @@ object StreamOps {
         java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
     val d = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(root), s"graft-ckpt-$name-")
-    d.toFile.deleteOnExit()
+    // recursive delete at JVM exit — `File.deleteOnExit` silently
+    // no-ops on a non-empty directory, which leaked every checkpoint
+    // and CC spill file (preferentially into RAM-backed /dev/shm)
+    // until reboot. The returned frames read these files lazily, so
+    // eager deletion is not safe before exit; a long-lived session
+    // should size its ingest batches with this per-call footprint in
+    // mind (one edge-set copy per CC invocation).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(); ()
+      }
+      rm(d.toFile)
+    }))
     d.toString
   }
 
