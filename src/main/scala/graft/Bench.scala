@@ -56,27 +56,63 @@ object Bench {
     * and re-paid the copy on every targeted run. `SPARK_GRAFT_RESTAGE=1`
     * forces a rewrite after the fixture data changes.
     */
+  /** write-into-unique-temp + atomic rename + marker, shared by both
+    * staging modes (r11 advice): the steady-state `.staged` marker only
+    * fixed re-stage races — two COLD starts could still interleave
+    * overwrite writes into the same final dir and pin the mix as valid.
+    * Now each invocation writes into its own pid-suffixed temp dir
+    * (marker INSIDE, so the rename publishes data + marker atomically)
+    * and renames into place; a cold-start loser discards its complete
+    * copy and reuses the winner's.
+    */
+  private def stagedAtomically(out: String)(write: String => Unit): String = {
+    import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+    val marker = Paths.get(s"$out/.staged")
+    if (sys.env.get("SPARK_GRAFT_RESTAGE").forall(_ != "1") &&
+        Files.exists(marker))
+      return out
+    def rmTree(p: Path): Unit = {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    val outP = Paths.get(out)
+    Files.createDirectories(outP.getParent)
+    val tmp = Paths.get(out + ".tmp." + ProcessHandle.current().pid())
+    rmTree(tmp)
+    write(tmp.toString)
+    Files.createFile(tmp.resolve(".staged"))
+    // clear a stale partial / RESTAGE=1 target, then move in atomically;
+    // a loser whose move fails against a marker-complete winner discards
+    rmTree(outP)
+    try Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        if (Files.exists(marker)) rmTree(tmp)
+        else {
+          rmTree(outP)
+          Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+    out
+  }
+
   private def stage(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_bench_staged/$tag"
-    val marker = java.nio.file.Paths.get(s"$out/.staged")
-    if (sys.env.get("SPARK_GRAFT_RESTAGE").forall(_ != "1") &&
-        java.nio.file.Files.exists(marker))
-      return out
-    // drop a stale marker BEFORE re-staging (the RESTAGE=1 path), and
-    // tolerate a concurrent cold-start racing the final create — either
-    // invocation's staging is valid, the marker just records "complete"
-    java.nio.file.Files.deleteIfExists(marker)
-    core.Tables.names.foreach { t =>
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
-      val rows = df.count()
-      val parts = math.min(32L, math.max(1L, rows / 10000L)).toInt
-      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    stagedAtomically(out) { tmpDir =>
+      core.Tables.names.foreach { t =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        val rows = df.count()
+        val parts = math.min(32L, math.max(1L, rows / 10000L)).toInt
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$tmpDir/$t.parquet")
+      }
     }
-    try java.nio.file.Files.createFile(marker)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    out
   }
 
   /** floor-amortization mode (r7 verdict task 3): stage a synthetic
@@ -97,36 +133,29 @@ object Bench {
       s"${System.getProperty("java.io.tmpdir")}/graft_bench_amplified/${tag}_x$k"
     // the amplified copy is a pure function of (sfDir, k) — reuse an
     // existing staging unless SPARK_GRAFT_RESTAGE=1 (staging ×30 costs
-    // minutes; a marker file gates against reusing partial writes)
-    val marker = java.nio.file.Paths.get(s"$out/.staged")
-    if (sys.env.get("SPARK_GRAFT_RESTAGE").forall(_ != "1") &&
-        java.nio.file.Files.exists(marker))
-      return out
-    // same stale-marker/race discipline as stage()
-    java.nio.file.Files.deleteIfExists(marker)
-    core.Tables.names.foreach { t =>
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
-      val amped = t match {
-        case "documents" =>
-          (0 until k).map(j => df.withColumn("doc_id",
-            col("doc_id") * k + j)).reduce(_ union _)
-        case "embeddings" =>
-          (0 until k).map(j => df.withColumn("vec_id",
-            col("vec_id") * k + j)).reduce(_ union _)
-        case "lineitem" =>
-          // q13's input; percentiles/stats need no key rekeying — a
-          // plain k-fold union scales the sort/histogram work k×
-          (0 until k).map(_ => df).reduce(_ union _)
-        case _ => df
+    // minutes); same temp-dir + atomic-rename discipline as stage()
+    stagedAtomically(out) { tmpDir =>
+      core.Tables.names.foreach { t =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        val amped = t match {
+          case "documents" =>
+            (0 until k).map(j => df.withColumn("doc_id",
+              col("doc_id") * k + j)).reduce(_ union _)
+          case "embeddings" =>
+            (0 until k).map(j => df.withColumn("vec_id",
+              col("vec_id") * k + j)).reduce(_ union _)
+          case "lineitem" =>
+            // q13's input; percentiles/stats need no key rekeying — a
+            // plain k-fold union scales the sort/histogram work k×
+            (0 until k).map(_ => df).reduce(_ union _)
+          case _ => df
+        }
+        val rows = amped.count()
+        val parts = math.min(32L, math.max(1L, rows / 10000L)).toInt
+        amped.repartition(parts).write.mode("overwrite")
+          .parquet(s"$tmpDir/$t.parquet")
       }
-      val rows = amped.count()
-      val parts = math.min(32L, math.max(1L, rows / 10000L)).toInt
-      amped.repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
     }
-    try java.nio.file.Files.createFile(marker)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    out
   }
 
   /** the headline doc-pipeline queries the amplified mode times — the
@@ -139,7 +168,7 @@ object Bench {
     * x66/x67/x68 (classifier, takedown, diverse select)
     */
   private val AmplifySet =
-    "^(q13|x02|x03|x16|x21|x22|x23|x26|x30|x33|x36|x38|x41|x43|x44|x50|x53|x56|x57|x58|x59|x61|x62|x63|x64|x65|x66|x67|x68|x69)"
+    "^(q13|x02|x03|x16|x21|x22|x23|x26|x30|x33|x36|x38|x41|x43|x44|x50|x53|x56|x57|x58|x59|x61|x62|x63|x64|x65|x66|x67|x68|x69|x71|x72|x73|x74|x75|x76|x77|x78)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

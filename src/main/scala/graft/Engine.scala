@@ -235,6 +235,36 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.stream.StreamOps.cleanDocs(spark, docsDir)
   def streamingDecontamGate(docsDir: String): DataFrame =
     graft.stream.StreamOps.decontamGate(spark, docsDir)
+  /** streaming decontam off a stored band-index artifact (st19) */
+  def streamingDecontamGateWith(docsDir: String,
+      index: DataFrame): DataFrame =
+    graft.stream.StreamOps.decontamGateStreamWith(spark, docsDir, index)
+  /** streaming takedown off a stored cluster assignment (st20) */
+  def streamingTakedownClusterGateWith(docsDir: String,
+      clusters: DataFrame, forgetMod: Long = 41L): DataFrame =
+    graft.stream.StreamOps.takedownClusterGateStreamWith(spark, docsDir,
+      clusters, forgetMod)
+  /** the incremental graph-maintenance cycle (x78): diff → assign →
+    * re-score, one refresh query
+    */
+  def graphRefreshCycle(oldDocs: DataFrame, newDocs: DataFrame,
+      embeddings: DataFrame, minCos: Double = 0.3, k: Int = 5): DataFrame =
+    graft.llm.Similarity.graphRefreshCycle(oldDocs, newDocs, embeddings,
+      minCos, k)
+
+  /** Cache contract (r11 advice): the dedup/graph/budget operators
+    * persist intermediates at MEMORY_AND_DISK for intra-query branch
+    * reuse, and those blocks stay registered until the caller drops
+    * them — a long-lived session should call [[releaseCaches]] (or
+    * `spark.catalog.clearCache()`) between pipeline invocations once
+    * the returned frames are materialized; streaming/CC parquet spills
+    * are reclaimed by [[graft.stream.StreamOps.cleanupSpillDirs]] under
+    * the same "frames materialized first" rule.
+    */
+  def releaseCaches(): Unit = {
+    spark.catalog.clearCache()
+    graft.stream.StreamOps.cleanupSpillDirs()
+  }
 }
 
 object Engine {

@@ -670,49 +670,109 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /** the Bloom position family shared by [[bloomPreGate]] and the st14
+    * streaming gate: Kirsch–Mitzenmacher positions `(h1 + j·h2) mod
+    * mBits` (j = 1..k) where h1/h2 are the first two u32 words of the
+    * content fingerprint ITSELF — the same one-digest construction the
+    * MinHash family above uses, so the gate pays ZERO digests beyond
+    * the md5 it already computed (the r11 bench showed the three
+    * seeded position md5s were ~75% of per-row cost — the x64 `weak`).
+    * Deterministic hex arithmetic, bit-reproducible in any engine.
+    */
+  def bloomPositions(fp: Column, mBits: Int, kHashes: Int): Seq[Column] = {
+    val h1 = conv(substring(fp, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(fp, 9, 8), 16, 10).cast("long")
+    (1 to kHashes).map(j => (h1 + lit(j.toLong) * h2) % mBits)
+  }
+
+  /** the corpus side of the Bloom gate as the STORED artifact: the
+    * bitmap words (mBits/64 longs) with every corpus fingerprint's
+    * positions set — the codebook-collect class (≤ mBits distinct
+    * positions; 8 KB at the demo sizing, MBs at realistic per-shard
+    * sizing).
+    */
+  def bloomBitmap(corpus: DataFrame, mBits: Int = 65536,
+      kHashes: Int = 3): Array[Long] = {
+    val fp = md5(col("text"))
+    val setBits = corpus
+      .select(explode(array_distinct(
+        array(bloomPositions(fp, mBits, kHashes): _*))).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long]((mBits + 63) / 64)
+    setBits.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+    words
+  }
+
   /** Bloom-filter ingest PRE-gate — the shuffle-saving trick in front
-    * of every exact-dup check at 100 TB: the corpus collapses to the
-    * DISTINCT bit-position set of a Bloom filter over its content
-    * fingerprints (`kHashes` md5-seeded positions in an `mBits` space —
-    * at most mBits rows ≈ the bitmap a deployment stores and
-    * broadcasts), and an incoming batch doc is `maybe_dup` iff ALL its
-    * positions are set. Only maybe-dups need the exact fp semi-join —
-    * the Bloom contract (no false negatives, tunable false positives)
-    * cuts the downstream shuffle to the maybe set, which at a typical
-    * <1% dup rate is ~the FP rate of the filter.
+    * of every exact-dup check at 100 TB: the corpus collapses to a
+    * Bloom BITMAP over its content fingerprints ([[bloomBitmap]] — the
+    * artifact a deployment stores), and an incoming batch doc is
+    * `maybe_dup` iff ALL its [[bloomPositions]] are set — evaluated by
+    * the native [[graft.functions.BloomProbe]] expression as ONE
+    * compiled call per row against the literal bitmap: no explode, no
+    * join, no aggregate on the batch side, just scan throughput. Only
+    * maybe-dups need the exact fp semi-join — the Bloom contract (no
+    * false negatives, tunable false positives) cuts the downstream
+    * shuffle to the maybe set, which at a typical <1% dup rate is ~the
+    * FP rate of the filter.
     *
     * Unlike library Bloom filters (engine-specific bit layouts), the
-    * positions are [[Sampling.hashU32]] md5 arithmetic — deterministic
-    * and reproducible in any engine, so the gate is oracle-checkable
-    * bit-for-bit. The demo emits the exact check alongside
-    * (`is_dup`, `false_positive`) to PRICE the FP rate in the same
-    * query; a production pass runs the exact join only on
+    * positions are Kirsch–Mitzenmacher md5-hex arithmetic —
+    * deterministic and reproducible in any engine, so the gate is
+    * oracle-checkable bit-for-bit. The demo emits the exact check
+    * alongside (`is_dup`, `false_positive`) to PRICE the FP rate in
+    * the same query; a production pass runs the exact join only on
     * `maybe_dup` rows. Sizing: FP ≈ (fill)^kHashes with
     * fill ≈ 1 − exp(−k·n/m); size mBits ≈ 10–15 bits/doc for <1% FP
     * (the demo's 65536 bits ≈ 13 bits/doc at the largest test corpus —
     * a realistic ~0.6% FP rate that still surfaces measurable FPs
     * there while staying clean at the smaller SFs).
     *
-    * Scale: two projections + one broadcast position join + one
-    * doc_id-keyed agg; the exact-check join here is exactly the
-    * downstream verify the gate protects, included for measurement.
+    * Scale: the literal-bitmap projection carries mBits/8 bytes in the
+    * plan — right up to the tens-of-MB bitmaps a per-shard deployment
+    * filter uses. Past that (a single global filter over 10^10 docs
+    * wants mBits ≈ 10^11 ≈ 12 GB) no single-node bitmap fits ANY
+    * engine's broadcast, and the gate falls back to the
+    * position-partitioned join form ([[bloomPreGateJoin]]) — the same
+    * values, shuffle-partitioned by bit position.
     */
   def bloomPreGate(corpus: DataFrame, batch: DataFrame, mBits: Int = 65536,
       kHashes: Int = 3): DataFrame = {
+    if (mBits > (1 << 26)) return bloomPreGateJoin(corpus, batch, mBits, kHashes)
+    graft.functions.BloomProbe.register(corpus.sparkSession)
+    val words = bloomBitmap(corpus, mBits, kHashes)
+    val corpusFps = corpus.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("dup", lit(true))
+    val gated = batch
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        call_function("bloom_probe", col("fp"),
+          typedLit(words.toSeq), lit(mBits), lit(kHashes)).as("maybe_dup"))
+    gated.join(corpusFps, Seq("fp"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        coalesce(col("dup"), lit(false)).as("is_dup"),
+        (col("maybe_dup") && !coalesce(col("dup"), lit(false)))
+          .as("false_positive"))
+  }
+
+  /** the shuffle form of [[bloomPreGate]] for bitmaps past literal /
+    * broadcast size: positions explode and equi-join on bit position,
+    * per-doc AND via count aggregation — value-identical.
+    */
+  private[llm] def bloomPreGateJoin(corpus: DataFrame, batch: DataFrame,
+      mBits: Int, kHashes: Int): DataFrame = {
     def fps(df: DataFrame) =
       df.select(col("doc_id"), md5(col("text")).as("fp"))
-    def positions(df: DataFrame) = {
-      val pos = (1 to kHashes).map(j =>
-        Sampling.hashU32(col("fp"), s"bloom$j") % mBits)
+    def positions(df: DataFrame) =
       fps(df).select(col("doc_id"), col("fp"),
-          explode(array_distinct(array(pos: _*))).as("pos"))
-    }
+        explode(array_distinct(
+          array(bloomPositions(col("fp"), mBits, kHashes): _*))).as("pos"))
     val filterBits = positions(corpus).select(col("pos")).distinct()
       .withColumn("hit", lit(1))
     val corpusFps = fps(corpus).select(col("fp")).distinct()
       .withColumn("dup", lit(true))
     val gated = positions(batch)
-      .join(broadcast(filterBits), Seq("pos"), "left")
+      .join(filterBits, Seq("pos"), "left")
       .groupBy(col("doc_id"), col("fp"))
       .agg(count(lit(1)).as("n_pos"),
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))

@@ -311,17 +311,16 @@ object Sampling {
     * EXACTLY the global greedy rule (buckets partition disjoint score
     * ranges, so cross-bucket order is total).
     *
-    * The boundary cell refines through a SECOND histogram level keyed
-    * (score, doc_id-range) — necessary, not defensive: the score
-    * formula's `least(1.0, …)` clamp masses every clean document at
-    * exactly 1.0, so the top cell can hold a third of the corpus and a
-    * flat within-cell window degenerated to a single-partition sort
-    * (measured at the ×300 corpus: 47 s vs DuckDB's 1.6 s before the
-    * refinement). The level-2 cell count is bounded EITHER way: spread
-    * scores ⟹ the level-1 cell is ~1/nBuckets of the corpus; massed
-    * scores ⟹ few distinct score values × ≤1024 doc_id ranges. Within
-    * a level-2 cell (one score value, one id range) the order is plain
-    * doc_id and the window is ≤ range-width rows.
+    * The boundary cell refines through [[refineBoundary]] — necessary,
+    * not defensive: the score formula's `least(1.0, …)` clamp masses
+    * every clean document at exactly 1.0, so the top cell can hold a
+    * third of the corpus and a flat within-cell window degenerated to a
+    * single-partition sort (measured at the ×300 corpus: 47 s vs
+    * DuckDB's 1.6 s before the refinement). Every driver collect in the
+    * refinement is bounded ≤ 2·nBuckets rows BY CONSTRUCTION (the group
+    * count is checked distributed-side before anything collects — the
+    * r11 verdict's budgetSelect scale edge), for massed, continuous,
+    * and mixed score distributions alike.
     */
   def budgetSelect(docs: DataFrame, budgetFrac: Double = BudgetFrac,
       nBuckets: Int = 1024): DataFrame = {
@@ -353,25 +352,98 @@ object Sampling {
       if (budget <= 0L) base.withColumn("kept", lit(false))
       else if (boundary < 0) base.withColumn("kept", lit(true))
       else {
-        val spark = docs.sparkSession
-        import spark.implicits._
-        val b = s.filter(col("bucket") === boundary)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // level-2 histogram: (score value, doc_id range) cells; range
-        // width sized so ≤ 1024 ranges cover the id space
-        val maxId = b.agg(max(col("doc_id"))).collect()(0).getLong(0)
-        val dshift = math.max(0,
-          (64 - java.lang.Long.numberOfLeadingZeros(maxId)) - 10)
-        val hiCol = shiftright(col("doc_id"), dshift)
-        val cells2: Array[(Double, Long, Long)] = b
+        val bref = refineBoundary(
+          s.filter(col("bucket") === boundary)
+            .select(col("doc_id"), col("quality_score"), col("n_tokens")),
+          above, budget, nBuckets)
+        base.join(bref, Seq("doc_id"), "left")
+          .withColumn("kept",
+            when(col("bucket") > boundary, lit(true))
+              .when(col("bucket") < boundary, lit(false))
+              // the left join covers the boundary cell by construction
+              // (bref partitions exactly its rows); the coalesce is the
+              // loud-failure guard against a recomputed score ever
+              // drifting bits (r11 advice) — a dropped doc reads as
+              // not-kept instead of NULL poisoning the downstream union
+              .otherwise(coalesce(col("bkept"), lit(false))))
+      }
+    out.select(col("doc_id"), col("quality_score"), col("n_tokens"),
+      col("kept"))
+  }
+
+  /** greedy-prefix refinement of ONE histogram boundary cell, every
+    * driver collect bounded ≤ 2·nBuckets rows by construction — the
+    * within-cell half of [[budgetSelect]] (r11 verdict task 4).
+    *
+    * `cell` is (doc_id, quality_score, n_tokens); `above` the token
+    * total already kept by higher cells; greedy order is score desc,
+    * then doc_id asc. Returns (doc_id, bkept) covering exactly the
+    * cell's rows.
+    *
+    * The loop alternates two moves, choosing by a distributed GROUP
+    * COUNT (never by collecting the groups first):
+    *   - if the cell's order-respecting exact key set — (score value,
+    *     doc_id-range), the key family whose within-group window is
+    *     plain doc_id order over ≤ range-width rows — has ≤ 2·nBuckets
+    *     groups, collect those totals and window within groups (the
+    *     massed-score case: the 1.0-clamp atom is few values × ≤1024
+    *     id ranges);
+    *   - otherwise SUBDIVIDE the cell's score range into nBuckets
+    *     sub-ranges (≤ nBuckets totals collect), keep/drop the
+    *     sub-ranges above/below the new boundary wholesale, and recurse
+    *     into the boundary sub-range (the continuous-score case: the
+    *     cell shrinks ~nBuckets× per level, so two levels cover 10^10
+    *     docs; a clamp atom hiding inside a continuous cell isolates
+    *     into its own sub-range and exits through the first move).
+    * Depth is capped at 6 (a 52-bit double mantissa cannot spread
+    * past ~5 subdivisions of a 1/nBuckets-wide range); the cap then
+    * falls through to the exact path, which stays correct for any
+    * group count — the cap bounds only the collect-size guarantee.
+    * `collectProbe` receives every driver collect's row count (spec
+    * hook, the CC planProbe discipline).
+    */
+  private[llm] def refineBoundary(cellIn: DataFrame, aboveIn: Long,
+      budget: Long, nBuckets: Int,
+      collectProbe: (String, Int) => Unit = (_, _) => ()): DataFrame = {
+    val spark = cellIn.sparkSession
+    import spark.implicits._
+    val grpCap = 2 * nBuckets
+    var cell = cellIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var above = aboveIn
+    var parts = List.empty[DataFrame]
+    var result: DataFrame = null
+    var depth = 0
+    // id-range width fixed once off the cell's max id: ≤ nBuckets
+    // ranges, so a single-score atom's exact key set is ≤ nBuckets ≤
+    // grpCap groups no matter how its ids spread
+    val maxId = cell.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val rangeBits = 32 - java.lang.Integer.numberOfLeadingZeros(
+      math.max(1, nBuckets - 1))
+    val dshift = math.max(0,
+      (64 - java.lang.Long.numberOfLeadingZeros(maxId)) - rangeBits)
+    val hiCol = shiftright(col("doc_id"), dshift)
+    while (result == null) {
+      depth += 1
+      val st = cell.agg(min(col("quality_score")).as("lo"),
+        max(col("quality_score")).as("hi"),
+        countDistinct(struct(col("quality_score"), hiCol)).as("grp"))
+        .collect()(0)
+      val (lo, hi, grp) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
+      // lo == hi (one exact score) always takes the exact path: its
+      // group count is ≤ nBuckets id-ranges, and a zero-width score
+      // range cannot subdivide
+      if (grp <= grpCap || lo == hi || depth > 6) {
+        // exact path: collect the (score, id-range) totals — ≤ grpCap
+        // rows (checked distributed-side above), window within groups
+        val cells2: Array[(Double, Long, Long)] = cell
           .groupBy(col("quality_score"), hiCol.as("hi"))
           .agg(sum(col("n_tokens")).as("t")).collect()
           .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-        // driver prefix in the global greedy order (score desc, then
-        // id-range asc), seeded with the tokens above the boundary cell
-        var acc2 = above
-        val offs = cells2.sortBy { case (sc, hi, _) => (-sc, hi) }
-          .map { case (sc, hi, t) => val o = (sc, hi, acc2); acc2 += t; o }
+        collectProbe("exact", cells2.length)
+        var acc = above
+        val offs = cells2.sortBy { case (sc, h, _) => (-sc, h) }
+          .map { case (sc, h, t) => val o = (sc, h, acc); acc += t; o }
         val offsDf = offs.toSeq.toDF("quality_score", "hi", "off")
         val w2 = org.apache.spark.sql.expressions.Window
           .partitionBy(col("quality_score"), col("hi"))
@@ -379,18 +451,33 @@ object Sampling {
           .rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding,
             -1)
-        val bref = b.withColumn("hi", hiCol)
+        val bref = cell.withColumn("hi", hiCol)
           .join(broadcast(offsDf), Seq("quality_score", "hi"))
           .withColumn("prev",
             coalesce(sum(col("n_tokens")).over(w2), lit(0L)) + col("off"))
           .select(col("doc_id"), (col("prev") < budget).as("bkept"))
-        base.join(bref, Seq("doc_id"), "left")
-          .withColumn("kept",
-            when(col("bucket") > boundary, lit(true))
-              .when(col("bucket") < boundary, lit(false))
-              .otherwise(col("bkept")))
+        result = (bref :: parts).reduce(_ unionByName _)
+      } else {
+        // subdivide the score range; grp > grpCap ⟹ hi > lo strictly
+        val width = (hi - lo) / nBuckets
+        val subCol = least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("quality_score") - lit(lo)) / lit(width)).cast("int")))
+        val subs: Array[(Int, Long)] = cell.groupBy(subCol.as("sub"))
+          .agg(sum(col("n_tokens")).as("t")).collect()
+          .map(r => (r.getInt(0), r.getLong(1)))
+        collectProbe("subdivide", subs.length)
+        var b2 = -1
+        for ((sb, t) <- subs.sortBy(-_._1) if b2 < 0) {
+          if (above + t >= budget) b2 = sb else above += t
+        }
+        parts ::= cell.filter(subCol > b2)
+          .select(col("doc_id"), lit(true).as("bkept"))
+        parts ::= cell.filter(subCol < b2)
+          .select(col("doc_id"), lit(false).as("bkept"))
+        cell = cell.filter(subCol === b2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    out.select(col("doc_id"), col("quality_score"), col("n_tokens"),
-      col("kept"))
+    }
+    result
   }
 }

@@ -411,19 +411,8 @@ object Similarity {
   def assignToCommunities(corpus: DataFrame, communities: DataFrame,
       batch: DataFrame, minCos: Double = 0.3, nBands: Int = 4,
       bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
-    graft.functions.CosineSim.register(corpus.sparkSession)
-    val cbr = vecBandRows(corpus, nBands, bitsPerBand, dim)
-      .select(col("vec_id").as("cand_id"), col("band"), col("bucket"))
-    val bbr = vecBandRows(batch, nBands, bitsPerBand, dim)
-    val cand = bbr.join(cbr, Seq("band", "bucket"))
-      .select(col("vec_id"), col("cand_id")).distinct()
-    val bv = batch.select(col("vec_id"), asDouble(col("embedding")).as("qv"))
-    val cv = corpus.select(col("vec_id").as("cand_id"),
-      asDouble(col("embedding")).as("cvv"))
-    val verified = cand.join(bv, Seq("vec_id")).join(cv, Seq("cand_id"))
-      .select(col("vec_id"), col("cand_id"),
-        call_function("cosine_sim", col("qv"), col("cvv")).as("cos"))
-      .filter(col("cos") >= minCos)
+    val verified = probeVerified(corpus, batch, minCos, nBands,
+      bitsPerBand, dim)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     val best = verified.withColumn("rn", row_number().over(w))
@@ -438,6 +427,99 @@ object Similarity {
         coalesce(col("community_id"), col("vec_id")).as("community_id"),
         col("matched_vec"), col("match_cos"),
         col("community_id").isNull.as("is_new"))
+  }
+
+  /** banded probe + exact-cosine verify of a delta batch against the
+    * corpus: the tau-qualifying (vec_id, cand_id, cos) match set — the
+    * shared evidence of [[assignToCommunities]] (best-match donation)
+    * and [[graphRefreshCycle]] (delta edge append). Delta-proportional:
+    * batch × per-bucket collisions, never batch × corpus.
+    */
+  private[llm] def probeVerified(corpus: DataFrame, batch: DataFrame,
+      minCos: Double, nBands: Int, bitsPerBand: Int, dim: Int): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    val cbr = vecBandRows(corpus, nBands, bitsPerBand, dim)
+      .select(col("vec_id").as("cand_id"), col("band"), col("bucket"))
+    val bbr = vecBandRows(batch, nBands, bitsPerBand, dim)
+    val cand = bbr.join(cbr, Seq("band", "bucket"))
+      .select(col("vec_id"), col("cand_id")).distinct()
+    val bv = batch.select(col("vec_id"), asDouble(col("embedding")).as("qv"))
+    val cv = corpus.select(col("vec_id").as("cand_id"),
+      asDouble(col("embedding")).as("cvv"))
+    cand.join(bv, Seq("vec_id")).join(cv, Seq("cand_id"))
+      .select(col("vec_id"), col("cand_id"),
+        call_function("cosine_sim", col("qv"), col("cvv")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** the incremental graph-maintenance cycle END-TO-END (r11 verdict
+    * task 6 — the x65 refresh discipline applied to the graph layer):
+    * one query prices the full "crawl N+1 arrives" path a deployment
+    * schedules between full rebuilds:
+    *   1. [[Dedup.snapshotDiff]] (x60) scopes the delta — documents
+    *      whose content CHANGED re-embed, so their vectors must
+    *      re-enter the graph;
+    *   2. the stored artifacts stand in: the corpus (minus the delta)
+    *      kNN edge set and its strong-edge communities — in production
+    *      these load from parquet, here they build in-query so the
+    *      oracle can check the whole cycle;
+    *   3. [[assignToCommunities]]'s probe/verify/donate (x73) assigns
+    *      each delta vector, delta-proportionally;
+    *   4. [[communityQualityWith]] (x72) re-scores the UPDATED
+    *      partition over the stored graph PLUS the delta's verified
+    *      tau-edges — the refresh loop's go/no-go health metric.
+    * Deliberate seams, same as x73's merge deferral: the delta edges
+    * are batch→corpus tau-matches only (no batch×batch edges, no
+    * top-k re-rank, no sub-tau weak edges for new vectors) — exactly
+    * what the probe inspected; the periodic full rebuild reconciles.
+    * Reference behavior generalized: the catalog refresh loop
+    * (reference src/main.rs:453-459) applied to graph curation.
+    */
+  def graphRefreshCycle(oldDocs: DataFrame, newDocs: DataFrame,
+      embeddings: DataFrame, minCos: Double = 0.3, k: Int = 5,
+      nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame = {
+    val changed = Dedup.snapshotDiff(oldDocs, newDocs)
+      .filter(col("status") === "changed")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = embeddings.join(changed, Seq("vec_id"), "left_anti")
+    val batch = embeddings.join(changed, Seq("vec_id"), "left_semi")
+    // stored artifacts: full ranked corpus edge set + strong communities
+    val g = knnGraph(corpus, k, nBands, bitsPerBand, dim, maxBucket)
+    val ue = g
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"), col("cos"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("cos")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val strong = ue.filter(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"))
+    val comms = Dedup.clustersFromPairs(
+        corpus.select(col("vec_id").as("doc_id")), strong, maxIter)
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("community_id"))
+    // delta probe: two consumers (donation + edge append)
+    val verified = probeVerified(corpus, batch, minCos, nBands,
+        bitsPerBand, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(comms.select(col("vec_id").as("cand_id"),
+        col("community_id")), Seq("cand_id"))
+      .select(col("vec_id"), col("community_id"))
+    val assigned = batch.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("community_id"), col("vec_id")).as("community_id"))
+    val merged = comms.unionByName(assigned)
+    val newEdges = verified
+      .select(least(col("vec_id"), col("cand_id")).as("doc_a"),
+        greatest(col("vec_id"), col("cand_id")).as("doc_b"))
+      .distinct()
+    val graphPlus = ue.select(col("doc_a"), col("doc_b"))
+      .unionByName(newEdges).distinct()
+    communityQualityWith(graphPlus, merged)
   }
 
   /** capped-bucket diagnostic for [[lshNearDup]]: (band, bucket, bsz)

@@ -77,7 +77,12 @@ object StreamOps {
     }
     def linkIn(target: Path, name: String): Unit = {
       val link = staged.resolve(name)
-      if (!Files.exists(link)) Files.createSymbolicLink(link, target)
+      // idempotent link-in (r11 advice): concurrent processes sharing
+      // the staging dir race check-then-create — the loser's create
+      // throws on a link the winner just made, which is success
+      if (!Files.exists(link))
+        try Files.createSymbolicLink(link, target)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     if (Files.isDirectory(path)) {
       val it = Files.list(path)
@@ -99,6 +104,39 @@ object StreamOps {
     * micro-batch, so checkpoint placement is a first-order streaming cost —
     * tmpfs locally; on a cluster this is the fast-DFS checkpoint volume
     */
+  /** spill dirs pending exit-time deletion: ONE shutdown hook drains
+    * the queue (r11 advice — a hook per call accumulated thread objects
+    * without bound in a long-lived session), and [[cleanupSpillDirs]]
+    * lets a caller whose frames are fully materialized reclaim the
+    * RAM-backed space eagerly instead of waiting for exit.
+    */
+  private val spillDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val spillHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = spillDirs.poll()
+      while (p != null) { rmTree(p); p = spillDirs.poll() }
+    }))
+  }
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(p.toFile)
+  }
+
+  /** eagerly delete every spill/checkpoint dir registered so far — for
+    * long-lived sessions between ingest batches, AFTER all frames that
+    * read them (CC outputs, stream results) are materialized or
+    * discarded; frames still lazy over these files will fail on action.
+    */
+  def cleanupSpillDirs(): Unit = {
+    var p = spillDirs.poll()
+    while (p != null) { rmTree(p); p = spillDirs.poll() }
+  }
+
   def checkpointDir(name: String): String = {
     val root = if (java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
@@ -109,16 +147,10 @@ object StreamOps {
     // and CC spill file (preferentially into RAM-backed /dev/shm)
     // until reboot. The returned frames read these files lazily, so
     // eager deletion is not safe before exit; a long-lived session
-    // should size its ingest batches with this per-call footprint in
-    // mind (one edge-set copy per CC invocation).
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.io.File): Unit = {
-        val kids = p.listFiles()
-        if (kids != null) kids.foreach(rm)
-        p.delete(); ()
-      }
-      rm(d.toFile)
-    }))
+    // calls [[cleanupSpillDirs]] between batches once frames are
+    // materialized (one edge-set copy per CC invocation otherwise).
+    spillHook
+    spillDirs.add(d)
     d.toString
   }
 
@@ -289,12 +321,29 @@ object StreamOps {
         graft.core.Tables.load(spark, dir, "documents")
           .filter(col("doc_id") % 10 === 0)))
       .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
+    decontamGateStreamWith(spark, dir, ref, "st_decontam_gate")
+  }
+
+  /** st09 off the STORED band index — the production entry point (the
+    * `takedownPropagateWithClusters` discipline, r11 verdict task 5):
+    * `index` is the (band, bh, eval_id) artifact a deployment
+    * materializes once per eval-set release; starting the gate costs
+    * one broadcast of that KB-sized frame, never a minhash rebuild.
+    * The in-stream plan is identical to [[decontamGate]]'s —
+    * bandsInRow projection + broadcast join — so the two are row-equal
+    * by construction (spec-pinned in StreamArtifactSpec).
+    */
+  def decontamGateStreamWith(spark: SparkSession, dir: String,
+      index: DataFrame,
+      sinkName: String = "st_decontam_gate_stored"): DataFrame = {
+    import graft.llm.Dedup
+    val ref = index.select(col("band"), col("bh"), col("eval_id"))
     val incoming = fileStream(spark, dir, "documents")
       .filter(col("doc_id") % 10 =!= 0)
     val hits = Dedup.bandsInRow(incoming)
       .join(broadcast(ref), Seq("band", "bh"))
       .select(col("doc_id"), col("band"), col("bh"), col("eval_id"))
-    runToTable(hits, "st_decontam_gate", "append")
+    runToTable(hits, sinkName, "append")
   }
 
   /** st10 — batch-fit, stream-score: DSIR importance weights fit ONCE
@@ -410,26 +459,21 @@ object StreamOps {
     */
   def bloomGateStream(spark: SparkSession, dir: String,
       mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
-    import graft.llm.Sampling
+    import graft.llm.Dedup
+    graft.functions.BloomProbe.register(spark)
     val corpus = graft.core.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 10 =!= 0)
-    val positions: Seq[Long] = corpus
-      .select(md5(col("text")).as("fp"))
-      .select(explode(array_distinct(array((1 to kHashes).map(j =>
-        Sampling.hashU32(col("fp"), s"bloom$j") % mBits): _*))).as("pos"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val filterMap = typedLit(positions.map(_ -> true).toMap)
+    // the stored bitmap artifact, embedded as the probe literal — the
+    // stream side is md5 + ONE native bloom_probe call per row (the
+    // batch gate's exact projection, stateless in-flight)
+    val words = Dedup.bloomBitmap(corpus, mBits, kHashes)
     val incoming = fileStream(spark, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
-    val ps = array_distinct(array((1 to kHashes).map(j =>
-      Sampling.hashU32(col("fp"), s"bloom$j") % mBits): _*))
     val gated = incoming
       .select(col("doc_id"), md5(col("text")).as("fp"))
-      .select(col("doc_id"), ps.as("ps"))
       .select(col("doc_id"),
-        (size(col("ps")) ===
-          size(filter(col("ps"), p => element_at(filterMap, p).isNotNull)))
-          .as("maybe_dup"))
+        call_function("bloom_probe", col("fp"),
+          typedLit(words.toSeq), lit(mBits), lit(kHashes)).as("maybe_dup"))
     runToTable(gated, "st_bloom_gate", "append")
   }
 
@@ -478,11 +522,26 @@ object StreamOps {
     * st10/st15 discipline.
     */
   def takedownClusterGateStream(spark: SparkSession, dir: String,
-      forgetMod: Long = 41L): DataFrame = {
-    import graft.llm.Dedup
-    val corpus = graft.core.Tables.load(spark, dir, "documents")
-    val clusters = Dedup.dupClusters(corpus)
-    val forget = corpus.filter(col("doc_id") % forgetMod === 0)
+      forgetMod: Long = 41L): DataFrame =
+    takedownClusterGateStreamWith(spark, dir,
+      graft.llm.Dedup.dupClusters(
+        graft.core.Tables.load(spark, dir, "documents")),
+      forgetMod, "st_takedown_cluster_gate")
+
+  /** st17 off the STORED cluster assignment — the production entry
+    * point (r11 verdict task 5): `clusters` is the (doc_id, cluster_id)
+    * dedup artifact the deployment already materializes; resolving a
+    * takedown notice to its member-id literal costs two
+    * delta-proportional semi-joins over the artifact, never a
+    * [[graft.llm.Dedup.dupClusters]] rebuild. The forget list derives
+    * from the assignment itself (it covers every corpus doc), and the
+    * in-flight plan is the same stateless literal-map projection as the
+    * demo path — row-equal by construction, spec-pinned.
+    */
+  def takedownClusterGateStreamWith(spark: SparkSession, dir: String,
+      clusters: DataFrame, forgetMod: Long = 41L,
+      sinkName: String = "st_takedown_cluster_gate_stored"): DataFrame = {
+    val forget = clusters.filter(col("doc_id") % forgetMod === 0)
       .select(col("doc_id"))
     val badClusters = clusters.join(forget, Seq("doc_id"), "left_semi")
       .select(col("cluster_id")).distinct()
@@ -494,7 +553,7 @@ object StreamOps {
       .select(col("doc_id"),
         when(element_at(bmap, col("doc_id")).isNotNull, "forget")
           .otherwise("ingest").as("action"))
-    runToTable(gated, "st_takedown_cluster_gate", "append")
+    runToTable(gated, sinkName, "append")
   }
 
   /** st18 — the streaming BUDGET gate, x74's train/serve composition

@@ -39,8 +39,64 @@ object StreamQueries extends QueryPack {
       StreamOps.driftMonitorStream(s, dir, headK = DriftHeadK)),
     "st17_takedown_cluster_gate" -> ((s, dir) =>
       StreamOps.takedownClusterGateStream(s, dir)),
-    "st18_budget_gate" -> ((s, dir) => StreamOps.budgetGateStream(s, dir))
+    "st18_budget_gate" -> ((s, dir) => StreamOps.budgetGateStream(s, dir)),
+    // the STORED-artifact twins of st09/st17 (r11 verdict task 5): the
+    // batch-side index/cluster build happens ONCE into a parquet
+    // artifact (the bench's warm-up pass pays it; timed runs measure
+    // only artifact-load + stream), so these rows price the production
+    // path — literal resolution off the stored artifact — while
+    // st09/st17 keep pricing the in-stream-rebuild demo path
+    "st19_decontam_gate_stored" -> ((s, dir) =>
+      StreamOps.decontamGateStreamWith(s, dir,
+        artifact(s, dir, "decontam_index") {
+          import org.apache.spark.sql.functions.col
+          graft.llm.Dedup.bands(graft.llm.Dedup.minhashSignature(
+              graft.core.Tables.load(s, dir, "documents")
+                .filter(col("doc_id") % 10 === 0)))
+            .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
+        })),
+    "st20_takedown_cluster_stored" -> ((s, dir) =>
+      StreamOps.takedownClusterGateStreamWith(s, dir,
+        artifact(s, dir, "dup_clusters") {
+          graft.llm.Dedup.dupClusters(
+            graft.core.Tables.load(s, dir, "documents"))
+        }))
   )
+
+  /** build-once parquet artifact store for the stored-path stream
+    * gates: the artifact is a pure function of the (static) data dir,
+    * written into a pid-unique temp dir and atomically renamed into
+    * place (the Bench.stage discipline — concurrent cold starts cannot
+    * interleave part files; the loser discards its copy), then REUSED
+    * by every later invocation. Parquet's own `_SUCCESS` is the
+    * completeness marker since the rename publishes it atomically with
+    * the data.
+    */
+  private def artifact(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_artifacts/" +
+      s"$tag/$name"
+    val outP = Paths.get(out)
+    if (!Files.exists(outP.resolve("_SUCCESS"))) {
+      Files.createDirectories(outP.getParent)
+      val tmp = Paths.get(out + ".tmp." + ProcessHandle.current().pid())
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // a concurrent builder won; its artifact is complete
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          rm(tmp.toFile)
+      }
+    }
+    spark.read.parquet(out)
+  }
 
   /** head-vocabulary cut shared by the st16 registration and its oracle
     * (the x37/DsirBuckets discipline: interpolate shared constants into
@@ -48,7 +104,7 @@ object StreamQueries extends QueryPack {
     */
   private val DriftHeadK = 50
 
-  override val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "st01_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
          CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
@@ -211,8 +267,8 @@ object StreamQueries extends QueryPack {
     // all-present rule) — the exact check is the batch side's job
     "st14_bloom_gate" -> {
       def pos =
-        s"""(('0x' || substr(md5('bloom' || CAST(j.j AS VARCHAR)
-              || ':' || fp), 1, 8))::BIGINT) % 65536"""
+        s"""((('0x' || substr(fp, 1, 8))::BIGINT
+              + j.j * ('0x' || substr(fp, 9, 8))::BIGINT) % 65536)"""
       s"""WITH corp AS (SELECT doc_id, md5(text) AS fp FROM documents
                         WHERE doc_id % 10 != 0),
           newb AS (SELECT doc_id, md5(text) AS fp FROM documents
@@ -317,4 +373,13 @@ object StreamQueries extends QueryPack {
              ELSE 'ingest' END AS action
          FROM comp c LEFT JOIN bad b USING (cluster_id)"""
   )
+
+  /** the stored-artifact twins are row-equal to the rebuild paths by
+    * construction (same in-stream plan, same artifact values), so they
+    * share the st09/st17 oracles verbatim
+    */
+  override val oracles: Map[String, String] = baseOracles ++ Map(
+    "st19_decontam_gate_stored" -> baseOracles("st09_decontam_gate"),
+    "st20_takedown_cluster_stored" ->
+      baseOracles("st17_takedown_cluster_gate"))
 }

@@ -961,4 +961,80 @@ class PipelineOpsSpec extends SparkSpec {
         r.getAs[Boolean]("capped")).toMap
     assert(capped("small") && !capped("big"))
   }
+
+  /** driver ground truth for [[Sampling.refineBoundary]]: global greedy
+    * prefix over (score desc, doc_id asc), kept iff tokens-before <
+    * budget
+    */
+  private def greedyExpect(rows: Seq[(Long, Double, Long)],
+      budget: Long): Map[Long, Boolean] = {
+    var acc = 0L
+    rows.sortBy { case (id, sc, _) => (-sc, id) }.map {
+      case (id, _, nt) => val kept = acc < budget; acc += nt; id -> kept
+    }.toMap
+  }
+
+  test("refineBoundary: continuous scores — collects bounded ≤ 2·nBuckets," +
+      " greedy-exact") {
+    val s = spark
+    import s.implicits._
+    // every score distinct (golden-ratio low-discrepancy sequence): the
+    // r11 scale edge — the old exact-value level-2 collect would pull
+    // ~n rows to the driver here
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      (i.toLong, (i * 0.6180339887498949) % 1.0, 1L + i % 7)
+    }
+    val budget = rows.map(_._3).sum / 2
+    val nBuckets = 64
+    val collects = scala.collection.mutable.ListBuffer[(String, Int)]()
+    val out = Sampling.refineBoundary(
+        rows.toDF("doc_id", "quality_score", "n_tokens"), 0L, budget,
+        nBuckets, (k, c) => collects += k -> c)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    spark.catalog.clearCache()
+    assert(out.size == n)
+    val expect = greedyExpect(rows, budget)
+    rows.foreach { case (id, _, _) => assert(out(id) == expect(id), id) }
+    // the r11 verdict's bound: EVERY driver collect ≤ 2·nBuckets rows
+    assert(collects.nonEmpty)
+    collects.foreach { case (kind, c) =>
+      assert(c <= 2 * nBuckets, s"$kind collected $c > ${2 * nBuckets}")
+    }
+    // continuous scores must have taken at least one subdivide level
+    assert(collects.exists(_._1 == "subdivide"))
+  }
+
+  test("refineBoundary: clamp atom hiding in a continuous cell isolates") {
+    val s = spark
+    import s.implicits._
+    // half the corpus massed at one exact score (the least(1.0,…) clamp
+    // shape), half continuous — the mix neither pure path handles: the
+    // atom must isolate into its own sub-range and exit via the exact
+    // (score × id-range) path
+    val n = 8000
+    val atomScore = 0.5
+    val rows = (0 until n).map { i =>
+      val sc = if (i % 2 == 0) atomScore
+        else (i * 0.6180339887498949) % 1.0
+      (i.toLong, sc, 1L + i % 5)
+    }
+    // half the total tokens: ~a quarter sits above the atom, so the
+    // greedy cut lands INSIDE the massed score — the recursion must
+    // reach and split the atom, not skip it wholesale
+    val budget = rows.map(_._3).sum / 2
+    val nBuckets = 64
+    val collects = scala.collection.mutable.ListBuffer[(String, Int)]()
+    val out = Sampling.refineBoundary(
+        rows.toDF("doc_id", "quality_score", "n_tokens"), 0L, budget,
+        nBuckets, (k, c) => collects += k -> c)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    spark.catalog.clearCache()
+    assert(out.size == n)
+    val expect = greedyExpect(rows, budget)
+    rows.foreach { case (id, _, _) => assert(out(id) == expect(id), id) }
+    collects.foreach { case (kind, c) =>
+      assert(c <= 2 * nBuckets, s"$kind collected $c > ${2 * nBuckets}")
+    }
+  }
 }

@@ -1,0 +1,42 @@
+package graft.stream
+
+import graft.SparkSpec
+
+/** st19/st20 — the STORED-artifact stream gates must be row-equal to
+  * their in-stream-rebuild twins (r11 verdict task 5): same in-flight
+  * plan, artifact values == rebuild values, so the only difference the
+  * bench may observe is WHERE the batch-side resolution came from.
+  */
+class StreamArtifactSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontamGateStreamWith(stored index) row-equals decontamGate") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    val rebuilt = rows(StreamOps.decontamGate(spark, dir))
+    // the artifact a deployment materializes once per eval release
+    val index = graft.llm.Dedup.bands(graft.llm.Dedup.minhashSignature(
+        graft.core.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)))
+      .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
+    val stored = rows(StreamOps.decontamGateStreamWith(spark, dir, index,
+      "st_decontam_gate_stored_spec"))
+    assert(rebuilt.nonEmpty && stored == rebuilt)
+  }
+
+  test("takedownClusterGateStreamWith(stored clusters) row-equals st17") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val rebuilt = rows(StreamOps.takedownClusterGateStream(spark, dir))
+    val clusters = graft.llm.Dedup.dupClusters(
+      graft.core.Tables.load(spark, dir, "documents"))
+    val stored = rows(StreamOps.takedownClusterGateStreamWith(spark, dir,
+      clusters, 41L, "st_takedown_cluster_stored_spec"))
+    assert(rebuilt.nonEmpty && stored == rebuilt)
+    // both actions must occur or the gate is vacuous on this corpus
+    assert(stored.exists(_._2 == "forget") && stored.exists(_._2 == "ingest"))
+  }
+}
