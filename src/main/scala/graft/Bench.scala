@@ -129,8 +129,11 @@ object Bench {
       sfDir: String, k: Int): String = {
     import org.apache.spark.sql.functions.col
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // _v2: the staged content is a pure function of (sfDir, k, THIS
+    // recipe) — the r12 events amplification changed the recipe, so the
+    // dir name versions with it rather than trusting stale markers
     val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_bench_amplified/${tag}_x$k"
+      s"${System.getProperty("java.io.tmpdir")}/graft_bench_amplified/${tag}_x${k}_v2"
     // the amplified copy is a pure function of (sfDir, k) — reuse an
     // existing staging unless SPARK_GRAFT_RESTAGE=1 (staging ×30 costs
     // minutes); same temp-dir + atomic-rename discipline as stage()
@@ -148,6 +151,17 @@ object Bench {
             // q13's input; percentiles/stats need no key rekeying — a
             // plain k-fold union scales the sort/histogram work k×
             (0 until k).map(_ => df).reduce(_ union _)
+          case "events" =>
+            // the streaming section's input (r11 verdict task 7):
+            // re-key user_id (and event_id) so the corpus gains k×
+            // users with the same per-user event pattern —
+            // sessionization, windows, and the stream-stream join all
+            // scale k× while per-user semantics (and the DuckDB twin's
+            // work) stay faithful
+            (0 until k).map(j => df
+              .withColumn("user_id", col("user_id") * k + j)
+              .withColumn("event_id", col("event_id") * k + j))
+              .reduce(_ union _)
           case _ => df
         }
         val rows = amped.count()

@@ -692,11 +692,21 @@ object Dedup {
     * sizing).
     */
   def bloomBitmap(corpus: DataFrame, mBits: Int = 65536,
+      kHashes: Int = 3): Array[Long] =
+    bloomBitmapOfFps(
+      corpus.select(md5(col("text")).as("fp")).distinct(), mBits, kHashes)
+
+  /** [[bloomBitmap]] off an already-distinct fingerprint frame —
+    * position sets are invariant under fp dedup, so the bitmap can
+    * build from the SAME single md5 pass the exact-check side needs
+    * (r12: the gate's ×300 cost was two full-corpus md5(text) scans;
+    * sharing one persisted distinct-fp frame halves it)
+    */
+  def bloomBitmapOfFps(fps: DataFrame, mBits: Int = 65536,
       kHashes: Int = 3): Array[Long] = {
-    val fp = md5(col("text"))
-    val setBits = corpus
+    val setBits = fps
       .select(explode(array_distinct(
-        array(bloomPositions(fp, mBits, kHashes): _*))).as("pos"))
+        array(bloomPositions(col("fp"), mBits, kHashes): _*))).as("pos"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long]((mBits + 63) / 64)
     setBits.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
@@ -740,9 +750,14 @@ object Dedup {
       kHashes: Int = 3): DataFrame = {
     if (mBits > (1 << 26)) return bloomPreGateJoin(corpus, batch, mBits, kHashes)
     graft.functions.BloomProbe.register(corpus.sparkSession)
-    val words = bloomBitmap(corpus, mBits, kHashes)
-    val corpusFps = corpus.select(md5(col("text")).as("fp")).distinct()
-      .withColumn("dup", lit(true))
+    // ONE corpus md5 pass: the persisted distinct-fp frame feeds both
+    // the bitmap build (positions are fp-dedup-invariant) and the
+    // exact-check join — the corpus text is scanned and hashed once,
+    // not twice (caller releases the cache per the Engine contract)
+    val fps = corpus.select(md5(col("text")).as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val words = bloomBitmapOfFps(fps, mBits, kHashes)
+    val corpusFps = fps.withColumn("dup", lit(true))
     val gated = batch
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .select(col("doc_id"), col("fp"),

