@@ -251,6 +251,12 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
       embeddings: DataFrame, minCos: Double = 0.3, k: Int = 5): DataFrame =
     graft.llm.Similarity.graphRefreshCycle(oldDocs, newDocs, embeddings,
       minCos, k)
+  /** the refresh cycle off stored graph + community artifacts */
+  def graphRefreshCycleWith(corpus: DataFrame, batch: DataFrame,
+      graph: DataFrame, communities: DataFrame,
+      minCos: Double = 0.3): DataFrame =
+    graft.llm.Similarity.graphRefreshCycleWith(corpus, batch, graph,
+      communities, minCos)
 
   /** Cache contract (r11 advice): the dedup/graph/budget operators
     * persist intermediates at MEMORY_AND_DISK for intra-query branch

@@ -505,6 +505,24 @@ object Similarity {
         corpus.select(col("vec_id").as("doc_id")), strong, maxIter)
       .select(col("doc_id").as("vec_id"),
         col("cluster_id").as("community_id"))
+    graphRefreshCycleWith(corpus, batch,
+      ue.select(col("doc_a"), col("doc_b")), comms, minCos, nBands,
+      bitsPerBand, dim)
+  }
+
+  /** [[graphRefreshCycle]] off STORED artifacts — the production entry
+    * point (the st19/st20 discipline applied to the graph layer):
+    * `graph` is the undirected corpus edge set and `communities` the
+    * (vec_id, community_id) assignment a deployment materializes at
+    * its last full rebuild; a refresh cycle then costs only the delta
+    * probe + the metric joins — never a kNN-graph or CC rebuild. The
+    * in-query-build path above routes through here, so the two are
+    * row-equal by construction (spec-pinned).
+    */
+  def graphRefreshCycleWith(corpus: DataFrame, batch: DataFrame,
+      graph: DataFrame, communities: DataFrame, minCos: Double = 0.3,
+      nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+    val comms = communities.select(col("vec_id"), col("community_id"))
     // delta probe: two consumers (donation + edge append)
     val verified = probeVerified(corpus, batch, minCos, nBands,
         bitsPerBand, dim)
@@ -525,7 +543,7 @@ object Similarity {
       .select(least(col("vec_id"), col("cand_id")).as("doc_a"),
         greatest(col("vec_id"), col("cand_id")).as("doc_b"))
       .distinct()
-    val graphPlus = ue.select(col("doc_a"), col("doc_b"))
+    val graphPlus = graph.select(col("doc_a"), col("doc_b"))
       .unionByName(newEdges).distinct()
     communityQualityWith(graphPlus, merged)
   }

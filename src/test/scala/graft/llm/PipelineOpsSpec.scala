@@ -739,6 +739,39 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("graphRefreshCycleWith(stored artifacts) equals the in-query build") {
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val embs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val newDocs = docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val oneShot = graft.llm.Similarity.graphRefreshCycle(docs, newDocs,
+        embs, minCos = 0.3, k = 5, nBands = 4, bitsPerBand = 8)
+      .collect().map(_.toSeq.toList).toSet
+    spark.catalog.clearCache()
+    // the stored artifacts a deployment materializes at full rebuild
+    val changed = graft.llm.Dedup.snapshotDiff(docs, newDocs)
+      .filter(col("status") === "changed")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = embs.join(changed, Seq("vec_id"), "left_anti")
+    val batch = embs.join(changed, Seq("vec_id"), "left_semi")
+    val g = Similarity.knnGraph(corpus, k = 5, nBands = 4, bitsPerBand = 8)
+    val ua = g.select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"))
+      .distinct()
+    val comms = Similarity.knnCommunities(corpus, minCos = 0.3, k = 5,
+        nBands = 4, bitsPerBand = 8)
+      .select(col("vec_id"), col("community_id"))
+    val stored = Similarity.graphRefreshCycleWith(corpus, batch, ua,
+        comms, minCos = 0.3, nBands = 4, bitsPerBand = 8)
+      .collect().map(_.toSeq.toList).toSet
+    assert(stored == oneShot && oneShot.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("corpusDrift: an empty incoming slice yields finite chi2, no crash") {
     // the r10 st16 sf0.1 failure: n_b = 0 makes e_b = 0 for every row
     // and the unguarded d²/e threw ANSI DIVIDE_BY_ZERO. The guarded
