@@ -612,8 +612,21 @@ object RelQueries extends QueryPack {
         .groupBy($"event_type".as("step1"), $"step2", $"step3")
         .agg(count(lit(1)).as("n_paths"),
           countDistinct($"user_id").as("n_users"))
-    })
+    }),
+
+    // exact quantile_cont WITHOUT a global sort: recursive range
+    // histograms resolve the bracketing order statistics (the x74
+    // boundary discipline applied to rank selection), interpolation in
+    // DuckDB's own spelling — the 100 TB-exact complement to q13's
+    // per-group interpolation and q30's mergeable sketch
+    "q36_exact_quantiles" -> ((s, dir) =>
+      Scale.exactQuantiles(t(s, dir, "events"), "value", QuantileProbs))
   )
+
+  /** shared by the q36 registration and its oracle (the DsirBuckets
+    * interpolation discipline)
+    */
+  private val QuantileProbs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
 
   /** 100 TB scale path for q13: `approx_percentile` is a mergeable KLL-style
     * sketch — partial-aggregable, no per-group global sort, bounded memory —
@@ -968,6 +981,18 @@ object RelQueries extends QueryPack {
                                    ORDER BY ts, event_id))
          SELECT step1, step2, step3, count(*) AS n_paths,
            count(DISTINCT user_id) AS n_users
-         FROM p WHERE step3 IS NOT NULL GROUP BY 1, 2, 3"""
+         FROM p WHERE step3 IS NOT NULL GROUP BY 1, 2, 3""",
+
+    // exact quantiles: the oracle IS the global sort the histogram
+    // decomposition avoids; list-form quantile_cont = one sort pass
+    "q36_exact_quantiles" -> {
+      val list = QuantileProbs.mkString("[", ", ", "]")
+      val idx = QuantileProbs.zipWithIndex
+        .map { case (p, i) => s"($p, ${i + 1})" }.mkString(", ")
+      s"""WITH v AS (SELECT quantile_cont(value, $list) AS vs
+                     FROM events WHERE value IS NOT NULL)
+          SELECT CAST(t.prob AS DOUBLE) AS prob, v.vs[t.i] AS value
+          FROM v, (VALUES $idx) AS t(prob, i)"""
+    }
   )
 }

@@ -34,4 +34,127 @@ object Scale {
       rsd: Double = 0.01): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(approx_count_distinct(col(valueCol), rsd).as(s"approx_$valueCol"))
+
+  /** EXACT quantiles (`quantile_cont` semantics: linear interpolation
+    * between the two neighboring order statistics at rank p·(n−1))
+    * WITHOUT a global sort — the 100 TB alternative to both q13's
+    * `percentile` (single-reducer sort per group at scale) and q30's
+    * `approx_percentile` (not exact, sketch-dependent bits): the
+    * recursive range-histogram discipline of the budget/shard family
+    * applied to order statistics.
+    *
+    * Per level, ONE distributed job histograms the still-unresolved
+    * value ranges into `nBuckets` sub-ranges each, collecting
+    * (range, bucket) → (count, min, max) — ≤ 2·|probs|·nBuckets rows,
+    * never data-sized. A target rank resolves the moment its bucket
+    * holds one distinct value (min == max — ties collapse into this
+    * case); otherwise it recurses into its bucket's OBSERVED [min,
+    * max] with a rank offset. Two distinct doubles always split into
+    * different buckets (the bucket function spans the observed range),
+    * so depth is bounded by the 52-bit mantissa (~6 levels past the
+    * first) and in practice 2–3 levels resolve everything. The final
+    * interpolation mirrors DuckDB's spelling bit-for-bit:
+    * `(crn−rn)·v_lo + (rn−frn)·v_hi`, the exact rank case returning
+    * the order statistic untouched.
+    *
+    * Scale shape: level 1 scans the column once; each later level
+    * scans with a range predicate covering ~1/nBuckets of the data
+    * (parquet min/max pruning skips whole row groups). The oracle is
+    * the full sort this decomposition avoids.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      probs: Seq[Double], nBuckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")).collect()(0)
+    val n = st.getLong(0)
+    if (n == 0L)
+      return Seq.empty[(Double, Double)].toDF("prob", "value")
+    // target order-statistic indices (0-based) for every prob
+    val ranks: Seq[(Double, Double, Long, Long)] = probs.map { p =>
+      val rn = (n - 1).toDouble * p
+      val frn = math.floor(rn).toLong
+      val crn = math.ceil(rn).toLong
+      (p, rn, frn, crn)
+    }
+    var pending: Map[Long, (Int, Long)] =
+      ranks.flatMap { case (_, _, f, c) => Seq(f, c) }.distinct
+        .map(i => i -> (0, i)).toMap // idx -> (rangeId, rankWithinRange)
+    var ranges: Map[Int, (Double, Double)] =
+      Map(0 -> (st.getDouble(1), st.getDouble(2)))
+    val resolved = scala.collection.mutable.Map[Long, Double]()
+    var depth = 0
+    while (pending.nonEmpty && depth < 64) {
+      depth += 1
+      val rlist = ranges.toSeq.sortBy(_._1)
+      // one job: histogram every active range into nBuckets sub-ranges
+      val rangeId = rlist.tail.foldLeft(
+        when(col("v").between(rlist.head._2._1, rlist.head._2._2),
+          lit(rlist.head._1))) { case (acc, (id, (lo, hi))) =>
+        acc.when(col("v").between(lo, hi), lit(id))
+      }
+      val subFor: Map[Int, Column] = rlist.map { case (id, (lo, hi)) =>
+        val w = (hi - lo) / nBuckets
+        id -> (if (w > 0d)
+          least(lit(nBuckets - 1), greatest(lit(0),
+            floor((col("v") - lit(lo)) / lit(w)).cast("int")))
+        else lit(0))
+      }.toMap
+      val subCol = rlist.tail.foldLeft(
+        when(col("r") === rlist.head._1, subFor(rlist.head._1))) {
+        case (acc, (id, _)) => acc.when(col("r") === id, subFor(id))
+      }
+      val cells: Array[(Int, Int, Long, Double, Double)] = vals
+        .filter(rlist.map { case (_, (lo, hi)) =>
+          col("v").between(lo, hi) }.reduce(_ || _))
+        .select(col("v"), rangeId.as("r"))
+        .withColumn("sub", subCol)
+        .groupBy(col("r"), col("sub"))
+        .agg(count(lit(1)).as("c"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      val byRange = cells.groupBy(_._1)
+      var nextRanges = Map.empty[Int, (Double, Double)]
+      var nextPending = Map.empty[Long, (Int, Long)]
+      var nextId = 0
+      val bucketKey = scala.collection.mutable.Map[(Int, Int), Int]()
+      pending.foreach { case (idx, (rid, rank)) =>
+        val subs = byRange(rid).sortBy(_._2)
+        var acc = 0L
+        var placed = false
+        for ((_, sub, c, mn, mx) <- subs if !placed) {
+          if (rank < acc + c) {
+            placed = true
+            if (mn == mx) resolved(idx) = mn
+            else {
+              val key = (rid, sub)
+              val nid = bucketKey.getOrElseUpdate(key,
+                { val i = nextId; nextId += 1; i })
+              nextRanges += nid -> (mn, mx)
+              nextPending += idx -> (nid, rank - acc)
+            }
+          } else acc += c
+        }
+        assert(placed, s"rank $rank not found in range $rid")
+      }
+      ranges = nextRanges
+      pending = nextPending
+    }
+    vals.unpersist()
+    val out = ranks.map { case (p, rn, frn, crn) =>
+      val vlo = resolved(frn)
+      val v = if (crn == frn) vlo
+        else {
+          val vhi = resolved(crn)
+          (crn - rn) * vlo + (rn - frn) * vhi
+        }
+      (p, v)
+    }
+    out.toDF("prob", "value")
+  }
 }

@@ -45,6 +45,53 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(approx(k) - n).toDouble / n < 0.05)
     }
   }
+
+  /** driver reference in DuckDB's own interpolation spelling */
+  private def quantileContRef(sorted: Array[Double],
+      p: Double): Double = {
+    val rn = (sorted.length - 1).toDouble * p
+    val frn = math.floor(rn).toLong
+    val crn = math.ceil(rn).toLong
+    if (crn == frn) sorted(frn.toInt)
+    else (crn - rn) * sorted(frn.toInt) + (rn - frn) * sorted(crn.toInt)
+  }
+
+  test("exactQuantiles equals the sorted reference, incl. tie-heavy data") {
+    val s = spark
+    import s.implicits._
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    // continuous values, duplicate-heavy values, and a single value
+    val cases = Seq(
+      (1 to 5000).map(i => ((i * 7919) % 5000) / 3.0),
+      (1 to 5000).map(i => (i % 7).toDouble), // massed ties
+      (1 to 100).map(_ => 42.0))              // one distinct value
+    cases.zipWithIndex.foreach { case (vs, ci) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "value")
+      val out = Scale.exactQuantiles(df, "value", probs, nBuckets = 32)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sorted = vs.toArray.sorted
+      probs.foreach { p =>
+        val ref = quantileContRef(sorted, p)
+        assert(out(p) == ref, s"case $ci p=$p: ${out(p)} != $ref")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("exactQuantiles ignores nulls and handles the empty input") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[Double])]((0L, Some(1.0)), (1L, None),
+      (2L, Some(3.0)), (3L, Some(2.0))).toDF("id", "value")
+    val out = Scale.exactQuantiles(df, "value", Seq(0.5), nBuckets = 4)
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 2.0)
+    val empty = Scale.exactQuantiles(df.filter(col("id") < 0L), "value",
+      Seq(0.5))
+    assert(empty.collect().isEmpty)
+    spark.catalog.clearCache()
+  }
 }
 
 /** bucketed tables co-locate join keys at WRITE time, so the join plan
