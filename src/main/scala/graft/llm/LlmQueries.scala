@@ -255,6 +255,37 @@ object LlmQueries extends QueryPack {
       val d = docs(s, dir)
       Similarity.graphRefreshCycle(d, crawlNext(d), embs(s, dir),
         minCos = 0.3, k = 5, nBands = LshBands, bitsPerBand = LshBits)
+    }),
+    // the refresh cycle off STORED artifacts (the st20 discipline on
+    // the graph layer): the corpus edge set + communities load from
+    // parquet (built once, warm-up pays it), so the timed runs price
+    // the production path — diff + delta probe + re-score only; the
+    // oracle is x78's verbatim (same values by construction)
+    "x79_graph_refresh_stored" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val changed = Dedup.snapshotDiff(d, crawlNext(d))
+        .filter(col("status") === "changed")
+        .select(col("doc_id").as("vec_id"))
+      val corpus = e.join(changed, Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = e.join(changed, Seq("vec_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val graph = ArtifactStore.cached(s, dir, "corpus_graph") {
+        Similarity.knnGraph(corpus, k = 5, nBands = LshBands,
+            bitsPerBand = LshBits)
+          .select(least(col("src"), col("dst")).as("doc_a"),
+            greatest(col("src"), col("dst")).as("doc_b"))
+          .distinct()
+      }
+      val comms = ArtifactStore.cached(s, dir, "corpus_communities") {
+        Similarity.knnCommunities(corpus, minCos = 0.3, k = 5,
+            nBands = LshBands, bitsPerBand = LshBits)
+          .select(col("vec_id"), col("community_id"))
+      }
+      Similarity.graphRefreshCycleWith(corpus, batch, graph, comms,
+        minCos = 0.3, nBands = LshBands, bitsPerBand = LshBits)
     })
   )
 
@@ -2346,125 +2377,10 @@ object LlmQueries extends QueryPack {
     // vector corpus, x71's closure over the corpus slice, x73's
     // probe/verify/donate for the delta, then x72's metric block over
     // the merged assignment and the delta-appended edge set
-    "x78_graph_refresh" ->
-      s"""WITH RECURSIVE $VecBbCte,
-          ofp AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
-          nfp AS (SELECT doc_id,
-              md5(CASE WHEN doc_id % 5 = 0 THEN upper(text)
-                       ELSE text END) AS new_fp
-            FROM documents WHERE doc_id % 7 != 3),
-          chg AS (SELECT o.doc_id FROM ofp o JOIN nfp n
-                  ON o.doc_id = n.doc_id WHERE o.old_fp != n.new_fp),
-          cbb AS (SELECT bb.* FROM bb LEFT JOIN chg
-                  ON bb.vec_id = chg.doc_id WHERE chg.doc_id IS NULL),
-          bbb AS (SELECT bb.* FROM bb JOIN chg ON bb.vec_id = chg.doc_id),
-          corpusv AS (SELECT e.vec_id FROM embeddings e LEFT JOIN chg c
-                      ON e.vec_id = c.doc_id WHERE c.doc_id IS NULL),
-          batchv AS (SELECT e.vec_id FROM embeddings e JOIN chg c
-                     ON e.vec_id = c.doc_id),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM cbb a JOIN cbb b
-              ON a.band = b.band AND a.bucket = b.bucket
-             AND a.vec_id < b.vec_id),
-          pv AS (
-            SELECT c.vec_a, c.vec_b, ea.v AS qv, eb.v AS v
-            FROM cand c
-            JOIN ev ea ON ea.vec_id = c.vec_a
-            JOIN ev eb ON eb.vec_id = c.vec_b),
-          pc AS (SELECT vec_a, vec_b, $COS AS cos FROM pv),
-          directed AS (
-            SELECT vec_a AS src, vec_b AS dst, cos FROM pc
-            UNION ALL
-            SELECT vec_b AS src, vec_a AS dst, cos FROM pc),
-          knn AS (
-            SELECT src, dst, cos FROM (
-              SELECT *, row_number() OVER (PARTITION BY src
-                ORDER BY cos DESC, dst) AS rk FROM directed)
-            WHERE rk <= 5),
-          ua AS (SELECT DISTINCT least(src, dst) AS a,
-                   greatest(src, dst) AS b
-                 FROM knn),
-          ue AS (SELECT DISTINCT least(src, dst) AS a,
-                   greatest(src, dst) AS b
-                 FROM knn WHERE cos >= 0.3),
-          edges AS (SELECT a AS src, b AS dst FROM ue
-                    UNION SELECT b, a FROM ue),
-          reach(vec_id, lbl) AS (
-            SELECT vec_id, vec_id FROM corpusv
-            UNION
-            SELECT e.src, r.lbl FROM edges e JOIN reach r
-              ON r.vec_id = e.dst),
-          comp AS (SELECT vec_id, min(lbl) AS community_id
-                   FROM reach GROUP BY 1),
-          bcand AS (
-            SELECT DISTINCT b.vec_id, c.vec_id AS cand_id
-            FROM bbb b JOIN cbb c
-              ON b.band = c.band AND b.bucket = c.bucket),
-          bver AS (
-            SELECT x.vec_id, x.cand_id, $COS AS cos
-            FROM (SELECT bc.vec_id, bc.cand_id, q.v AS qv, cv.v AS v
-                  FROM bcand bc
-                  JOIN ev q ON q.vec_id = bc.vec_id
-                  JOIN ev cv ON cv.vec_id = bc.cand_id) x),
-          bq AS (SELECT * FROM bver WHERE cos >= 0.3),
-          best AS (
-            SELECT vec_id, cand_id FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY cos DESC, cand_id) AS rn FROM bq)
-            WHERE rn = 1),
-          assigned AS (
-            SELECT b.vec_id,
-              coalesce(cm.community_id, b.vec_id) AS community_id
-            FROM batchv b
-            LEFT JOIN best bs ON bs.vec_id = b.vec_id
-            LEFT JOIN comp cm ON cm.vec_id = bs.cand_id),
-          mergedc AS (SELECT vec_id, community_id FROM comp
-                      UNION ALL
-                      SELECT vec_id, community_id FROM assigned),
-          nedge AS (SELECT DISTINCT least(vec_id, cand_id) AS a,
-                      greatest(vec_id, cand_id) AS b
-                    FROM bq),
-          gp AS (SELECT a, b FROM ua UNION SELECT a, b FROM nedge),
-          tag AS (SELECT gp.a, gp.b,
-                    ca.community_id AS comm_a, cb.community_id AS comm_b
-                  FROM gp
-                  JOIN mergedc ca ON ca.vec_id = gp.a
-                  JOIN mergedc cb ON cb.vec_id = gp.b),
-          mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tag),
-          intl AS (SELECT comm_a AS community_id,
-                     CAST(count(*) AS BIGINT) AS n
-                   FROM tag WHERE comm_a = comm_b GROUP BY 1),
-          cut AS (SELECT community_id, CAST(count(*) AS BIGINT) AS n
-                  FROM (SELECT comm_a AS community_id FROM tag
-                        WHERE comm_a != comm_b
-                        UNION ALL
-                        SELECT comm_b FROM tag WHERE comm_a != comm_b)
-                  GROUP BY 1),
-          base AS (SELECT community_id,
-                     CAST(count(*) AS BIGINT) AS community_size
-                   FROM mergedc GROUP BY 1),
-          q AS (SELECT b.community_id, b.community_size,
-                  CAST(coalesce(i.n, 0) AS BIGINT) AS n_internal,
-                  CAST(coalesce(ct.n, 0) AS BIGINT) AS n_cut
-                FROM base b
-                LEFT JOIN intl i USING (community_id)
-                LEFT JOIN cut ct USING (community_id)),
-          v AS (SELECT *, CAST(2 * n_internal + n_cut AS BIGINT)
-                  AS volume FROM q)
-          SELECT community_id, community_size, n_internal, n_cut, volume,
-            CASE WHEN m > 0 THEN
-              CAST(n_internal AS DOUBLE) / CAST(m AS DOUBLE)
-              - (CAST(volume AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
-                * (CAST(volume AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
-            ELSE 0.0 END AS modularity,
-            CASE WHEN least(CAST(volume AS DOUBLE),
-                2.0 * CAST(m AS DOUBLE) - CAST(volume AS DOUBLE)) > 0
-              THEN CAST(n_cut AS DOUBLE)
-                / least(CAST(volume AS DOUBLE),
-                    2.0 * CAST(m AS DOUBLE) - CAST(volume AS DOUBLE))
-            ELSE 0.0 END AS conductance
-          FROM v, mt""",
+    "x78_graph_refresh" -> GraphRefreshSql,
+    // stored-path twin: same values by construction (the in-query
+    // build routes through graphRefreshCycleWith)
+    "x79_graph_refresh_stored" -> GraphRefreshSql,
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS
@@ -2615,6 +2531,129 @@ object LlmQueries extends QueryPack {
           UNION ALL SELECT 4, 'domain_cap', n3, n4, n3 - n4 FROM a"""
     }
   )
+
+  /** shared by the x78/x79 oracle entries (the DuckDB twin of
+    * graphRefreshCycle; see the x78 registration comment)
+    */
+  private lazy val GraphRefreshSql: String =
+      s"""WITH RECURSIVE $VecBbCte,
+          ofp AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+          nfp AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                       ELSE text END) AS new_fp
+            FROM documents WHERE doc_id % 7 != 3),
+          chg AS (SELECT o.doc_id FROM ofp o JOIN nfp n
+                  ON o.doc_id = n.doc_id WHERE o.old_fp != n.new_fp),
+          cbb AS (SELECT bb.* FROM bb LEFT JOIN chg
+                  ON bb.vec_id = chg.doc_id WHERE chg.doc_id IS NULL),
+          bbb AS (SELECT bb.* FROM bb JOIN chg ON bb.vec_id = chg.doc_id),
+          corpusv AS (SELECT e.vec_id FROM embeddings e LEFT JOIN chg c
+                      ON e.vec_id = c.doc_id WHERE c.doc_id IS NULL),
+          batchv AS (SELECT e.vec_id FROM embeddings e JOIN chg c
+                     ON e.vec_id = c.doc_id),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM cbb a JOIN cbb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pv AS (
+            SELECT c.vec_a, c.vec_b, ea.v AS qv, eb.v AS v
+            FROM cand c
+            JOIN ev ea ON ea.vec_id = c.vec_a
+            JOIN ev eb ON eb.vec_id = c.vec_b),
+          pc AS (SELECT vec_a, vec_b, $COS AS cos FROM pv),
+          directed AS (
+            SELECT vec_a AS src, vec_b AS dst, cos FROM pc
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst, cos FROM pc),
+          knn AS (
+            SELECT src, dst, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst) AS rk FROM directed)
+            WHERE rk <= 5),
+          ua AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM knn),
+          ue AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b
+                 FROM knn WHERE cos >= 0.3),
+          edges AS (SELECT a AS src, b AS dst FROM ue
+                    UNION SELECT b, a FROM ue),
+          reach(vec_id, lbl) AS (
+            SELECT vec_id, vec_id FROM corpusv
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r
+              ON r.vec_id = e.dst),
+          comp AS (SELECT vec_id, min(lbl) AS community_id
+                   FROM reach GROUP BY 1),
+          bcand AS (
+            SELECT DISTINCT b.vec_id, c.vec_id AS cand_id
+            FROM bbb b JOIN cbb c
+              ON b.band = c.band AND b.bucket = c.bucket),
+          bver AS (
+            SELECT x.vec_id, x.cand_id, $COS AS cos
+            FROM (SELECT bc.vec_id, bc.cand_id, q.v AS qv, cv.v AS v
+                  FROM bcand bc
+                  JOIN ev q ON q.vec_id = bc.vec_id
+                  JOIN ev cv ON cv.vec_id = bc.cand_id) x),
+          bq AS (SELECT * FROM bver WHERE cos >= 0.3),
+          best AS (
+            SELECT vec_id, cand_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cand_id) AS rn FROM bq)
+            WHERE rn = 1),
+          assigned AS (
+            SELECT b.vec_id,
+              coalesce(cm.community_id, b.vec_id) AS community_id
+            FROM batchv b
+            LEFT JOIN best bs ON bs.vec_id = b.vec_id
+            LEFT JOIN comp cm ON cm.vec_id = bs.cand_id),
+          mergedc AS (SELECT vec_id, community_id FROM comp
+                      UNION ALL
+                      SELECT vec_id, community_id FROM assigned),
+          nedge AS (SELECT DISTINCT least(vec_id, cand_id) AS a,
+                      greatest(vec_id, cand_id) AS b
+                    FROM bq),
+          gp AS (SELECT a, b FROM ua UNION SELECT a, b FROM nedge),
+          tag AS (SELECT gp.a, gp.b,
+                    ca.community_id AS comm_a, cb.community_id AS comm_b
+                  FROM gp
+                  JOIN mergedc ca ON ca.vec_id = gp.a
+                  JOIN mergedc cb ON cb.vec_id = gp.b),
+          mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tag),
+          intl AS (SELECT comm_a AS community_id,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM tag WHERE comm_a = comm_b GROUP BY 1),
+          cut AS (SELECT community_id, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT comm_a AS community_id FROM tag
+                        WHERE comm_a != comm_b
+                        UNION ALL
+                        SELECT comm_b FROM tag WHERE comm_a != comm_b)
+                  GROUP BY 1),
+          base AS (SELECT community_id,
+                     CAST(count(*) AS BIGINT) AS community_size
+                   FROM mergedc GROUP BY 1),
+          q AS (SELECT b.community_id, b.community_size,
+                  CAST(coalesce(i.n, 0) AS BIGINT) AS n_internal,
+                  CAST(coalesce(ct.n, 0) AS BIGINT) AS n_cut
+                FROM base b
+                LEFT JOIN intl i USING (community_id)
+                LEFT JOIN cut ct USING (community_id)),
+          v AS (SELECT *, CAST(2 * n_internal + n_cut AS BIGINT)
+                  AS volume FROM q)
+          SELECT community_id, community_size, n_internal, n_cut, volume,
+            CASE WHEN m > 0 THEN
+              CAST(n_internal AS DOUBLE) / CAST(m AS DOUBLE)
+              - (CAST(volume AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                * (CAST(volume AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+            ELSE 0.0 END AS modularity,
+            CASE WHEN least(CAST(volume AS DOUBLE),
+                2.0 * CAST(m AS DOUBLE) - CAST(volume AS DOUBLE)) > 0
+              THEN CAST(n_cut AS DOUBLE)
+                / least(CAST(volume AS DOUBLE),
+                    2.0 * CAST(m AS DOUBLE) - CAST(volume AS DOUBLE))
+            ELSE 0.0 END AS conductance
+          FROM v, mt"""
 }
 
 /** oracle-side rendering of the stopword dimension (kept adjacent to
@@ -2629,4 +2668,6 @@ object TextOpsOracle {
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
     .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }
     .mkString(", ")
+
+
 }

@@ -63,40 +63,9 @@ object StreamQueries extends QueryPack {
         }))
   )
 
-  /** build-once parquet artifact store for the stored-path stream
-    * gates: the artifact is a pure function of the (static) data dir,
-    * written into a pid-unique temp dir and atomically renamed into
-    * place (the Bench.stage discipline — concurrent cold starts cannot
-    * interleave part files; the loser discards its copy), then REUSED
-    * by every later invocation. Parquet's own `_SUCCESS` is the
-    * completeness marker since the rename publishes it atomically with
-    * the data.
-    */
   private def artifact(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_artifacts/" +
-      s"$tag/$name"
-    val outP = Paths.get(out)
-    if (!Files.exists(outP.resolve("_SUCCESS"))) {
-      Files.createDirectories(outP.getParent)
-      val tmp = Paths.get(out + ".tmp." + ProcessHandle.current().pid())
-      build.write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException =>
-          // a concurrent builder won; its artifact is complete
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles()
-            if (kids != null) kids.foreach(rm)
-            f.delete(); ()
-          }
-          rm(tmp.toFile)
-      }
-    }
-    spark.read.parquet(out)
-  }
+      build: => DataFrame): DataFrame =
+    graft.sources.ArtifactStore.cached(spark, dir, name)(build)
 
   /** head-vocabulary cut shared by the st16 registration and its oracle
     * (the x37/DsirBuckets discipline: interpolate shared constants into
