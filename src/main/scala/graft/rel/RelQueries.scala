@@ -620,13 +620,23 @@ object RelQueries extends QueryPack {
     // DuckDB's own spelling — the 100 TB-exact complement to q13's
     // per-group interpolation and q30's mergeable sketch
     "q36_exact_quantiles" -> ((s, dir) =>
-      Scale.exactQuantiles(t(s, dir, "events"), "value", QuantileProbs))
+      Scale.exactQuantiles(t(s, dir, "events"), "value", QuantileProbs)),
+
+    // the per-group member of the exact-quantile matrix: q13's grouping
+    // with exactQuantiles' cardinality-unbounded histogram refinement —
+    // still one distributed job per level across ALL groups
+    "q37_group_quantiles" -> ((s, dir) =>
+      Scale.exactQuantilesByGroup(
+        t(s, dir, "lineitem")
+          .withColumn("price", col("l_extendedprice").cast("double")),
+        "l_returnflag", "price", GroupQuantileProbs))
   )
 
-  /** shared by the q36 registration and its oracle (the DsirBuckets
-    * interpolation discipline)
+  /** shared by the q36/q37 registrations and their oracles (the
+    * DsirBuckets interpolation discipline)
     */
   private val QuantileProbs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+  private val GroupQuantileProbs = Seq(0.25, 0.5, 0.75)
 
   /** 100 TB scale path for q13: `approx_percentile` is a mergeable KLL-style
     * sketch — partial-aggregable, no per-group global sort, bounded memory —
@@ -992,6 +1002,20 @@ object RelQueries extends QueryPack {
       s"""WITH v AS (SELECT quantile_cont(value, $list) AS vs
                      FROM events WHERE value IS NOT NULL)
           SELECT CAST(t.prob AS DOUBLE) AS prob, v.vs[t.i] AS value
+          FROM v, (VALUES $idx) AS t(prob, i)"""
+    },
+
+    // per-group exact quantiles: the oracle pays one sort PER GROUP
+    "q37_group_quantiles" -> {
+      val list = GroupQuantileProbs.mkString("[", ", ", "]")
+      val idx = GroupQuantileProbs.zipWithIndex
+        .map { case (p, i) => s"($p, ${i + 1})" }.mkString(", ")
+      s"""WITH v AS (SELECT l_returnflag,
+                       quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                         $list) AS vs
+                     FROM lineitem GROUP BY l_returnflag)
+          SELECT v.l_returnflag, CAST(t.prob AS DOUBLE) AS prob,
+            v.vs[t.i] AS value
           FROM v, (VALUES $idx) AS t(prob, i)"""
     }
   )

@@ -157,4 +157,130 @@ object Scale {
     }
     out.toDF("prob", "value")
   }
+
+  /** [[exactQuantiles]] PER GROUP, still one distributed job per
+    * refinement level across ALL groups simultaneously: each level
+    * histograms every group's still-unresolved value ranges in a
+    * single pass (range predicates carry the group equality), so the
+    * job count stays ~3 regardless of how many groups × probs are in
+    * flight. Driver state is (groups × probs)-sized — the
+    * dashboard-grouping class (q13's l_returnflag etc.), NOT an
+    * unbounded-group path: for millions of groups use q30's mergeable
+    * sketch per group instead. Completes the exact-quantile matrix:
+    * q13 = exact per-group but sort bounded by value cardinality;
+    * [[exactQuantiles]] = exact, cardinality-unbounded, global;
+    * this = exact, cardinality-unbounded, per-group.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, probs: Seq[Double],
+      nBuckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gstats: Array[(String, Long, Double, Double)] = vals
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    if (gstats.isEmpty)
+      return Seq.empty[(String, Double, Double)].toDF("g", "prob", "value")
+        .withColumnRenamed("g", groupCol)
+    // per (group, prob): target order statistics
+    val ranks: Seq[(String, Double, Double, Long, Long)] =
+      gstats.toSeq.flatMap { case (g, n, _, _) =>
+        probs.map { p =>
+          val rn = (n - 1).toDouble * p
+          (g, p, rn, math.floor(rn).toLong, math.ceil(rn).toLong)
+        }
+      }
+    var pending: Map[(String, Long), (Int, Long)] =
+      ranks.flatMap { case (g, _, _, f, c) => Seq((g, f), (g, c)) }
+        .distinct.map { case (g, i) => (g, i) -> (-1, i) }.toMap
+    var ranges: Map[Int, (String, Double, Double)] = Map.empty
+    locally {
+      var id = 0
+      val byG = gstats.map { case (g, _, lo, hi) =>
+        val r = id -> (g, lo, hi); id += 1; r
+      }.toMap
+      ranges = byG
+      val gTo = ranges.map { case (i, (g, _, _)) => g -> i }
+      pending = pending.map { case ((g, idx), (_, rank)) =>
+        (g, idx) -> (gTo(g), rank)
+      }
+    }
+    val resolved = scala.collection.mutable.Map[(String, Long), Double]()
+    var depth = 0
+    while (pending.nonEmpty && depth < 64) {
+      depth += 1
+      val rlist = ranges.toSeq.sortBy(_._1)
+      def inRange(g: String, lo: Double, hi: Double) =
+        col("g") === g && col("v").between(lo, hi)
+      val rangeId = rlist.tail.foldLeft(
+        when(inRange(rlist.head._2._1, rlist.head._2._2,
+          rlist.head._2._3), lit(rlist.head._1))) {
+        case (acc, (id, (g, lo, hi))) => acc.when(inRange(g, lo, hi), lit(id))
+      }
+      val subFor: Map[Int, Column] = rlist.map { case (id, (_, lo, hi)) =>
+        val w = (hi - lo) / nBuckets
+        id -> (if (w > 0d)
+          least(lit(nBuckets - 1), greatest(lit(0),
+            floor((col("v") - lit(lo)) / lit(w)).cast("int")))
+        else lit(0))
+      }.toMap
+      val subCol = rlist.tail.foldLeft(
+        when(col("r") === rlist.head._1, subFor(rlist.head._1))) {
+        case (acc, (id, _)) => acc.when(col("r") === id, subFor(id))
+      }
+      val cells: Array[(Int, Int, Long, Double, Double)] = vals
+        .filter(rlist.map { case (_, (g, lo, hi)) =>
+          inRange(g, lo, hi) }.reduce(_ || _))
+        .select(col("v"), rangeId.as("r"))
+        .withColumn("sub", subCol)
+        .groupBy(col("r"), col("sub"))
+        .agg(count(lit(1)).as("c"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      val byRange = cells.groupBy(_._1)
+      var nextRanges = Map.empty[Int, (String, Double, Double)]
+      var nextPending = Map.empty[(String, Long), (Int, Long)]
+      var nextId = 0
+      val bucketKey = scala.collection.mutable.Map[(Int, Int), Int]()
+      pending.foreach { case (key @ (g, _), (rid, rank)) =>
+        val subs = byRange(rid).sortBy(_._2)
+        var acc = 0L
+        var placed = false
+        for ((_, sub, c, mn, mx) <- subs if !placed) {
+          if (rank < acc + c) {
+            placed = true
+            if (mn == mx) resolved(key) = mn
+            else {
+              val nid = bucketKey.getOrElseUpdate((rid, sub),
+                { val i = nextId; nextId += 1; i })
+              nextRanges += nid -> (g, mn, mx)
+              nextPending += key -> (nid, rank - acc)
+            }
+          } else acc += c
+        }
+        assert(placed, s"rank $rank not found in range $rid")
+      }
+      ranges = nextRanges
+      pending = nextPending
+    }
+    vals.unpersist()
+    val out = ranks.map { case (g, p, rn, frn, crn) =>
+      val vlo = resolved((g, frn))
+      val v = if (crn == frn) vlo
+        else {
+          val vhi = resolved((g, crn))
+          (crn - rn) * vlo + (rn - frn) * vhi
+        }
+      (g, p, v)
+    }
+    out.toDF(groupCol, "prob", "value")
+  }
 }

@@ -79,6 +79,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesByGroup equals the per-group sorted reference") {
+    val s = spark
+    import s.implicits._
+    val probs = Seq(0.25, 0.5, 0.75)
+    // three groups with very different shapes: continuous, tie-heavy,
+    // and a single-row group (the n=1 rank edge)
+    val rows =
+      (1 to 3000).map(i => ("a", ((i * 7919) % 3000) / 7.0)) ++
+      (1 to 2000).map(i => ("b", (i % 5).toDouble)) ++
+      Seq(("c", 42.0))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "value")
+    val out = Scale.exactQuantilesByGroup(df, "grp", "value", probs,
+        nBuckets = 32).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    spark.catalog.clearCache()
+    rows.groupBy(_._1).foreach { case (g, gv) =>
+      val sorted = gv.map(_._2).toArray.sorted
+      probs.foreach { p =>
+        val ref = quantileContRef(sorted, p)
+        assert(out((g, p)) == ref, s"g=$g p=$p: ${out((g, p))} != $ref")
+      }
+    }
+    assert(out.size == 9)
+  }
+
   test("exactQuantiles ignores nulls and handles the empty input") {
     val s = spark
     import s.implicits._
