@@ -258,6 +258,15 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Similarity.graphRefreshCycleWith(corpus, batch, graph,
       communities, minCos)
 
+  /** exact quantile_cont without a global sort (q36) */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      probs: Seq[Double]): DataFrame =
+    graft.rel.Scale.exactQuantiles(df, valueCol, probs)
+  /** per-group exact quantile_cont, one shared job per level (q37) */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, probs: Seq[Double]): DataFrame =
+    graft.rel.Scale.exactQuantilesByGroup(df, groupCol, valueCol, probs)
+
   /** Cache contract (r11 advice): the dedup/graph/budget operators
     * persist intermediates at MEMORY_AND_DISK for intra-query branch
     * reuse, and those blocks stay registered until the caller drops
