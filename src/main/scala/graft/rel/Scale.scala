@@ -61,13 +61,21 @@ object Scale {
     * scans with a range predicate covering ~1/nBuckets of the data
     * (parquet min/max pruning skips whole row groups). The oracle is
     * the full sort this decomposition avoids.
+    *
+    * NaN values are excluded alongside nulls (a NaN `max` would poison
+    * every bucket width into NaN and the loop could never split); and
+    * when a range's width underflows so far that `(hi−lo)/nBuckets`
+    * rounds to zero (ulp-adjacent subnormals), the loop detects the
+    * stall and resolves the residual range by an exact bounded
+    * distinct-value sort — such a range holds only a handful of
+    * distinct doubles by construction (r12 ADVICE items 1).
     */
   def exactQuantiles(df: DataFrame, valueCol: String,
       probs: Seq[Double], nBuckets: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val st = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
       max(col("v")).as("hi")).collect()(0)
@@ -88,7 +96,9 @@ object Scale {
       Map(0 -> (st.getDouble(1), st.getDouble(2)))
     val resolved = scala.collection.mutable.Map[Long, Double]()
     var depth = 0
-    while (pending.nonEmpty && depth < 64) {
+    var lastSig = Set.empty[(Long, (Double, Double), Long)]
+    var stalled = false
+    while (pending.nonEmpty && !stalled && depth < 64) {
       depth += 1
       val rlist = ranges.toSeq.sortBy(_._1)
       // one job: histogram every active range into nBuckets sub-ranges
@@ -144,6 +154,36 @@ object Scale {
       }
       ranges = nextRanges
       pending = nextPending
+      // stall detection: a level that neither resolves a rank nor
+      // shrinks any range (width-underflow) would spin to the depth cap
+      val sig = pending.toSeq
+        .map { case (idx, (rid, rank)) => (idx, ranges(rid), rank) }.toSet
+      stalled = sig.nonEmpty && sig == lastSig
+      lastSig = sig
+    }
+    // exact residual fallback: anything still pending sits in a range
+    // the histogram can no longer split — few distinct doubles by
+    // construction, so one bounded ordered collect per range resolves it
+    if (pending.nonEmpty) {
+      val cap = 1 << 16
+      pending.groupBy(_._2._1).foreach { case (rid, members) =>
+        val (lo, hi) = ranges(rid)
+        val dv = vals.filter(col("v").between(lo, hi))
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .orderBy(col("v")).limit(cap + 1).collect()
+          .map(r => (r.getDouble(0), r.getLong(1)))
+        require(dv.length <= cap,
+          s"residual range [$lo,$hi] holds >$cap distinct values")
+        members.foreach { case (idx, (_, rank)) =>
+          var acc = 0L
+          var hit = Option.empty[Double]
+          for ((v, c) <- dv if hit.isEmpty) {
+            if (rank < acc + c) hit = Some(v) else acc += c
+          }
+          resolved(idx) = hit.getOrElse(
+            sys.error(s"rank $rank beyond residual range [$lo,$hi]"))
+        }
+      }
     }
     vals.unpersist()
     val out = ranks.map { case (p, rn, frn, crn) =>
@@ -179,7 +219,7 @@ object Scale {
     val vals = df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gstats: Array[(String, Long, Double, Double)] = vals
       .groupBy(col("g")).agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
@@ -214,11 +254,18 @@ object Scale {
     }
     val resolved = scala.collection.mutable.Map[(String, Long), Double]()
     var depth = 0
-    while (pending.nonEmpty && depth < 64) {
+    var lastSig = Set.empty[((String, Long), (String, Double, Double), Long)]
+    var stalled = false
+    // null-safe group match: `=== null` never matches, so a NULL group
+    // (GROUP BY keeps it) would leave its ranges cell-less and crash the
+    // rank walk (r12 ADVICE item 2)
+    def eqG(g: String) =
+      if (g == null) col("g").isNull else col("g") === g
+    def inRange(g: String, lo: Double, hi: Double) =
+      eqG(g) && col("v").between(lo, hi)
+    while (pending.nonEmpty && !stalled && depth < 64) {
       depth += 1
       val rlist = ranges.toSeq.sortBy(_._1)
-      def inRange(g: String, lo: Double, hi: Double) =
-        col("g") === g && col("v").between(lo, hi)
       val rangeId = rlist.tail.foldLeft(
         when(inRange(rlist.head._2._1, rlist.head._2._2,
           rlist.head._2._3), lit(rlist.head._1))) {
@@ -270,6 +317,31 @@ object Scale {
       }
       ranges = nextRanges
       pending = nextPending
+      val sig = pending.toSeq
+        .map { case (key, (rid, rank)) => (key, ranges(rid), rank) }.toSet
+      stalled = sig.nonEmpty && sig == lastSig
+      lastSig = sig
+    }
+    if (pending.nonEmpty) {
+      val cap = 1 << 16
+      pending.groupBy(_._2._1).foreach { case (rid, members) =>
+        val (g, lo, hi) = ranges(rid)
+        val dv = vals.filter(inRange(g, lo, hi))
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .orderBy(col("v")).limit(cap + 1).collect()
+          .map(r => (r.getDouble(0), r.getLong(1)))
+        require(dv.length <= cap,
+          s"residual range g=$g [$lo,$hi] holds >$cap distinct values")
+        members.foreach { case (key, (_, rank)) =>
+          var acc = 0L
+          var hit = Option.empty[Double]
+          for ((v, c) <- dv if hit.isEmpty) {
+            if (rank < acc + c) hit = Some(v) else acc += c
+          }
+          resolved(key) = hit.getOrElse(
+            sys.error(s"rank $rank beyond residual range g=$g [$lo,$hi]"))
+        }
+      }
     }
     vals.unpersist()
     val out = ranks.map { case (g, p, rn, frn, crn) =>

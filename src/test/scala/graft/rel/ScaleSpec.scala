@@ -105,6 +105,64 @@ class ScaleSpec extends SparkSpec {
     assert(out.size == 9)
   }
 
+  test("exactQuantiles excludes NaN (no bucket-width poisoning)") {
+    val s = spark
+    import s.implicits._
+    // NaN is MAX in Spark's ordering: before the fix it became `hi`,
+    // every bucket width went NaN, and the loop spun to the depth cap
+    val vs = (1 to 200).map(_.toDouble) ++ Seq(Double.NaN, Double.NaN)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "value")
+    val probs = Seq(0.0, 0.5, 1.0)
+    val out = Scale.exactQuantiles(df, "value", probs, nBuckets = 16)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vs.filterNot(_.isNaN).toArray.sorted
+    probs.foreach(p => assert(out(p) == quantileContRef(sorted, p)))
+    spark.catalog.clearCache()
+  }
+
+  test("exactQuantiles resolves ulp-adjacent subnormals via the exact " +
+      "residual fallback (bucket width underflows to zero)") {
+    val s = spark
+    import s.implicits._
+    val u = java.lang.Double.MIN_VALUE // smallest positive subnormal
+    // width (4u − 0)/nBuckets underflows to 0 → the histogram cannot
+    // split; before the fix the loop spun 64 levels then threw
+    val vs = Seq(0.0, u, 2 * u, 3 * u, 4 * u, 4 * u)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "value")
+    val probs = Seq(0.0, 0.25, 0.5, 1.0)
+    val out = Scale.exactQuantiles(df, "value", probs, nBuckets = 16)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vs.toArray.sorted
+    probs.foreach(p => assert(out(p) == quantileContRef(sorted, p)))
+    spark.catalog.clearCache()
+  }
+
+  test("exactQuantilesByGroup keeps the NULL group (null-safe match)") {
+    val s = spark
+    import s.implicits._
+    val rows: Seq[(Option[String], Double)] =
+      (1 to 100).map(i => (Some("a"), i.toDouble)) ++
+      (1 to 50).map(i => (None: Option[String], (i * 3).toDouble))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "value")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val out = Scale.exactQuantilesByGroup(df, "grp", "value", probs,
+        nBuckets = 16).collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    spark.catalog.clearCache()
+    assert(out.size == 6)
+    rows.groupBy(_._1).foreach { case (g, gv) =>
+      val sorted = gv.map(_._2).toArray.sorted
+      probs.foreach { p =>
+        assert(out((g, p)) == quantileContRef(sorted, p),
+          s"g=$g p=$p")
+      }
+    }
+  }
+
   test("exactQuantiles ignores nulls and handles the empty input") {
     val s = spark
     import s.implicits._
