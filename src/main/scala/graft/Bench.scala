@@ -63,7 +63,14 @@ object Bench {
     * Now each invocation writes into its own pid-suffixed temp dir
     * (marker INSIDE, so the rename publishes data + marker atomically)
     * and renames into place; a cold-start loser discards its complete
-    * copy and reuses the winner's.
+    * copy and reuses the winner's — on EVERY path (r12 advice): the
+    * winner's marker is re-checked immediately before any rmTree of
+    * the target, so a loser can no longer delete a just-published
+    * complete staging that a concurrent run may already be reading,
+    * and the retry move sits inside the same marker-checking loop.
+    * `SPARK_GRAFT_RESTAGE=1` opts out of the loser-defers rule (the
+    * caller explicitly wants a rewrite; concurrent restagers are
+    * documented-unsupported).
     */
   private def stagedAtomically(out: String)(write: String => Unit): String = {
     import java.nio.file.{Files, Paths, Path, StandardCopyOption}
@@ -85,18 +92,29 @@ object Bench {
     rmTree(tmp)
     write(tmp.toString)
     Files.createFile(tmp.resolve(".staged"))
-    // clear a stale partial / RESTAGE=1 target, then move in atomically;
-    // a loser whose move fails against a marker-complete winner discards
-    rmTree(outP)
-    try Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileSystemException =>
-        if (Files.exists(marker)) rmTree(tmp)
-        else {
-          rmTree(outP)
+    val force = sys.env.get("SPARK_GRAFT_RESTAGE").contains("1")
+    var published = false
+    var attempts = 0
+    while (!published && attempts < 5) {
+      attempts += 1
+      if (!force && Files.exists(marker)) {
+        // a winner published a complete staging while we wrote ours —
+        // discard our copy rather than deleting what it may be serving
+        rmTree(tmp)
+        published = true
+      } else {
+        // stale partial (no marker) or an explicit restage: clear + move
+        rmTree(outP)
+        try {
           Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          case _: java.nio.file.FileSystemException =>
+            () // lost a race — loop re-checks the winner's marker
         }
+      }
     }
+    require(published, s"could not publish staged dir $out after 5 attempts")
     out
   }
 

@@ -272,14 +272,16 @@ object LlmQueries extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batch = e.join(changed, Seq("vec_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val graph = ArtifactStore.cached(s, dir, "corpus_graph") {
+      val graph = ArtifactStore.cached(s, dir, "corpus_graph",
+          s"k5.b$LshBands.w$LshBits") {
         Similarity.knnGraph(corpus, k = 5, nBands = LshBands,
             bitsPerBand = LshBits)
           .select(least(col("src"), col("dst")).as("doc_a"),
             greatest(col("src"), col("dst")).as("doc_b"))
           .distinct()
       }
-      val comms = ArtifactStore.cached(s, dir, "corpus_communities") {
+      val comms = ArtifactStore.cached(s, dir, "corpus_communities",
+          s"cos0.3.k5.b$LshBands.w$LshBits") {
         Similarity.knnCommunities(corpus, minCos = 0.3, k = 5,
             nBands = LshBands, bitsPerBand = LshBits)
           .select(col("vec_id"), col("community_id"))

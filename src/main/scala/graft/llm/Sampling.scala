@@ -435,6 +435,13 @@ object Sampling {
       (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxId)))
         - rangeBits)
     val hiCol = shiftright(col("doc_id"), dshift)
+    // the previous level's cell is superseded once THIS level's grouped
+    // collect has materialized from the new cell's cache — unpersist it
+    // then (r12 advice): a deep refinement otherwise accumulates cached
+    // copies of every shrinking cell until Engine.releaseCaches. The
+    // wholesale `parts` built from it recompute through the caller's
+    // persisted projection (one filter chain) at assembly time.
+    var superseded: DataFrame = null
     while (result == null) {
       depth += 1
       val grouped: Array[(Double, Long, Long)] = cell
@@ -443,6 +450,10 @@ object Sampling {
         .limit(grpCap + 1).collect()
         .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
       collectProbe("level", grouped.length)
+      if (superseded != null) {
+        superseded.unpersist(false)
+        superseded = null
+      }
       val zeroWidth = cellHi - cellLo <= 0d ||
         (cellHi - cellLo) / nBuckets <= 0d
       if (grouped.length <= grpCap || zeroWidth || depth > 8) {
@@ -492,6 +503,7 @@ object Sampling {
           .select(col("doc_id"), lit(true).as("bkept"))
         parts ::= cell.filter(subCol < b2)
           .select(col("doc_id"), lit(false).as("bkept"))
+        superseded = cell
         cell = cell.filter(subCol === b2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cellLo = cellLo + b2 * width

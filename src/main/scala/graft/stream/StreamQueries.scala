@@ -48,7 +48,7 @@ object StreamQueries extends QueryPack {
     // st09/st17 keep pricing the in-stream-rebuild demo path
     "st19_decontam_gate_stored" -> ((s, dir) =>
       StreamOps.decontamGateStreamWith(s, dir,
-        artifact(s, dir, "decontam_index") {
+        artifact(s, dir, "decontam_index", "minhash.bands.eval10") {
           import org.apache.spark.sql.functions.col
           graft.llm.Dedup.bands(graft.llm.Dedup.minhashSignature(
               graft.core.Tables.load(s, dir, "documents")
@@ -57,15 +57,15 @@ object StreamQueries extends QueryPack {
         })),
     "st20_takedown_cluster_stored" -> ((s, dir) =>
       StreamOps.takedownClusterGateStreamWith(s, dir,
-        artifact(s, dir, "dup_clusters") {
+        artifact(s, dir, "dup_clusters", "dupClusters.default") {
           graft.llm.Dedup.dupClusters(
             graft.core.Tables.load(s, dir, "documents"))
         }))
   )
 
-  private def artifact(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
-    graft.sources.ArtifactStore.cached(spark, dir, name)(build)
+  private def artifact(spark: SparkSession, dir: String, name: String,
+      recipe: String)(build: => DataFrame): DataFrame =
+    graft.sources.ArtifactStore.cached(spark, dir, name, recipe)(build)
 
   /** head-vocabulary cut shared by the st16 registration and its oracle
     * (the x37/DsirBuckets discipline: interpolate shared constants into
