@@ -272,10 +272,24 @@ object Dedup {
     * stay flat (the BpeSpec `planProbe` discipline applied to the loop
     * that invented it; the digit pin is what would have caught the r10
     * x71 originStats explosion).
+    *
+    * `localEdgeCap` (r13): when the DEDUPLICATED edge set fits under
+    * the cap, the components are solved by one union-find pass on the
+    * driver instead of the iterated star rounds — the free-guard
+    * discipline (`limit(cap+1)`: under the cap the collected set is
+    * provably complete AND already in hand) applied to the graph
+    * layer. The near-dup subgraph's edge count is orders below the
+    * corpus (it exists because dedup PRUNES), so at local/toy scale
+    * this replaces 5–10 spill rounds + their job floors with one
+    * bounded collect, while a deployment-scale candidate set (> cap)
+    * takes the alternating-star path unchanged. 0 disables (the
+    * loop-pinning specs force the distributed path). The cap bounds
+    * driver memory by construction: 1M edges ≈ tens of MB transient.
     */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 25,
-      planProbe: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
+      planProbe: (Int, Int, Int) => Unit = (_, _, _) => (),
+      localEdgeCap: Int = 1 << 20): DataFrame = {
     val spark = ids.sparkSession
     val root = graft.stream.StreamOps.checkpointDir("dup-clusters")
     // parquet spill: truncates the candidate-generation lineage (and its
@@ -301,6 +315,60 @@ object Dedup {
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct(), "edges")
+    // shared tail: singleton docs (in no surviving edge) label to
+    // themselves; sizes ride one corpus-keyed aggregation
+    def finish(labels: DataFrame, vertIds: DataFrame): DataFrame = {
+      val singletons = ids.join(vertIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      val all = labels.union(singletons)
+      val sizes = all.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      all.join(sizes, Seq("label"))
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+    }
+    val idsAreLong = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (localEdgeCap > 0 && idsAreLong) {
+      // bounded local finish: limit(cap+1) makes the guard free — under
+      // the cap the set is complete and already collected
+      val head = edges.limit(localEdgeCap + 1).collect()
+      if (head.length <= localEdgeCap) {
+        val es = head.map(r => (r.getLong(0), r.getLong(1)))
+        val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+        es.foreach { case (a, b) =>
+          idx.getOrElseUpdate(a, idx.size)
+          idx.getOrElseUpdate(b, idx.size); ()
+        }
+        val back = new Array[Long](idx.size)
+        idx.foreach { case (id, i) => back(i) = id }
+        val parent = Array.tabulate(idx.size)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(idx(a)), find(idx(b)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // component label = min doc id of the component (the same
+        // canonical choice the star forest's min-root encodes)
+        val minOf = scala.collection.mutable.HashMap.empty[Int, Long]
+        var i = 0
+        while (i < back.length) {
+          val r = find(i)
+          if (back(i) < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = back(i)
+          i += 1
+        }
+        import spark.implicits._
+        val labelsLocal = back.indices
+          .map(i => (back(i), minOf(find(i)))).toDF("doc_id", "label")
+        return finish(labelsLocal, labelsLocal.select(col("doc_id")))
+      }
+    }
     def verts = edges.select(col("lo").as("doc_id"))
       .union(edges.select(col("hi").as("doc_id"))).distinct()
     // directed view (u, v): both orientations, so one groupBy(u) sees
@@ -375,18 +443,12 @@ object Dedup {
     // read labels off the star forest: l(v) = min(v ∪ N(v)); vertices
     // whose component collapsed away from the edge set keep themselves
     val nbrMin = dir(e).groupBy(col("u")).agg(min(col("v")).as("mn"))
-    def labels = verts
+    val labels = verts
       .join(nbrMin.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
           .as("label"))
-    val singletons = ids.join(verts, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("label"))
-    val all = labels.union(singletons)
-    val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, Seq("label"))
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"))
+    finish(labels, verts)
   }
 
   /** the composed dedup GATE a pipeline actually runs before write-out:

@@ -107,7 +107,8 @@ class DedupSpec extends SparkSpec {
     val ids = (0 until n).map(_.toLong).toDF("doc_id")
     val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
-    val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 10).collect()
+    val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 10,
+      localEdgeCap = 0).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == n)
     assert((0 until n).forall(i => out(i.toLong) == (0L, n.toLong)))
@@ -128,7 +129,8 @@ class DedupSpec extends SparkSpec {
     val pairs = (0 until n - 1)
       .map(i => (perm(i).toLong, perm(i + 1).toLong))
       .toDF("doc_a", "doc_b")
-    val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 12).collect()
+    val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 12,
+      localEdgeCap = 0).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == n)
     assert((0 until n).forall(i => out(i.toLong) == (0L, n.toLong)),
@@ -150,7 +152,8 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_a", "doc_b")
     val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     val out = Dedup.clustersFromPairs(ids, pairs, maxIter = 25,
-      planProbe = (r, nodes, digits) => probes += ((r, nodes, digits)))
+      planProbe = (r, nodes, digits) => probes += ((r, nodes, digits)),
+      localEdgeCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0 until n).forall(i => out(i.toLong) == 0L))
     assert(probes.size >= 5, s"path graph should run many rounds: $probes")
@@ -210,7 +213,7 @@ class DedupSpec extends SparkSpec {
         .map { case (k, v) => k -> v.size.toLong }
       val out = Dedup.clustersFromPairs(
         (0 until n).map(_.toLong).toDF("doc_id"),
-        edges.toDF("doc_a", "doc_b")).collect()
+        edges.toDF("doc_a", "doc_b"), localEdgeCap = 0).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       (0 until n).foreach { i =>
         assert(out(i.toLong) ==
@@ -284,6 +287,45 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L) == (1L, 1L) && out(2L) == (2L, 1L) && out(3L) == (3L, 1L))
+    // and identically under the forced distributed path
+    val outD = Dedup.clustersFromPairs(ids, pairs, localEdgeCap = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(outD == out)
+  }
+
+  test("bounded local finish equals the distributed star loop, and an " +
+      "over-cap edge set falls through to the loop") {
+    // the r13 hybrid: under localEdgeCap the components are solved by
+    // driver union-find off ONE bounded collect (limit cap+1 ⇒ the set
+    // is provably complete); over the cap the alternating-star path
+    // runs unchanged. Both must agree exactly — including on a shuffled
+    // multi-hop chain, the shape that defeated min-propagation in r10.
+    val s = spark
+    import s.implicits._
+    val n = 80
+    val perm = new scala.util.Random(1337L).shuffle((0 until n).toVector)
+    val rnd = new scala.util.Random(77L)
+    val chain = (0 until n - 1).map(i => (perm(i).toLong, perm(i + 1).toLong))
+    val extra = (for {
+      a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.02
+    } yield (a.toLong, b.toLong)).toVector
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    Seq(chain, extra, chain ++ extra).zipWithIndex.foreach {
+      case (es, ci) =>
+        val pairs = es.toDF("doc_a", "doc_b")
+        val local = Dedup.clustersFromPairs(ids, pairs).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val dist = Dedup.clustersFromPairs(ids, pairs, localEdgeCap = 0)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(local == dist, s"case $ci: local != distributed")
+        // an over-cap set takes the loop and still agrees (cap smaller
+        // than the deduplicated edge count forces the fall-through)
+        val tiny = Dedup.clustersFromPairs(ids, pairs, localEdgeCap = 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(tiny == dist, s"case $ci: over-cap fall-through differs")
+    }
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
