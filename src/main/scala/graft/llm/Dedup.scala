@@ -160,10 +160,13 @@ object Dedup {
     * memory per row, never the O(bucket²) single-row array that made the
     * r2 shape OOM-prone on a degenerate bucket.
     */
-  def candidatePairs(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+  /** shared LSH bucket materialization: per (band, bucket-hash,
+    * cap-shard) the sorted member list, size ≥ 2. Bucket size rides an
+    * unordered count window — the same (band, bh) shuffle the grouping
+    * needs anyway; window partitions spill, never OOM.
+    */
+  private def collidedBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
     val bb = bands(minhashSignature(docs))
-    // bucket size via an unordered count window: same (band, bh) shuffle
-    // the grouping needs anyway; window partitions spill, never OOM
     val wsz = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
     val sharded = bb
@@ -174,18 +177,42 @@ object Dedup {
       .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
         pmod(conv(substring(md5(concat_ws("#", col("bh"), col("doc_id"))),
           1, 7), 16, 10).cast("long"), col("nsh")).cast("int")))
-    val buckets = sharded.groupBy(col("band"), col("bh"), col("sub"))
+    sharded.groupBy(col("band"), col("bh"), col("sub"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+  }
+
+  def candidatePairs(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
     // member i pairs with every later member: slice() keeps per-row state
     // at O(bucket ≤ maxBucket)
-    buckets
+    collidedBuckets(docs, maxBucket)
       .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
       .select(col("doc_a"),
         explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
           .as("doc_b"))
       .distinct()
-  }
+
+  /** CONNECTIVITY-ONLY candidate edges: each bucket member links to the
+    * bucket's MIN member — d−1 edges per bucket instead of
+    * [[candidatePairs]]' C(d,2) clique, with IDENTICAL connected
+    * components (every member reaches every other through the min, so
+    * the union over buckets/bands has the same component structure).
+    *
+    * This is the r13 ×300 lesson: a duplicate-heavy corpus holds
+    * dup-groups of size d in shared buckets, and the clique emits
+    * ~d²/2 pairs per group — 300-copy groups took a 1.35M-doc corpus
+    * to ~600M pre-distinct pairs and OOM'd the pair shuffle. The star
+    * emits d−1. At 100 TB this is the difference between candidate
+    * volume scaling with DUPLICATION² and with corpus size. Consumers
+    * that need actual pairs (Jaccard verify, the x02 pair listing,
+    * recall/leakage audits) keep the clique; cluster resolution
+    * ([[dupClusters]]) needs only connectivity and uses this.
+    */
+  def candidateEdges(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    collidedBuckets(docs, maxBucket)
+      .select(element_at(col("ds"), 1).as("doc_a"),
+        explode(slice(col("ds"), lit(2), size(col("ds")))).as("doc_b"))
+      .distinct()
 
   /** capped-bucket diagnostic: (band, bh, bsz) for every bucket whose pair
     * generation was re-sharded by [[candidatePairs]] — count/log these so
@@ -203,7 +230,7 @@ object Dedup {
     * plus the component size. See [[clustersFromPairs]] for the loop.
     */
   def dupClusters(docs: DataFrame, maxIter: Int = 25): DataFrame =
-    clustersFromPairs(docs.select(col("doc_id")), candidatePairs(docs),
+    clustersFromPairs(docs.select(col("doc_id")), candidateEdges(docs),
       maxIter)
 
   /** connected components over an explicit (doc_a, doc_b) pair set:

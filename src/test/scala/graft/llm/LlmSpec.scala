@@ -293,6 +293,30 @@ class DedupSpec extends SparkSpec {
     assert(outD == out)
   }
 
+  test("candidateEdges (bucket min-star) yields the same clusters as " +
+      "the candidatePairs clique at a fraction of the edges") {
+    // dup-groups of size d share buckets: the clique emits ~d²/2 pairs
+    // (the ×300 OOM shape), the star d−1 — components must be identical
+    val texts = (0 until 30).flatMap { g =>
+      (0 until 8).map(_ => s"group $g shared body tok${g} tok${g + 1} " +
+        s"tok${g + 2} tok${g + 3} filler common words here")
+    }
+    val df = docsDf(texts)
+    val pairClusters = Dedup.clustersFromPairs(
+        df.select(col("doc_id")), Dedup.candidatePairs(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val edgeClusters = Dedup.clustersFromPairs(
+        df.select(col("doc_id")), Dedup.candidateEdges(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edgeClusters == pairClusters)
+    val nPairs = Dedup.candidatePairs(df).count()
+    val nEdges = Dedup.candidateEdges(df).count()
+    assert(nEdges < nPairs,
+      s"star must emit fewer edges than the clique: $nEdges vs $nPairs")
+    // multi-doc components must exist or the test is vacuous
+    assert(pairClusters.exists(_._3 > 1L))
+  }
+
   test("bounded local finish equals the distributed star loop, and an " +
       "over-cap edge set falls through to the loop") {
     // the r13 hybrid: under localEdgeCap the components are solved by
