@@ -65,6 +65,12 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Dedup.exactGroups(docs)
   def nearDupCandidates(docs: DataFrame): DataFrame =
     graft.llm.Dedup.candidatePairs(docs)
+  /** connectivity-only bucket min-star edges — same components as the
+    * clique at d−1 edges per bucket instead of C(d,2); the candidate
+    * feed for cluster resolution on duplication-heavy corpora
+    */
+  def nearDupEdges(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.candidateEdges(docs)
   def nearDupVerified(docs: DataFrame): DataFrame =
     graft.llm.Dedup.jaccardOnCandidates(docs)
   def dupClusters(docs: DataFrame): DataFrame =
