@@ -346,6 +346,34 @@ object StreamOps {
     runToTable(hits, sinkName, "append")
   }
 
+  /** the PER-DOC FLAG form of the decontamination gate — the shape that
+    * survives duplication-heavy scale (r13 ×100 finding): the collision
+    * LISTING's output is (incoming copies × eval copies) rows — it
+    * scales with duplication² BY ITS SEMANTICS and killed the ×100
+    * driver sink at ~10⁸ rows — while this gate emits each flagged
+    * doc_id ONCE, so output (and the downstream quarantine join) stays
+    * doc-sized at any duplication factor. In-stream plan: the same
+    * in-row signatures + a stream-static broadcast LEFT-SEMI join on
+    * the index's distinct (band, bh) keys (no eval_id fan-out at all),
+    * then `dropDuplicates(doc_id)` collapses a doc's multi-band hits.
+    * The dedup state is keyed on FLAGGED docs only — contamination-
+    * sized; a deployment bounds it with an ingest-time watermark
+    * (`dropDuplicatesWithinWatermark`), the st03 discipline.
+    */
+  def decontamFlagStreamWith(spark: SparkSession, dir: String,
+      index: DataFrame,
+      sinkName: String = "st_decontam_flag_stored"): DataFrame = {
+    import graft.llm.Dedup
+    val ref = index.select(col("band"), col("bh")).distinct()
+    val incoming = fileStream(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    val flagged = Dedup.bandsInRow(incoming)
+      .join(broadcast(ref), Seq("band", "bh"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+    runToTable(flagged, sinkName, "append")
+  }
+
   /** st10 — batch-fit, stream-score: DSIR importance weights fit ONCE
     * on the static corpus ([[graft.llm.TextOps.dsirRatios]]), then
     * every incoming raw document scores in-flight — the train/serve

@@ -60,6 +60,18 @@ object StreamQueries extends QueryPack {
         artifact(s, dir, "dup_clusters", "dupClusters.default") {
           graft.llm.Dedup.dupClusters(
             graft.core.Tables.load(s, dir, "documents"))
+        })),
+    // the per-doc FLAG form of st09/st19 — doc-sized output at any
+    // duplication factor (the r13 ×100 scalable shape), off the same
+    // stored band-index artifact as st19
+    "st21_decontam_flag_stored" -> ((s, dir) =>
+      StreamOps.decontamFlagStreamWith(s, dir,
+        artifact(s, dir, "decontam_index", "minhash.bands.eval10") {
+          import org.apache.spark.sql.functions.col
+          graft.llm.Dedup.bands(graft.llm.Dedup.minhashSignature(
+              graft.core.Tables.load(s, dir, "documents")
+                .filter(col("doc_id") % 10 === 0)))
+            .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
         }))
   )
 
@@ -350,5 +362,14 @@ object StreamQueries extends QueryPack {
   override val oracles: Map[String, String] = baseOracles ++ Map(
     "st19_decontam_gate_stored" -> baseOracles("st09_decontam_gate"),
     "st20_takedown_cluster_stored" ->
-      baseOracles("st17_takedown_cluster_gate"))
+      baseOracles("st17_takedown_cluster_gate"),
+    // the flag gate = DISTINCT doc_id over st09's collision set
+    "st21_decontam_flag_stored" ->
+      s"""WITH ${graft.llm.LlmQueries.SIG_CTE}
+          SELECT DISTINCT t.doc_id
+          FROM bands t
+          WHERE t.doc_id % 10 != 0 AND EXISTS (
+            SELECT 1 FROM bands e
+            WHERE e.doc_id % 10 = 0
+              AND e.band = t.band AND e.bh = t.bh)""")
 }

@@ -27,6 +27,24 @@ class StreamArtifactSpec extends SparkSpec {
     assert(rebuilt.nonEmpty && stored == rebuilt)
   }
 
+  test("decontamFlagStreamWith emits exactly the DISTINCT flagged docs " +
+      "of the collision listing, once each") {
+    import org.apache.spark.sql.functions.col
+    val index = graft.llm.Dedup.bands(graft.llm.Dedup.minhashSignature(
+        graft.core.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)))
+      .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
+    val listing = StreamOps.decontamGateStreamWith(spark, dir, index,
+        "st_decontam_flag_listing_spec").collect()
+      .map(_.getLong(0)).toSet
+    val flags = StreamOps.decontamFlagStreamWith(spark, dir, index,
+        "st_decontam_flag_spec").collect().map(_.getLong(0)).toSeq
+    assert(flags.nonEmpty)
+    assert(flags.distinct == flags, "each flagged doc must appear once")
+    assert(flags.toSet == listing,
+      "flag set must equal the listing's distinct doc set")
+  }
+
   test("takedownClusterGateStreamWith(stored clusters) row-equals st17") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
