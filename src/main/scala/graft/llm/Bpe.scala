@@ -171,9 +171,84 @@ object Bpe {
     * the carried count table each round — the TopKPlanSpec idea applied
     * to loops; BpeSpec asserts it stays flat.
     */
+  /** `localDictCap` (r13, the CC `localEdgeCap` discipline applied to
+    * the second iterative loop in this engine): when the WORD DICT fits
+    * under the cap (`limit(cap+1)` — under the cap the collected dict
+    * is provably complete), the whole merge loop runs in driver memory
+    * — recount, argmax with the same `(cnt desc, pair asc)` tie-break,
+    * and a left-to-right non-overlapping scan-merge that reproduces the
+    * distributed path's space-lookaround `regexp_replace` exactly
+    * (spec-pinned bit-identical). Real tokenizer trainers are in-memory
+    * for exactly this reason: the dict is vocab-sized, not corpus-
+    * sized. A corpus whose vocabulary outgrows the cap (the 100 TB
+    * million-word dict) takes the incremental distributed loop
+    * unchanged; 0 disables (the plan-pinning spec forces that path).
+    */
   def bpeTrainIncremental(docs: DataFrame, nMerges: Int,
-      planProbe: (Int, Int, Int) => Unit = (_, _, _) => ()): DataFrame = {
+      planProbe: (Int, Int, Int) => Unit = (_, _, _) => (),
+      localDictCap: Int = 1 << 17): DataFrame = {
     val spark = docs.sparkSession
+    if (localDictCap > 0) {
+      val head = initDict(docs).limit(localDictCap + 1).collect()
+      if (head.length <= localDictCap) {
+        import spark.implicits._
+        val words: Array[(Long, Array[String])] =
+          head.map(r => (r.getLong(1), r.getString(2).split(" ")))
+        val merges = scala.collection.mutable.ArrayBuffer.empty[
+          (Long, String, String, String, Long)]
+        var round = 1
+        var done = false
+        while (round <= nMerges && !done) {
+          val counts =
+            scala.collection.mutable.HashMap.empty[(String, String), Long]
+          words.foreach { case (wc, sym) =>
+            var i = 0
+            while (i + 1 < sym.length) {
+              val k = (sym(i), sym(i + 1))
+              counts(k) = counts.getOrElse(k, 0L) + wc
+              i += 1
+            }
+          }
+          if (counts.isEmpty) done = true
+          else {
+            // max count, tie → lexicographically smallest "l r" string —
+            // the distributed orderBy(cnt desc, pair asc) spelling
+            val ((l, r), cnt) = counts.minBy { case ((a, b), c) =>
+              (-c, a + " " + b)
+            }
+            if (cnt < 2L) done = true
+            else {
+              merges += ((round.toLong, l, r, l + r, cnt))
+              var wi = 0
+              while (wi < words.length) {
+                val (wc, sym) = words(wi)
+                var has = false
+                var i = 0
+                while (!has && i + 1 < sym.length) {
+                  has = sym(i) == l && sym(i + 1) == r; i += 1
+                }
+                if (has) {
+                  // left-to-right non-overlapping merge — exactly the
+                  // padded " l r " regexp_replace's match order
+                  val out = scala.collection.mutable.ArrayBuffer
+                    .empty[String]
+                  var j = 0
+                  while (j < sym.length) {
+                    if (j + 1 < sym.length && sym(j) == l &&
+                        sym(j + 1) == r) { out += (l + r); j += 2 }
+                    else { out += sym(j); j += 1 }
+                  }
+                  words(wi) = (wc, out.toArray)
+                }
+                wi += 1
+              }
+              round += 1
+            }
+          }
+        }
+        return merges.toSeq.toDF("rank", "left", "right", "merged", "cnt")
+      }
+    }
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         graft.stream.StreamOps.checkpointDir("bpe-train"))

@@ -108,6 +108,12 @@ class BpeSpec extends SparkSpec {
     val inc = mergeTable(Bpe.bpeTrainIncremental(df, nMerges = 10))
     spark.catalog.clearCache()
     assert(full.nonEmpty && inc == full)
+    // the r13 local finish (default cap) and the forced distributed
+    // loop must produce the same table as the recount ground truth
+    val dist = mergeTable(Bpe.bpeTrainIncremental(df, nMerges = 10,
+      localDictCap = 0))
+    spark.catalog.clearCache()
+    assert(dist == full)
   }
 
   test("bpeTrainIncremental: carried plan stays flat across rounds (r9 regression guard)") {
@@ -123,7 +129,7 @@ class BpeSpec extends SparkSpec {
     }
     val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     Bpe.bpeTrainIncremental(docsDf(rows), nMerges = 12,
-      planProbe = (r, n, d) => sizes += ((r, n, d)))
+      planProbe = (r, n, d) => sizes += ((r, n, d)), localDictCap = 0)
     spark.catalog.clearCache()
     val later = sizes.toSeq.filter(_._1 >= 2).map(_._2)
     assert(later.nonEmpty, "expected at least 2 rounds")
