@@ -291,6 +291,10 @@ class DedupSpec extends SparkSpec {
     val outD = Dedup.clustersFromPairs(ids, pairs, localEdgeCap = 0)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(outD == out)
+    // empty pair set → every id a singleton, through the local path too
+    val outE = Dedup.clustersFromPairs(ids, pairs.filter(lit(false)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(outE == Map(1L -> (1L, 1L), 2L -> (2L, 1L), 3L -> (3L, 1L)))
   }
 
   test("candidateEdges (bucket min-star) yields the same clusters as " +
