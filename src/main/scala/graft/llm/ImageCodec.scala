@@ -96,6 +96,74 @@ object ImageCodec {
     out
   }
 
+  /** deterministic SMOOTH low-frequency fixture image for the
+    * perceptual-hash rows ([[PHash]]'s domain assumption — the
+    * modular-arithmetic [[testImage]] is white-noise-like, which is
+    * exactly the content class a DCT hash is NOT meant to key): three
+    * low-frequency sinusoidal plates whose orientation/phase vary with
+    * `id`. Amplitude 110 around 128 keeps every channel in [18, 238], so
+    * a small uniform brightness shift never clips — the shift then moves
+    * ONLY the DC coefficient and the pHash is bit-identical (PHashSpec).
+    */
+  def gradImage(id: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val a = 1.0 + (id % 3).toDouble
+    val b = 1.0 + ((id / 3) % 3).toDouble
+    val phi = 0.7 * id.toDouble
+    val tau = 2.0 * StrictMath.PI
+    def ch(v: Double): Int = {
+      val i = StrictMath.round(128.0 + 110.0 * v).toInt
+      if (i < 0) 0 else if (i > 255) 255 else i
+    }
+    var y = 0
+    while (y < h) {
+      val fy = y.toDouble / (h - 1)
+      var x = 0
+      while (x < w) {
+        val fx = x.toDouble / (w - 1)
+        // chirps, not plain plates: the fx·fy / fx² cross terms spread
+        // energy smoothly across many DCT bins, so the 8×8 block's
+        // median threshold has real margin (a separable sinusoid leaves
+        // ~49 of the 64 coefficients exactly zero and every tie bit
+        // unstable — measured, not hypothetical)
+        val r = ch(StrictMath.sin(tau * (a * fx + b * fy + 0.9 * fx * fy
+          + 0.6 * fx * fx - 0.4 * fy * fy) + phi))
+        val g = ch(StrictMath.sin(tau * (b * fx + a * fy - 0.7 * fx * fy
+          + 0.5 * fy * fy) + 1.3 * phi))
+        val bl = ch(StrictMath.cos(tau * (a * fx - b * fy + 0.8 * fx * fy
+          - 0.3 * fx * fx) + 0.5 * phi))
+        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** uniform brightness shift with clamping (the near-dup fixture
+    * variant; on [[gradImage]] output small shifts never clamp)
+    */
+  def brightnessShift(img: BufferedImage, delta: Int): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight,
+      BufferedImage.TYPE_INT_RGB)
+    def ch(v: Int): Int = {
+      val i = v + delta
+      if (i < 0) 0 else if (i > 255) 255 else i
+    }
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        out.setRGB(x, y, (ch((rgb >> 16) & 0xff) << 16) |
+          (ch((rgb >> 8) & 0xff) << 8) | ch(rgb & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** deterministic fixture image: per-(id, x, y) channel pattern */
   def testImage(id: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -288,7 +288,15 @@ object LlmQueries extends QueryPack {
       }
       Similarity.graphRefreshCycleWith(corpus, batch, graph, comms,
         minCos = 0.3, nBands = LshBands, bitsPerBand = LshBits)
-    })
+    }),
+    // perceptual image hash: one decode+DCT pass, no shuffle; the
+    // engine re-derives every hash from the payload bytes, the oracle
+    // reads the fixture's authored expected column (the x12 rule)
+    "x80_image_phash" -> ((s, _) => Multimodal.imagePhash(media(s))),
+    // image near-dup by banded hamming search (multi-index hashing —
+    // exact for tau < nBands); surfaces the re-encode / brightness /
+    // upscale variants content_md5 dedup misses
+    "x81_image_neardup" -> ((s, _) => Multimodal.imageNearDup(media(s)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2383,6 +2391,26 @@ object LlmQueries extends QueryPack {
     // stored-path twin: same values by construction (the in-query
     // build routes through graphRefreshCycleWith)
     "x79_graph_refresh_stored" -> GraphRefreshSql,
+
+    // the engine decodes + DCT-hashes the payload bytes; the oracle
+    // reads the fixture's authored expected hash (the x12 rule — same
+    // code computed it from the same bytes at authoring time)
+    "x80_image_phash" ->
+      s"""SELECT media_id, kind, phash64
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet')""",
+
+    // near-dup pairs under hamming(phash) <= 7: the banded engine join
+    // is EXACT for tau < nBands (multi-index hashing pigeonhole), so
+    // the uncapped cross-join oracle spells out the same pair set
+    "x81_image_neardup" ->
+      s"""WITH m AS (
+            SELECT media_id, phash64
+            FROM read_parquet('$MEDIA/media.parquet/*.parquet')
+            WHERE phash64 IS NOT NULL)
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+            CAST(bit_count(xor(a.phash64, b.phash64)) AS INT) AS hamming
+          FROM m a JOIN m b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.phash64, b.phash64)) <= 7""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

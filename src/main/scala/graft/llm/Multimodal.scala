@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling (north star: images/audio/video ride along
@@ -36,7 +37,8 @@ object Multimodal {
       duration_ms: Option[Long], sample_rate: Option[Int],
       px_brightness: Option[Double], amp_mean: Option[Double],
       rs8x6_brightness: Option[Double], rs8x6_md5: Option[String],
-      fr_ts_ms: Option[Seq[Long]], fr_brightness: Option[Seq[Double]])
+      fr_ts_ms: Option[Seq[Long]], fr_brightness: Option[Seq[Double]],
+      phash64: Option[Long])
 
   /** md5 of the lowercase-hex rendering — the one binary digest both
     * engines agree on (DuckDB has no md5 over BLOB), mirrored here for
@@ -67,7 +69,8 @@ object Multimodal {
       val bytes = ImageCodec.encode(img)
       val (rb, rm) = rs8x6(bytes)
       MediaFx(i, "image", bytes, Some(w), Some(h), None,
-        None, Some(ImageCodec.brightness(img)), None, rb, rm, None, None)
+        None, Some(ImageCodec.brightness(img)), None, rb, rm, None, None,
+        PHash.ofBytes(bytes))
     } ++
       (4L until 7L).map { i =>
         // real JPEGs (r3 verdict task 5): expected stats come from
@@ -77,7 +80,7 @@ object Multimodal {
         val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
         val (rb, rm) = rs8x6(bytes)
         MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
-          Some(bright), None, rb, rm, None, None)
+          Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes))
       } ++
       (7L until 10L).map { i =>
         // real WAVs: RIFF/16-bit-mono-PCM is hand-writable, no codec
@@ -90,7 +93,7 @@ object Multimodal {
         val st = WavCodec.decode(bytes).get
         MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
           Some(st.sampleRate), None, Some(st.meanAbs), None, None,
-          None, None)
+          None, None, None)
       } ++
       (10L until 12L).map { i =>
         // real ISO BMFF container with a REAL raw-luma video track: the
@@ -113,7 +116,26 @@ object Multimodal {
           None, None,
           Some((0 until nFrames).map(vt.frameTsMs)),
           Some(vt.frames.map(fr =>
-            fr.map(_ & 0xff).sum.toDouble / fr.length)))
+            fr.map(_ & 0xff).sum.toDouble / fr.length)), None)
+      } ++ {
+        // perceptual-near-dup set (x80/x81): one smooth base image and
+        // the three variant classes exact dedup (content_md5) misses —
+        // a lossy re-encode, a brightness shift, an integer upscale —
+        // plus an unrelated pattern as the negative. Expected `phash64`
+        // is authored by [[PHash]] from the encoded bytes, the x12 rule.
+        val base = ImageCodec.gradImage(0, 64, 48)
+        def fx(i: Long, bytes: Array[Byte]): MediaFx = {
+          val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
+          val (rb, rm) = rs8x6(bytes)
+          MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
+            Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes))
+        }
+        Seq(
+          fx(12L, ImageCodec.encode(base)),
+          fx(13L, ImageCodec.encodeJpeg(base)),
+          fx(14L, ImageCodec.encode(ImageCodec.brightnessShift(base, 6))),
+          fx(15L, ImageCodec.encode(ImageCodec.resizeNearest(base, 128, 96))),
+          fx(16L, ImageCodec.encode(ImageCodec.gradImage(4, 64, 48))))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -237,6 +259,92 @@ object Multimodal {
           }
         }
       }).toDF()
+  }
+
+  /** per-row perceptual hash: one embarrassingly-parallel decode+hash
+    * pass ([[PHash]]), no shuffle — `phash64` is null for non-image /
+    * undecodable payloads. At deployment this output is the MATERIALIZED
+    * artifact (write it next to the media table once; the pair search
+    * and any incremental probe run off the stored hashes — the
+    * VecBandIndex discipline), which is why [[imageNearDupFrom]] takes
+    * this frame rather than re-decoding.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.map(m =>
+        (m.media_id, m.kind, PHash.ofBytes(m.payload))))
+      .toDF("media_id", "kind", "phash64")
+  }
+
+  /** image near-dup pairs by perceptual hash: all (id_a < id_b) pairs
+    * with hamming(phash) ≤ `tau`. One decode pass + a banded self-join —
+    * never an all-pairs comparison.
+    *
+    * Scale shape is multi-index hashing (Norouzi et al., CVPR'12): the
+    * 64-bit hash splits into `nBands` substrings; a pair within hamming
+    * `tau < nBands` differs in at most `tau` substrings, so it SHARES at
+    * least one — band-equality candidates + an exact popcount verify are
+    * therefore EXACT for the τ-predicate (no recall loss, unlike the
+    * minhash/hyperplane LSH families). Candidate volume per band is
+    * Σ_bucket d², bounded by the [[Dedup.candidatePairs]] re-shard
+    * discipline: an oversized bucket (a mega-cluster of visually
+    * identical crops — the LAION watermark/template case) re-shards into
+    * ceil(d/maxBucket) sub-buckets, trading recall inside that bucket
+    * for bounded work, exactly the trade the text/embedding generators
+    * make. Default 8 bands × 8 bits supports τ ≤ 7; a corpus-scale
+    * deployment with tighter τ widens the bands (4×16 for τ ≤ 3) to cut
+    * candidate volume 256×.
+    */
+  def imageNearDup(media: DataFrame, tau: Int = 7, nBands: Int = 8,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    imageNearDupFrom(imagePhash(media), tau, nBands, maxBucket)
+
+  /** [[imageNearDup]] over a stored [[imagePhash]] artifact */
+  def imageNearDupFrom(hashed: DataFrame, tau: Int = 7, nBands: Int = 8,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    require(64 % nBands == 0 && nBands >= 2 && nBands <= 64,
+      s"nBands must divide 64 (got $nBands)")
+    require(tau < nBands,
+      s"band recall is only exact for tau < nBands (got tau=$tau, nBands=$nBands)")
+    val bpb = 64 / nBands
+    val mask = (1L << bpb) - 1
+    val h = hashed.filter(col("phash64").isNotNull)
+      .select(col("media_id"), col("phash64"))
+    // arithmetic >> then mask: the sign-extension bits of a negative
+    // hash land outside the band mask
+    val bands = h.select(col("media_id"), col("phash64"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket",
+        expr(s"(phash64 >> (band * $bpb)) & ${mask}L"))
+    val wsz = Window.partitionBy(col("band"), col("bucket"))
+    val sharded = bands
+      .withColumn("bsz", count(lit(1)).over(wsz))
+      .filter(col("bsz") > 1)
+      .withColumn("nsh",
+        ceil(col("bsz").cast("double") / maxBucket).cast("int"))
+      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
+        pmod(conv(substring(md5(concat_ws("#", col("bucket"),
+          col("media_id"))), 1, 7), 16, 10).cast("long"),
+          col("nsh")).cast("int")))
+    val buckets = sharded.groupBy(col("band"), col("bucket"), col("sub"))
+      .agg(sort_array(collect_list(struct(col("media_id"),
+        col("phash64")))).as("vs"))
+      .filter(size(col("vs")) > 1)
+    buckets
+      .select(posexplode(col("vs")).as(Seq("i", "a")), col("vs"))
+      .select(col("a.media_id").as("id_a"), col("a.phash64").as("ph_a"),
+        explode(slice(col("vs"), col("i") + lit(2), size(col("vs"))))
+          .as("b"))
+      .select(col("id_a"), col("ph_a"), col("b.media_id").as("id_b"),
+        col("b.phash64").as("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("hamming") <= tau)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** decoded feature record (what a real decoder would emit) */

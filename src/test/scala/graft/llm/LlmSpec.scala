@@ -1181,7 +1181,8 @@ class MultimodalSpec extends SparkSpec {
     import s.implicits._
     val df = Multimodal.mediaRows.toDS().toDF()
     val out = Multimodal.resizeImages(df, 8, 6).collect().sortBy(_.media_id)
-    assert(out.map(_.media_id).toSeq == (0L until 7L)) // images only
+    assert(out.map(_.media_id).toSeq ==
+      (0L until 7L) ++ (12L until 17L)) // images only (incl. phash rows)
     out.foreach { r =>
       assert(r.rs_width == 8 && r.rs_height == 6)
       // the re-encoded payload is a REAL PNG of the target geometry whose
@@ -1216,5 +1217,60 @@ class MultimodalSpec extends SparkSpec {
     // audio 7: 3000+7*500=6500ms → 0..6500 step 1000 → 7 frames
     assert(n(7L) == 7L)
     assert(!n.contains(0L)) // images have no duration
+  }
+
+  test("imagePhash re-derives the authored hash; null for non-images") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val got = Multimodal.imagePhash(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        Option(r.getAs[java.lang.Long]("phash64")).map(_.longValue)).toMap
+    Multimodal.mediaRows.foreach { m =>
+      assert(got(m.media_id) == m.phash64, s"media ${m.media_id}")
+      if (m.kind != "image") assert(got(m.media_id).isEmpty)
+    }
+  }
+
+  test("imageNearDup banded join == brute-force hamming<=tau ground truth") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val hs = Multimodal.mediaRows.flatMap(m =>
+      m.phash64.map(m.media_id -> _))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = PHash.hamming(ha, hb) if d <= 7
+    } yield (ia, ib, d)).toSet
+    val got = Multimodal.imageNearDup(df).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == brute)
+    // the designed variant family is exactly the near-dup closure of the
+    // base row 12: jpeg re-encode 13, brightness shift 14, upscale 15 —
+    // and the unrelated pattern 16 pairs with none of them
+    assert(got.map(t => (t._1, t._2)) ==
+      Set((12L, 13L), (12L, 14L), (12L, 15L), (13L, 14L), (13L, 15L),
+        (14L, 15L)))
+    // brightness shift and integer upscale are hash-IDENTICAL to the
+    // base (hamming 0) even though payload bytes (and content_md5) differ
+    assert(got.collect { case (12L, b, d) if b != 13L => d }.forall(_ == 0))
+  }
+
+  test("imageNearDup oversized-bucket re-shard bounds work, never invents pairs") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val full = Multimodal.imageNearDup(df).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val capped = Multimodal.imageNearDup(df, maxBucket = 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped.subsetOf(full))
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDup(df, tau = 8, nBands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDup(df, nBands = 7)
+    }
   }
 }
