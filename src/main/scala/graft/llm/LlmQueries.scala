@@ -296,7 +296,14 @@ object LlmQueries extends QueryPack {
     // image near-dup by banded hamming search (multi-index hashing —
     // exact for tau < nBands); surfaces the re-encode / brightness /
     // upscale variants content_md5 dedup misses
-    "x81_image_neardup" -> ((s, _) => Multimodal.imageNearDup(media(s)))
+    "x81_image_neardup" -> ((s, _) => Multimodal.imageNearDup(media(s))),
+    // audio spectral fingerprint: Goertzel time×frequency grid through
+    // the same DCT+median hash core; oracle reads the authored column
+    "x82_audio_fingerprint" -> ((s, _) =>
+      Multimodal.audioFingerprint(media(s))),
+    // audio near-dup: gain-change / resample / re-encode variants via
+    // the same exact banded hamming machine as x81
+    "x83_audio_neardup" -> ((s, _) => Multimodal.audioNearDup(media(s)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2411,6 +2418,23 @@ object LlmQueries extends QueryPack {
             CAST(bit_count(xor(a.phash64, b.phash64)) AS INT) AS hamming
           FROM m a JOIN m b ON a.media_id < b.media_id
           WHERE bit_count(xor(a.phash64, b.phash64)) <= 7""",
+
+    // the engine Goertzel-decodes + DCT-hashes the WAV payload; the
+    // oracle reads the fixture's authored expected fingerprint
+    "x82_audio_fingerprint" ->
+      s"""SELECT media_id, kind, audiofp64
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet')""",
+
+    // same exact banded-hamming semantics as x81, on the audio column
+    "x83_audio_neardup" ->
+      s"""WITH m AS (
+            SELECT media_id, audiofp64
+            FROM read_parquet('$MEDIA/media.parquet/*.parquet')
+            WHERE audiofp64 IS NOT NULL)
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+            CAST(bit_count(xor(a.audiofp64, b.audiofp64)) AS INT) AS hamming
+          FROM m a JOIN m b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.audiofp64, b.audiofp64)) <= 7""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

@@ -38,7 +38,7 @@ object Multimodal {
       px_brightness: Option[Double], amp_mean: Option[Double],
       rs8x6_brightness: Option[Double], rs8x6_md5: Option[String],
       fr_ts_ms: Option[Seq[Long]], fr_brightness: Option[Seq[Double]],
-      phash64: Option[Long])
+      phash64: Option[Long], audiofp64: Option[Long])
 
   /** md5 of the lowercase-hex rendering — the one binary digest both
     * engines agree on (DuckDB has no md5 over BLOB), mirrored here for
@@ -70,7 +70,7 @@ object Multimodal {
       val (rb, rm) = rs8x6(bytes)
       MediaFx(i, "image", bytes, Some(w), Some(h), None,
         None, Some(ImageCodec.brightness(img)), None, rb, rm, None, None,
-        PHash.ofBytes(bytes))
+        PHash.ofBytes(bytes), None)
     } ++
       (4L until 7L).map { i =>
         // real JPEGs (r3 verdict task 5): expected stats come from
@@ -80,7 +80,8 @@ object Multimodal {
         val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
         val (rb, rm) = rs8x6(bytes)
         MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
-          Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes))
+          Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes),
+          None)
       } ++
       (7L until 10L).map { i =>
         // real WAVs: RIFF/16-bit-mono-PCM is hand-writable, no codec
@@ -93,7 +94,7 @@ object Multimodal {
         val st = WavCodec.decode(bytes).get
         MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
           Some(st.sampleRate), None, Some(st.meanAbs), None, None,
-          None, None, None)
+          None, None, None, AudioFp.ofBytes(bytes))
       } ++
       (10L until 12L).map { i =>
         // real ISO BMFF container with a REAL raw-luma video track: the
@@ -116,7 +117,7 @@ object Multimodal {
           None, None,
           Some((0 until nFrames).map(vt.frameTsMs)),
           Some(vt.frames.map(fr =>
-            fr.map(_ & 0xff).sum.toDouble / fr.length)), None)
+            fr.map(_ & 0xff).sum.toDouble / fr.length)), None, None)
       } ++ {
         // perceptual-near-dup set (x80/x81): one smooth base image and
         // the three variant classes exact dedup (content_md5) misses —
@@ -128,7 +129,8 @@ object Multimodal {
           val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
           val (rb, rm) = rs8x6(bytes)
           MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
-            Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes))
+            Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes),
+            None)
         }
         Seq(
           fx(12L, ImageCodec.encode(base)),
@@ -136,6 +138,34 @@ object Multimodal {
           fx(14L, ImageCodec.encode(ImageCodec.brightnessShift(base, 6))),
           fx(15L, ImageCodec.encode(ImageCodec.resizeNearest(base, 128, 96))),
           fx(16L, ImageCodec.encode(ImageCodec.gradImage(4, 64, 48))))
+      } ++ {
+        // audio-near-dup set (x82/x83): one chirp-mix base signal and
+        // the variant classes exact dedup misses — a gain change and an
+        // 8 kHz re-render of the SAME physical signal — plus an
+        // unrelated chirp mix as the negative. Expected `audiofp64` is
+        // authored by [[AudioFp]] from the encoded bytes.
+        val tonesA = Seq((220.0, 400.0, 9000.0, 0.0),
+          (900.0, -250.0, 6000.0, 1.0), (1500.0, 600.0, 4000.0, 2.0),
+          (2600.0, -700.0, 2500.0, 0.5))
+        val tonesB = Seq((330.0, -120.0, 8000.0, 0.7),
+          (700.0, 500.0, 5000.0, 1.9), (1900.0, -450.0, 3500.0, 0.2),
+          (2900.0, 150.0, 2200.0, 2.4))
+        def fx(i: Long, partials: Seq[(Double, Double, Double, Double)],
+            rate: Int, scale: Double): MediaFx = {
+          val scaled = partials.map { case (f, sl, a, p) =>
+            (f, sl, a * scale, p) }
+          val bytes = WavCodec.encode(
+            WavCodec.toneSamples(scaled, 2.0, rate), rate)
+          val st = WavCodec.decode(bytes).get
+          MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
+            Some(st.sampleRate), None, Some(st.meanAbs), None, None,
+            None, None, None, AudioFp.ofBytes(bytes))
+        }
+        Seq(
+          fx(17L, tonesA, 16000, 1.0),
+          fx(18L, tonesA, 16000, 0.5),
+          fx(19L, tonesA, 8000, 1.0),
+          fx(20L, tonesB, 16000, 1.0))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -304,15 +334,48 @@ object Multimodal {
 
   /** [[imageNearDup]] over a stored [[imagePhash]] artifact */
   def imageNearDupFrom(hashed: DataFrame, tau: Int = 7, nBands: Int = 8,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    hammingNearDupFrom(hashed, "phash64", tau, nBands, maxBucket)
+
+  /** audio near-dup pairs by spectral fingerprint ([[AudioFp]]): the
+    * re-encode / gain-change / resample duplicate classes, keyed by the
+    * same 64-bit DCT+median construction and searched by the same exact
+    * banded hamming join as [[imageNearDup]] — one generic machine, two
+    * modalities.
+    */
+  def audioNearDup(media: DataFrame, tau: Int = 7, nBands: Int = 8,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    hammingNearDupFrom(audioFingerprint(media), "audiofp64", tau, nBands,
+      maxBucket)
+
+  /** per-row audio spectral fingerprint — same embarrassingly-parallel
+    * decode-pass contract as [[imagePhash]]; null for non-WAV payloads
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.map(m =>
+        (m.media_id, m.kind, AudioFp.ofBytes(m.payload))))
+      .toDF("media_id", "kind", "audiofp64")
+  }
+
+  /** the generic exact banded hamming-≤τ self-join over any
+    * (media_id, `hashCol`: 64-bit code) table — multi-index hashing with
+    * the house oversized-bucket re-shard cap (scale notes on
+    * [[imageNearDup]])
+    */
+  def hammingNearDupFrom(hashed: DataFrame, hashCol: String, tau: Int,
+      nBands: Int, maxBucket: Int): DataFrame = {
     require(64 % nBands == 0 && nBands >= 2 && nBands <= 64,
       s"nBands must divide 64 (got $nBands)")
     require(tau < nBands,
       s"band recall is only exact for tau < nBands (got tau=$tau, nBands=$nBands)")
     val bpb = 64 / nBands
     val mask = (1L << bpb) - 1
-    val h = hashed.filter(col("phash64").isNotNull)
-      .select(col("media_id"), col("phash64"))
+    val h = hashed.filter(col(hashCol).isNotNull)
+      .select(col("media_id"), col(hashCol).as("phash64"))
     // arithmetic >> then mask: the sign-extension bits of a negative
     // hash land outside the band mask
     val bands = h.select(col("media_id"), col("phash64"),

@@ -67,6 +67,19 @@ object PHash {
       }
       gy += 1
     }
+    hashGrid(luma)
+  }
+
+  /** the DCT+median core over ANY 32×32 non-negative feature grid —
+    * shared by the image path (luma) and [[AudioFp]] (time×frequency
+    * spectrogram). Invariant under a global positive scaling of the grid
+    * (the DCT is linear and the median threshold scales with it), which
+    * is what makes the audio hash amplitude-invariant for free.
+    */
+  def hashGrid(grid: Array[Array[Double]]): Long = {
+    require(grid.length == N && grid.forall(_.length == N),
+      s"hashGrid expects a ${N}x$N grid")
+    val luma = grid
     // separable 2-D DCT-II, rows first: tmp(v)(y) = Σx luma(y)(x)·cos(v,x)
     val tmp = Array.ofDim[Double](K, N)
     var v = 0

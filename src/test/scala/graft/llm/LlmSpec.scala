@@ -1257,6 +1257,40 @@ class MultimodalSpec extends SparkSpec {
     assert(got.collect { case (12L, b, d) if b != 13L => d }.forall(_ == 0))
   }
 
+  test("audioFingerprint re-derives the authored hash; null for non-audio") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val got = Multimodal.audioFingerprint(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        Option(r.getAs[java.lang.Long]("audiofp64")).map(_.longValue)).toMap
+    Multimodal.mediaRows.foreach { m =>
+      assert(got(m.media_id) == m.audiofp64, s"media ${m.media_id}")
+      if (m.kind != "audio") assert(got(m.media_id).isEmpty)
+    }
+  }
+
+  test("audioNearDup banded join == brute-force hamming<=tau ground truth") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val hs = Multimodal.mediaRows.flatMap(m =>
+      m.audiofp64.map(m.media_id -> _))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = PHash.hamming(ha, hb) if d <= 7
+    } yield (ia, ib, d)).toSet
+    val got = Multimodal.audioNearDup(df).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == brute)
+    // the variant family is exactly the near-dup closure of base 17:
+    // gain change 18, 8 kHz re-render 19 — the unrelated mix 20 and the
+    // noise-pattern rows 7-9 pair with nothing
+    assert(got.map(t => (t._1, t._2)) ==
+      Set((17L, 18L), (17L, 19L), (18L, 19L)))
+  }
+
   test("imageNearDup oversized-bucket re-shard bounds work, never invents pairs") {
     val s = spark
     import s.implicits._
