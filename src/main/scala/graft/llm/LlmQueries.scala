@@ -303,7 +303,13 @@ object LlmQueries extends QueryPack {
       Multimodal.audioFingerprint(media(s))),
     // audio near-dup: gain-change / resample / re-encode variants via
     // the same exact banded hamming machine as x81
-    "x83_audio_neardup" -> ((s, _) => Multimodal.audioNearDup(media(s)))
+    "x83_audio_neardup" -> ((s, _) => Multimodal.audioNearDup(media(s))),
+    // per-frame perceptual hashes for decodable video tracks (the
+    // materialized artifact clip-level dedup runs off)
+    "x84_video_phash" -> ((s, _) => Multimodal.videoPhash(media(s))),
+    // clip near-dup by frame-hash containment (trimmed clips score 1.0
+    // against their source; stop-frame df cut bounds bucket fan-out)
+    "x85_video_neardup" -> ((s, _) => Multimodal.videoNearDup(media(s)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2435,6 +2441,38 @@ object LlmQueries extends QueryPack {
             CAST(bit_count(xor(a.audiofp64, b.audiofp64)) AS INT) AS hamming
           FROM m a JOIN m b ON a.media_id < b.media_id
           WHERE bit_count(xor(a.audiofp64, b.audiofp64)) <= 7""",
+
+    // the engine demuxes the video track and hashes every luma frame;
+    // the oracle unnests the fixture's authored per-frame hash array
+    // (the x39 discipline)
+    "x84_video_phash" ->
+      s"""SELECT media_id, CAST(x.i - 1 AS INT) AS frame_idx,
+            fr_phash64[x.i] AS fphash64
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
+            unnest(generate_series(1, len(fr_phash64))) AS x(i)
+          WHERE fr_phash64 IS NOT NULL""",
+
+    // clip containment over distinct frame hashes: overlap /
+    // min(side counts) >= 0.5, spelled out relationally from the same
+    // authored arrays (df cut never triggers on the fixture)
+    "x85_video_neardup" ->
+      s"""WITH fh AS (
+            SELECT DISTINCT media_id, fr_phash64[x.i] AS h
+            FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
+              unnest(generate_series(1, len(fr_phash64))) AS x(i)
+            WHERE fr_phash64 IS NOT NULL),
+          n AS (SELECT media_id, count(*) AS nh FROM fh GROUP BY 1),
+          ov AS (
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+              count(*) AS overlap
+            FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
+            GROUP BY 1, 2)
+          SELECT o.id_a, o.id_b, o.overlap,
+            CAST(o.overlap AS DOUBLE) / least(na.nh, nb.nh) AS sim
+          FROM ov o
+          JOIN n na ON na.media_id = o.id_a
+          JOIN n nb ON nb.media_id = o.id_b
+          WHERE CAST(o.overlap AS DOUBLE) / least(na.nh, nb.nh) >= 0.5""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

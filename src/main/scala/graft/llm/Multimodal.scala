@@ -38,7 +38,8 @@ object Multimodal {
       px_brightness: Option[Double], amp_mean: Option[Double],
       rs8x6_brightness: Option[Double], rs8x6_md5: Option[String],
       fr_ts_ms: Option[Seq[Long]], fr_brightness: Option[Seq[Double]],
-      phash64: Option[Long], audiofp64: Option[Long])
+      phash64: Option[Long], audiofp64: Option[Long],
+      fr_phash64: Option[Seq[Long]])
 
   /** md5 of the lowercase-hex rendering — the one binary digest both
     * engines agree on (DuckDB has no md5 over BLOB), mirrored here for
@@ -70,7 +71,7 @@ object Multimodal {
       val (rb, rm) = rs8x6(bytes)
       MediaFx(i, "image", bytes, Some(w), Some(h), None,
         None, Some(ImageCodec.brightness(img)), None, rb, rm, None, None,
-        PHash.ofBytes(bytes), None)
+        PHash.ofBytes(bytes), None, None)
     } ++
       (4L until 7L).map { i =>
         // real JPEGs (r3 verdict task 5): expected stats come from
@@ -81,7 +82,7 @@ object Multimodal {
         val (rb, rm) = rs8x6(bytes)
         MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
           Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes),
-          None)
+          None, None)
       } ++
       (7L until 10L).map { i =>
         // real WAVs: RIFF/16-bit-mono-PCM is hand-writable, no codec
@@ -94,7 +95,7 @@ object Multimodal {
         val st = WavCodec.decode(bytes).get
         MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
           Some(st.sampleRate), None, Some(st.meanAbs), None, None,
-          None, None, None, AudioFp.ofBytes(bytes))
+          None, None, None, AudioFp.ofBytes(bytes), None)
       } ++
       (10L until 12L).map { i =>
         // real ISO BMFF container with a REAL raw-luma video track: the
@@ -117,7 +118,9 @@ object Multimodal {
           None, None,
           Some((0 until nFrames).map(vt.frameTsMs)),
           Some(vt.frames.map(fr =>
-            fr.map(_ & 0xff).sum.toDouble / fr.length)), None, None)
+            fr.map(_ & 0xff).sum.toDouble / fr.length)), None, None,
+          Some(vt.frames.map(fr =>
+            PHash.ofLuma(fr, vt.width, vt.height))))
       } ++ {
         // perceptual-near-dup set (x80/x81): one smooth base image and
         // the three variant classes exact dedup (content_md5) misses —
@@ -130,7 +133,7 @@ object Multimodal {
           val (rb, rm) = rs8x6(bytes)
           MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
             Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes),
-            None)
+            None, None)
         }
         Seq(
           fx(12L, ImageCodec.encode(base)),
@@ -159,13 +162,55 @@ object Multimodal {
           val st = WavCodec.decode(bytes).get
           MediaFx(i, "audio", bytes, None, None, Some(st.durationMs),
             Some(st.sampleRate), None, Some(st.meanAbs), None, None,
-            None, None, None, AudioFp.ofBytes(bytes))
+            None, None, None, AudioFp.ofBytes(bytes), None)
         }
         Seq(
           fx(17L, tonesA, 16000, 1.0),
           fx(18L, tonesA, 16000, 0.5),
           fx(19L, tonesA, 8000, 1.0),
           fx(20L, tonesB, 16000, 1.0))
+      } ++ {
+        // video-near-dup set (x84/x85): one smooth chirp-frame base clip
+        // and the variant classes frame-exact content hashing misses —
+        // a per-frame brightness shift and a TRIMMED prefix clip (the
+        // containment case) — plus an unrelated pattern family. Expected
+        // `fr_phash64` is authored by [[PHash.ofLuma]] over the same
+        // demuxed frames the engine decodes.
+        val (w, h) = (64, 48)
+        def gradFrames(fam: Long, nFrames: Int): Seq[Array[Byte]] = {
+          val a = 1.0 + (fam % 3).toDouble
+          val b = 1.0 + ((fam / 3) % 3).toDouble
+          val tau = 2.0 * StrictMath.PI
+          (0 until nFrames).map { f =>
+            Array.tabulate(w * h) { j =>
+              val fx = (j % w).toDouble / (w - 1)
+              val fy = (j / w).toDouble / (h - 1)
+              val v = StrictMath.sin(tau * (a * fx + b * fy + 0.9 * fx * fy
+                + 0.6 * fx * fx - 0.4 * fy * fy) + 0.7 * fam + 0.35 * f)
+              val i0 = StrictMath.round(128.0 + 110.0 * v).toInt
+              (if (i0 < 0) 0 else if (i0 > 255) 255 else i0).toByte
+            }
+          }
+        }
+        def fx(i: Long, frames: Seq[Array[Byte]]): MediaFx = {
+          val bytes = Mp4Meta.encodeVideo(timescale = 1000, frameW = w,
+            frameH = h, frameDelta = 500, frames = frames)
+          val vt = Mp4Meta.decodeFrames(bytes).get
+          MediaFx(i, "video", bytes, Some(w), Some(h),
+            Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None,
+            None, None,
+            Some(frames.indices.map(vt.frameTsMs)),
+            Some(vt.frames.map(fr =>
+              fr.map(_ & 0xff).sum.toDouble / fr.length)), None, None,
+            Some(vt.frames.map(fr => PHash.ofLuma(fr, vt.width, vt.height))))
+        }
+        val base = gradFrames(0, 8)
+        Seq(
+          fx(21L, base),
+          fx(22L, base.map(fr => fr.map(v =>
+            math.min(255, (v & 0xff) + 6).toByte))),
+          fx(23L, base.take(5)),
+          fx(24L, gradFrames(1, 8)))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -359,6 +404,64 @@ object Multimodal {
       .mapPartitions(_.map(m =>
         (m.media_id, m.kind, AudioFp.ofBytes(m.payload))))
       .toDF("media_id", "kind", "audiofp64")
+  }
+
+  /** per-frame perceptual hash for decodable video tracks: demux +
+    * slice ([[Mp4Meta.decodeFrames]]) and [[PHash.ofLuma]] each frame in
+    * the same shuffle-free `mapPartitions` pass as [[videoFrames]] —
+    * the materialized frame-hash artifact video near-dedup runs off
+    */
+  def videoPhash(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        Mp4Meta.decodeFrames(m.payload).iterator.flatMap { vt =>
+          vt.frames.iterator.zipWithIndex.map { case (fr, i) =>
+            (m.media_id, i, PHash.ofLuma(fr, vt.width, vt.height))
+          }
+        }
+      }).toDF("media_id", "frame_idx", "fphash64")
+  }
+
+  /** video near-dup pairs by frame-hash containment: two clips pair when
+    * ≥ `minSim` of the SHORTER clip's distinct frame hashes appear in
+    * the other (containment, not Jaccard, so a TRIMMED clip still scores
+    * 1.0 against its source — the re-upload/clip case). Candidates come
+    * from exact frame-hash equality (a shuffle on the hash key — the
+    * winnow-pairs shape, never all-pairs); `maxDf` drops frame hashes
+    * shared by more than that many clips first (the stop-frame cut: a
+    * black/title-card frame at corpus scale would otherwise build a
+    * mega-bucket AND inflate every overlap count — same df-cut
+    * discipline as the winnowing text pairs).
+    */
+  def videoNearDup(media: DataFrame, minSim: Double = 0.5,
+      maxDf: Int = 1000): DataFrame =
+    videoNearDupFrom(videoPhash(media), minSim, maxDf)
+
+  /** [[videoNearDup]] over a stored [[videoPhash]] artifact */
+  def videoNearDupFrom(frameHashes: DataFrame, minSim: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val d = frameHashes.select(col("media_id"), col("fphash64")).distinct()
+    val withN = d.withColumn("nh",
+      count(lit(1)).over(Window.partitionBy(col("media_id"))))
+    val kept = withN.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("fphash64"))))
+      .filter(col("df") <= maxDf)
+    val a = kept.select(col("fphash64"), col("media_id").as("id_a"),
+      col("nh").as("nh_a"))
+    val b = kept.select(col("fphash64"), col("media_id").as("id_b"),
+      col("nh").as("nh_b"))
+    a.join(b, Seq("fphash64"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("overlap"), first(col("nh_a")).as("nh_a"),
+        first(col("nh_b")).as("nh_b"))
+      .withColumn("sim",
+        col("overlap").cast("double") / least(col("nh_a"), col("nh_b")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("overlap"), col("sim"))
   }
 
   /** the generic exact banded hamming-≤τ self-join over any

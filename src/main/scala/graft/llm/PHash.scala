@@ -128,6 +128,25 @@ object PHash {
   def ofBytes(bytes: Array[Byte]): Option[Long] =
     ImageCodec.decodeImage(bytes).map(ofImage)
 
+  /** pHash of a raw luma plane (the [[Mp4Meta]] decoded-frame format):
+    * same 32×32 integer source-index resample, bytes already ARE luma
+    */
+  def ofLuma(fr: Array[Byte], w: Int, h: Int): Long = {
+    val grid = Array.ofDim[Double](N, N)
+    var gy = 0
+    while (gy < N) {
+      val sy = (gy.toLong * h / N).toInt
+      var gx = 0
+      while (gx < N) {
+        val sx = (gx.toLong * w / N).toInt
+        grid(gy)(gx) = (fr(sy * w + sx) & 0xff).toDouble
+        gx += 1
+      }
+      gy += 1
+    }
+    hashGrid(grid)
+  }
+
   /** hamming distance between two hashes */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }

@@ -1291,6 +1291,43 @@ class MultimodalSpec extends SparkSpec {
       Set((17L, 18L), (17L, 19L), (18L, 19L)))
   }
 
+  test("videoPhash re-derives the authored per-frame hashes") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val got = Multimodal.videoPhash(df).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        r.getAs[Long]("fphash64")).toMap
+    val expected = (for {
+      m <- Multimodal.mediaRows; hs <- m.fr_phash64.toSeq
+      (h, i) <- hs.zipWithIndex
+    } yield (m.media_id, i) -> h).toMap
+    assert(got == expected)
+  }
+
+  test("videoNearDup containment == brute-force ground truth; trim scores 1.0") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val sets = Multimodal.mediaRows.flatMap(m =>
+      m.fr_phash64.map(m.media_id -> _.toSet)).toMap
+    val brute = (for {
+      (ia, ha) <- sets.toSeq; (ib, hb) <- sets.toSeq if ia < ib
+      ov = (ha & hb).size
+      sim = ov.toDouble / math.min(ha.size, hb.size) if sim >= 0.5
+    } yield (ia, ib, ov.toLong, sim)).toSet
+    val got = Multimodal.videoNearDup(df).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("overlap"), r.getAs[Double]("sim"))).toSet
+    assert(got == brute)
+    // the variant family: per-frame brightness shift 22 and the trimmed
+    // prefix 23 both score containment 1.0 against base 21; the
+    // unrelated pattern 24 and the noise clips 10/11 pair with nothing
+    assert(got.map(t => (t._1, t._2)) ==
+      Set((21L, 22L), (21L, 23L), (22L, 23L)))
+    assert(got.forall(_._4 == 1.0))
+  }
+
   test("imageNearDup oversized-bucket re-shard bounds work, never invents pairs") {
     val s = spark
     import s.implicits._
