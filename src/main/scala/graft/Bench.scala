@@ -72,7 +72,7 @@ object Bench {
     * caller explicitly wants a rewrite; concurrent restagers are
     * documented-unsupported).
     */
-  private def stagedAtomically(out: String)(write: String => Unit): String = {
+  private[graft] def stagedAtomically(out: String)(write: String => Unit): String = {
     import java.nio.file.{Files, Paths, Path, StandardCopyOption}
     val marker = Paths.get(s"$out/.staged")
     if (sys.env.get("SPARK_GRAFT_RESTAGE").forall(_ != "1") &&

@@ -1,0 +1,269 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{ImageCodec, Mp4Meta, Multimodal, WavCodec}
+
+/** Amplified-scale probe for the perceptual media family (x80–x85).
+  *
+  * The committed fixture prices CORRECTNESS on ~25 rows; this main
+  * prices the SCALE story: it generates a deterministic synthetic media
+  * corpus (`SPARK_GRAFT_MEDIA_N` images, N/4 WAVs, N/8 clips — real
+  * PNG/RIFF/ISO-BMFF payloads through the engine's own encoders, with a
+  * planted 20% near-dup variant rate: brightness-shifted re-encodes,
+  * gain-halved re-masters, trimmed clip prefixes), stages it once
+  * (atomic-rename, reused across runs), then times the two phases the
+  * production pipeline separates:
+  *
+  *   - `extract_*`: decode + perceptual hash + write the stored hash
+  *     artifact (the [[Multimodal.imagePhash]] materialization rule) —
+  *     embarrassingly parallel scan throughput, no shuffle. A SQL engine
+  *     has no codec, so this phase is a capability claim measured in
+  *     MB/s, not a DuckDB ratio.
+  *   - `nd_*`: the banded hamming / containment near-dup search FROM the
+  *     stored artifact — the phase with a fair relational twin
+  *     (`tools/bench_media_duck.py` runs the same banded algorithm in
+  *     DuckDB SQL over the same hash parquet).
+  *
+  * Timing protocol mirrors [[Bench]]: staged input, cache cleared per
+  * run, noop/parquet sink, warm-up + 3 interleaved sweeps, median + min,
+  * load-average telemetry, one JSON line.
+  */
+object MediaBench {
+
+  /** splitmix64 — the deterministic per-id parameter stream */
+  private def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** uniform [0,1) draw k for seed id */
+  private def unif(seed: Long, k: Int): Double =
+    (mix(seed * 1000003L + k) >>> 11).toDouble / (1L << 53).toDouble
+
+  val W = 64
+  val H = 48
+
+  /** id-parameterized smooth-texture luma plane (frame `f` of a clip);
+    * six id-derived sinusoid coefficients spread the DCT spectrum so
+    * perceptual hashes don't collapse into a handful of band buckets
+    */
+  def lumaFrame(seed: Long, f: Int): Array[Byte] = {
+    val a = 0.5 + 3.0 * unif(seed, 1)
+    val b = 0.5 + 3.0 * unif(seed, 2)
+    val c = 2.0 * unif(seed, 3) - 1.0
+    val d = 2.0 * unif(seed, 4) - 1.0
+    val e = 2.0 * unif(seed, 5) - 1.0
+    val phi = 2.0 * StrictMath.PI * unif(seed, 6)
+    val tau = 2.0 * StrictMath.PI
+    Array.tabulate(W * H) { j =>
+      val fx = (j % W).toDouble / (W - 1)
+      val fy = (j / W).toDouble / (H - 1)
+      val v = StrictMath.sin(tau * (a * fx + b * fy + c * fx * fy +
+        d * fx * fx + e * fy * fy) + phi + 0.35 * f)
+      val i0 = StrictMath.round(128.0 + 110.0 * v).toInt
+      (if (i0 < 0) 0 else if (i0 > 255) 255 else i0).toByte
+    }
+  }
+
+  /** ids ≡ 4 (mod 5) are near-dup variants of id−1 (which is ≡ 3, so
+    * variants never chain) — the 20% planted duplicate rate
+    */
+  @inline private def baseOf(id: Long): (Long, Boolean) =
+    if (id % 5 == 4) (id - 1, true) else (id, false)
+
+  /** PNG payload: unique texture, or a +6 brightness-shifted re-encode
+    * of the previous id's pixels (the x80 invariance class)
+    */
+  def pngFor(id: Long): Array[Byte] = {
+    val (base, variant) = baseOf(id)
+    val lum = lumaFrame(base, 0)
+    val img = new java.awt.image.BufferedImage(W, H,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var j = 0
+    while (j < W * H) {
+      val v0 = lum(j) & 0xff
+      val v = if (variant) math.min(255, v0 + 6) else v0
+      img.setRGB(j % W, j / W, (v << 16) | (v << 8) | v)
+      j += 1
+    }
+    ImageCodec.encode(img)
+  }
+
+  /** 0.5 s 16 kHz three-tone WAV, or a gain-halved re-master of the
+    * previous id's mix (the x82 invariance class)
+    */
+  def wavFor(id: Long): Array[Byte] = {
+    val (base, variant) = baseOf(id)
+    val rate = 16000
+    val f1 = 200.0 + 1800.0 * unif(base, 11)
+    val f2 = 200.0 + 1800.0 * unif(base, 12)
+    val f3 = 200.0 + 1800.0 * unif(base, 13)
+    val gain = if (variant) 0.5 else 1.0
+    val tau = 2.0 * StrictMath.PI
+    val samples = Array.tabulate(8000) { t =>
+      val tt = t.toDouble / rate
+      val v = 0.5 * StrictMath.sin(tau * f1 * tt) +
+        0.3 * StrictMath.sin(tau * f2 * tt) +
+        0.2 * StrictMath.sin(tau * f3 * tt)
+      (gain * v * 12000.0).toShort
+    }
+    WavCodec.encode(samples, rate)
+  }
+
+  /** 8-frame raw-luma MP4 clip, or the TRIMMED 5-frame prefix of the
+    * previous id's clip (the x85 containment class). Seed salted away
+    * from the image stream so the two modalities draw different textures.
+    */
+  def mp4For(id: Long): Array[Byte] = {
+    val (base, variant) = baseOf(id)
+    val nF = if (variant) 5 else 8
+    val frames = (0 until nF).map(f => lumaFrame(mix(base) ^ 0x56494445L, f))
+    Mp4Meta.encodeVideo(timescale = 1000, frameW = W, frameH = H,
+      frameDelta = 500, frames = frames)
+  }
+
+  /** generate + stage the synthetic corpus once per n (atomic rename,
+    * `.staged` marker reuse — the Bench staging discipline); payload
+    * parquet per modality in the fixture's MediaIn column layout
+    */
+  def stageMedia(spark: SparkSession, n: Long): String = {
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v1"
+    Bench.stagedAtomically(out) { tmp =>
+      import spark.implicits._
+      val nAud = math.max(8L, n / 4)
+      val nVid = math.max(8L, n / 8)
+      spark.range(0, n, 1, 32)
+        .map(id => (id, "image", pngFor(id), Some(W), Some(H),
+          None: Option[Long], None: Option[Int]))
+        .toDF("media_id", "kind", "payload", "width", "height",
+          "duration_ms", "sample_rate")
+        .write.parquet(s"$tmp/images.parquet")
+      spark.range(0, nAud, 1, 32)
+        .map(id => (id, "audio", wavFor(id), None: Option[Int],
+          None: Option[Int], Some(500L), Some(16000)))
+        .toDF("media_id", "kind", "payload", "width", "height",
+          "duration_ms", "sample_rate")
+        .write.parquet(s"$tmp/audio.parquet")
+      spark.range(0, nVid, 1, 32)
+        .map(id => (id, "video", mp4For(id), Some(W), Some(H),
+          Some(if (id % 5 == 4) 2500L else 4000L), None: Option[Int]))
+        .toDF("media_id", "kind", "payload", "width", "height",
+          "duration_ms", "sample_rate")
+        .write.parquet(s"$tmp/video.parquet")
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_MEDIA_N", "20000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = core.GraftSession.builder("graft-media-bench", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = stageMedia(spark, n)
+    val hdir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/hashes_n$n"
+    def payload(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
+    def hashes(t: String): DataFrame = spark.read.parquet(s"$hdir/$t.parquet")
+
+    // extraction: decode + hash + write the stored artifact (timed as a
+    // unit — the artifact write IS the production shape)
+    val extract: Seq[(String, () => Unit)] = Seq(
+      "extract_img" -> (() => Multimodal.imagePhash(payload("images"))
+        .write.mode("overwrite").parquet(s"$hdir/img_hash.parquet")),
+      "extract_aud" -> (() => Multimodal.audioFingerprint(payload("audio"))
+        .write.mode("overwrite").parquet(s"$hdir/aud_fp.parquet")),
+      "extract_vid" -> (() => Multimodal.videoPhash(payload("video"))
+        .write.mode("overwrite").parquet(s"$hdir/vid_hash.parquet")))
+    // near-dup search FROM the stored artifacts (the DuckDB-twinned
+    // phase) — noop sink, full compute per run
+    val nearDup: Seq[(String, () => Unit)] = Seq(
+      "nd_img" -> (() => Multimodal.imageNearDupFrom(hashes("img_hash"))
+        .write.format("noop").mode("overwrite").save()),
+      "nd_aud" -> (() => Multimodal.hammingNearDupFrom(hashes("aud_fp"),
+          "audiofp64", 7, 8, llm.Dedup.MaxBucket)
+        .write.format("noop").mode("overwrite").save()),
+      "nd_vid" -> (() => Multimodal.videoNearDupFrom(hashes("vid_hash"))
+        .write.format("noop").mode("overwrite").save()))
+
+    val loads = scala.collection.mutable.ListBuffer[Double]()
+    def sampleLoad(): Unit = loads += java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    sampleLoad()
+
+    def timeOnce(fn: () => Unit): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      fn()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up pass (also materializes the hash artifacts the nd phases
+    // read), then 3 interleaved sweeps
+    val phases = extract ++ nearDup
+    val samples = phases.map { case (name, fn) =>
+      name -> scala.collection.mutable.ListBuffer(timeOnce(fn))
+    }.toMap
+    sampleLoad()
+    (1 to 3).foreach { _ =>
+      phases.foreach { case (name, fn) => samples(name) += timeOnce(fn) }
+      sampleLoad()
+    }
+    val med = phases.map { case (name, _) =>
+      val timed = samples(name).drop(1).sorted
+      name -> timed(timed.size / 2)
+    }
+    val mins = phases.map { case (name, _) => name -> samples(name).min }
+
+    // corpus descriptors + result volumes (once, untimed)
+    def mb(t: String): Double = payload(t)
+      .agg(sum(length(col("payload")))).head().getLong(0) / 1e6
+    val bytesMb = Seq("images" -> mb("images"), "audio" -> mb("audio"),
+      "video" -> mb("video"))
+    val pairs = Seq(
+      "nd_img" -> Multimodal.imageNearDupFrom(hashes("img_hash")).count(),
+      "nd_aud" -> Multimodal.hammingNearDupFrom(hashes("aud_fp"),
+        "audiofp64", 7, 8, llm.Dedup.MaxBucket).count(),
+      "nd_vid" -> Multimodal.videoNearDupFrom(hashes("vid_hash")).count())
+    // recall on the PLANTED variant pairs (id−1, id) for id ≡ 4 (mod 5):
+    // the re-shard cap may drop incidental cross-texture pairs inside
+    // oversized buckets, but a planted pair's codes agree on (nearly)
+    // every band, so it gets ~8 independent chances to co-shard — this
+    // measures that claim instead of asserting it
+    def plantedOf(df: DataFrame, total: Long): Double = df
+      .filter(col("id_b") === col("id_a") + 1 && col("id_b") % 5 === 4)
+      .count().toDouble / total
+    val recall = Seq(
+      "nd_img" -> plantedOf(
+        Multimodal.imageNearDupFrom(hashes("img_hash")), n / 5),
+      "nd_aud" -> plantedOf(Multimodal.hammingNearDupFrom(hashes("aud_fp"),
+        "audiofp64", 7, 8, llm.Dedup.MaxBucket), math.max(8L, n / 4) / 5),
+      "nd_vid" -> plantedOf(
+        Multimodal.videoNearDupFrom(hashes("vid_hash")),
+        math.max(8L, n / 8) / 5))
+
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jm(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val j = s"""{"metric":"media_bench","value":${r3(med.map(_._2).sum)},""" +
+      s""""unit":"sec","n":$n,"queries":${jm(med)},""" +
+      s""""queries_min":${jm(mins)},""" +
+      s""""pairs":${pairs.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")},""" +
+      s""""planted_recall":${jm(recall)},""" +
+      s""""bytes_mb":${jm(bytesMb)},""" +
+      s""""load_avg":${loads.map(r3).mkString("[", ",", "]")},""" +
+      s""""hash_dir":"$hdir"}"""
+    Files.writeString(Paths.get("media_bench_out.json"), j + "\n")
+    println(j)
+    spark.stop()
+  }
+}

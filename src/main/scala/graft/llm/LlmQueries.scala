@@ -15,7 +15,7 @@ import graft.core.Tables
   */
 object LlmQueries extends QueryPack {
 
-  private val MEDIA = "/root/repo/fixtures/media"
+  private[graft] val MEDIA = "/root/repo/fixtures/media"
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =

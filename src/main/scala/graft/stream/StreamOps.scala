@@ -681,4 +681,51 @@ object StreamOps {
         (contrib(dRef, col("e_ref")) + contrib(dNew, col("e_new")))
           .as("chi2"))
   }
+
+  /** fixture media_ids below this are the stored catalog; at and above
+    * are incoming uploads (shared with the st22 oracle — the
+    * interpolated-constant discipline)
+    */
+  val MediaGateSplit = 13L
+
+  /** st22 — the streaming PERCEPTUAL ingest gate: the media twin of the
+    * st19 stored-index decontam gate, closing the x80/x81 production
+    * loop. The batch side materializes the catalog's pHash table ONCE
+    * ([[graft.llm.Multimodal.imagePhash]] — the stored-artifact
+    * discipline); each incoming upload decodes + hashes IN-FLIGHT (the
+    * same shuffle-free typed pass the batch extraction uses — the codec
+    * is the workload, there is no SQL-expressible shortcut), explodes
+    * its 8 hash bands, and probes the broadcast catalog band index by
+    * equality; an exact popcount verify keeps hamming-≤τ pairs (exact
+    * for τ < nBands — the x81 multi-index guarantee), and a
+    * collision-keyed dropDuplicates collapses a pair's multi-band hits
+    * (state is collision-sized, the st03/st21 discipline; a deployment
+    * bounds it with dropDuplicatesWithinWatermark). One row per
+    * (upload, catalog) perceptual collision — the provenance/takedown
+    * signal an ingest runs before accepting the re-encoded / retouched
+    * re-uploads exact content-md5 gates miss.
+    */
+  def mediaPhashGateStream(spark: SparkSession, mediaDir: String,
+      index: DataFrame, tau: Int = 7,
+      sinkName: String = "st_media_phash_gate"): DataFrame = {
+    val nBands = 8
+    val bpb = 64 / nBands
+    val mask = (1L << bpb) - 1
+    def bands(df: DataFrame, idAs: String, phAs: String): DataFrame =
+      df.filter(col("phash64").isNotNull)
+        .select(col("media_id").as(idAs), col("phash64").as(phAs),
+          explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+        .withColumn("bucket", expr(s"($phAs >> (band * $bpb)) & ${mask}L"))
+    val ref = bands(index, "corpus_id", "cph")
+    val incoming = fileStream(spark, mediaDir, "media")
+      .filter(col("media_id") >= MediaGateSplit)
+    val hits = bands(graft.llm.Multimodal.imagePhash(incoming),
+        "media_id", "uph")
+      .join(broadcast(ref), Seq("band", "bucket"))
+      .withColumn("hamming", expr("bit_count(uph ^ cph)"))
+      .filter(col("hamming") <= tau)
+      .select(col("media_id"), col("corpus_id"), col("hamming"))
+      .dropDuplicates("media_id", "corpus_id")
+    runToTable(hits, sinkName, "append")
+  }
 }

@@ -72,6 +72,19 @@ object StreamQueries extends QueryPack {
               graft.core.Tables.load(s, dir, "documents")
                 .filter(col("doc_id") % 10 === 0)))
             .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
+        })),
+    // the streaming PERCEPTUAL ingest gate (the media twin of st19):
+    // catalog pHash table stored once as an artifact, uploads decode +
+    // hash in-flight and probe it by banded hamming
+    "st22_media_phash_gate" -> ((s, _) =>
+      StreamOps.mediaPhashGateStream(s, graft.llm.LlmQueries.MEDIA,
+        artifact(s, graft.llm.LlmQueries.MEDIA, "media_phash",
+          s"imagePhash.catalog${StreamOps.MediaGateSplit}") {
+          import org.apache.spark.sql.functions.col
+          graft.llm.Multimodal.imagePhash(
+              s.read.parquet(s"${graft.llm.LlmQueries.MEDIA}/media.parquet"))
+            .filter(col("media_id") < StreamOps.MediaGateSplit &&
+              col("phash64").isNotNull)
         }))
   )
 
@@ -371,5 +384,18 @@ object StreamQueries extends QueryPack {
           WHERE t.doc_id % 10 != 0 AND EXISTS (
             SELECT 1 FROM bands e
             WHERE e.doc_id % 10 = 0
-              AND e.band = t.band AND e.bh = t.bh)""")
+              AND e.band = t.band AND e.bh = t.bh)""",
+    // the perceptual gate's oracle reads the fixture's AUTHORED
+    // phash64 (x80's oracle proves engine hash == authored hash); the
+    // band probe is recall-exact for tau < nBands, so the pair set
+    // equals the brute tau-join
+    "st22_media_phash_gate" ->
+      s"""SELECT u.media_id, c.media_id AS corpus_id,
+            CAST(bit_count(xor(u.phash64, c.phash64)) AS INT) AS hamming
+          FROM read_parquet('${graft.llm.LlmQueries.MEDIA}/media.parquet/*.parquet') u,
+            read_parquet('${graft.llm.LlmQueries.MEDIA}/media.parquet/*.parquet') c
+          WHERE u.media_id >= ${StreamOps.MediaGateSplit}
+            AND c.media_id < ${StreamOps.MediaGateSplit}
+            AND u.phash64 IS NOT NULL AND c.phash64 IS NOT NULL
+            AND bit_count(xor(u.phash64, c.phash64)) <= 7""")
 }

@@ -45,6 +45,31 @@ class StreamArtifactSpec extends SparkSpec {
       "flag set must equal the listing's distinct doc set")
   }
 
+  test("mediaPhashGateStream == brute tau-pairs across the catalog split") {
+    import org.apache.spark.sql.functions.col
+    val mediaDir = graft.llm.LlmQueries.MEDIA
+    val split = StreamOps.MediaGateSplit
+    // ground truth from the fixture's authored hashes (x80's oracle
+    // proves the engine re-derives them bit-exactly)
+    val hs = graft.llm.Multimodal.mediaRows
+      .flatMap(m => m.phash64.map(m.media_id -> _))
+    val brute = (for {
+      (u, hu) <- hs if u >= split
+      (c, hc) <- hs if c < split
+      d = java.lang.Long.bitCount(hu ^ hc) if d <= 7
+    } yield (u, c, d)).sorted
+    val index = graft.llm.Multimodal.imagePhash(
+        spark.read.parquet(s"$mediaDir/media.parquet"))
+      .filter(col("media_id") < split && col("phash64").isNotNull)
+    val got = StreamOps.mediaPhashGateStream(spark, mediaDir, index,
+        sinkName = "st_media_phash_gate_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(brute.nonEmpty && got == brute)
+    // the planted variant family must be flagged; the unrelated
+    // uploads must not pair with anything
+    assert(got.map(_._1).distinct.size < hs.count(_._1 >= split))
+  }
+
   test("takedownClusterGateStreamWith(stored clusters) row-equals st17") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
