@@ -309,7 +309,11 @@ object LlmQueries extends QueryPack {
     "x84_video_phash" -> ((s, _) => Multimodal.videoPhash(media(s))),
     // clip near-dup by frame-hash containment (trimmed clips score 1.0
     // against their source; stop-frame df cut bounds bucket fan-out)
-    "x85_video_neardup" -> ((s, _) => Multimodal.videoNearDup(media(s)))
+    "x85_video_neardup" -> ((s, _) => Multimodal.videoNearDup(media(s))),
+    // cross-modal dedup keep gate: the three modality pair sets union
+    // into one edge set, CC labels transitive variant chains, one
+    // keep/drop verdict per file (the media twin of x30)
+    "x86_media_dedup_keep" -> ((s, _) => Multimodal.mediaDedupKeep(media(s)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2473,6 +2477,58 @@ object LlmQueries extends QueryPack {
           JOIN n na ON na.media_id = o.id_a
           JOIN n nb ON nb.media_id = o.id_b
           WHERE CAST(o.overlap AS DOUBLE) / least(na.nh, nb.nh) >= 0.5""",
+
+    // cross-modal keep gate: union of the x81/x83/x85 pair predicates
+    // (banded hamming is recall-exact for tau < nBands, so brute
+    // tau-joins ARE the engine's pair sets) closed transitively by the
+    // x16 recursive-CTE discipline, min-id representative kept
+    "x86_media_dedup_keep" ->
+      s"""WITH RECURSIVE m AS (
+            SELECT * FROM read_parquet('$MEDIA/media.parquet/*.parquet')),
+          ip AS (
+            SELECT a.media_id AS da, b.media_id AS db
+            FROM m a JOIN m b ON a.media_id < b.media_id
+            WHERE a.phash64 IS NOT NULL AND b.phash64 IS NOT NULL
+              AND bit_count(xor(a.phash64, b.phash64)) <= 7),
+          ap AS (
+            SELECT a.media_id AS da, b.media_id AS db
+            FROM m a JOIN m b ON a.media_id < b.media_id
+            WHERE a.audiofp64 IS NOT NULL AND b.audiofp64 IS NOT NULL
+              AND bit_count(xor(a.audiofp64, b.audiofp64)) <= 7),
+          fh AS (
+            SELECT DISTINCT media_id, fr_phash64[x.i] AS h
+            FROM m, unnest(generate_series(1, len(fr_phash64))) AS x(i)
+            WHERE fr_phash64 IS NOT NULL),
+          nn AS (SELECT media_id, count(*) AS nh FROM fh GROUP BY 1),
+          ov AS (
+            SELECT a.media_id AS da, b.media_id AS db, count(*) AS o
+            FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
+            GROUP BY 1, 2),
+          vp AS (
+            SELECT o.da, o.db FROM ov o
+            JOIN nn na ON na.media_id = o.da
+            JOIN nn nb ON nb.media_id = o.db
+            WHERE CAST(o.o AS DOUBLE) / least(na.nh, nb.nh) >= 0.5),
+          cand AS (
+            SELECT * FROM ip UNION ALL SELECT * FROM ap
+            UNION ALL SELECT * FROM vp),
+          edges AS (
+            SELECT da AS src, db AS dst FROM cand
+            UNION SELECT db, da FROM cand),
+          reach(media_id, lbl) AS (
+            SELECT media_id, media_id FROM m
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r
+              ON r.media_id = e.dst),
+          comp AS (SELECT media_id, min(lbl) AS cluster_id
+                   FROM reach GROUP BY 1),
+          sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM comp GROUP BY 1)
+          SELECT c.media_id, mm.kind, c.cluster_id, s.cluster_size,
+            (c.media_id = c.cluster_id) AS keep
+          FROM comp c
+          JOIN sizes s USING (cluster_id)
+          JOIN m mm USING (media_id)""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

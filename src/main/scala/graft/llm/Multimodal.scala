@@ -464,6 +464,42 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("overlap"), col("sim"))
   }
 
+  /** cross-modal media dedup KEEP gate (x86) — the media twin of x30's
+    * keep-representatives: the three modality pair generators (image
+    * banded hamming, audio banded hamming, video frame containment) run
+    * over the SAME corpus, their pair sets union into one edge set, the
+    * shared CC machinery ([[Dedup.clustersFromPairs]] — large-star /
+    * small-star with the bounded local finish) labels transitive
+    * duplicate groups ACROSS variant chains, and each media file gets
+    * its verdict: keep iff it is its cluster's min-id representative.
+    * This is the ingest decision a media pipeline actually ships — one
+    * keep/drop per file, not three per-modality pair listings.
+    */
+  def mediaDedupKeep(media: DataFrame): DataFrame =
+    mediaDedupKeepFrom(media.select(col("media_id"), col("kind")),
+      imagePhash(media), audioFingerprint(media), videoPhash(media))
+
+  /** [[mediaDedupKeep]] off the three STORED hash artifacts — the
+    * production path: decode happens once, at extraction time
+    */
+  def mediaDedupKeepFrom(idsKinds: DataFrame, imgHash: DataFrame,
+      audFp: DataFrame, vidHash: DataFrame): DataFrame = {
+    val pairs = imageNearDupFrom(imgHash)
+      .select(col("id_a"), col("id_b"))
+      .unionAll(hammingNearDupFrom(audFp, "audiofp64", 7, 8,
+        Dedup.MaxBucket).select(col("id_a"), col("id_b")))
+      .unionAll(videoNearDupFrom(vidHash).select(col("id_a"), col("id_b")))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val ids = idsKinds.select(col("media_id").as("doc_id"))
+    Dedup.clustersFromPairs(ids, pairs)
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        col("cluster_size"))
+      .join(idsKinds, Seq("media_id"))
+      .select(col("media_id"), col("kind"), col("cluster_id"),
+        col("cluster_size"),
+        (col("media_id") === col("cluster_id")).as("keep"))
+  }
+
   /** the generic exact banded hamming-≤τ self-join over any
     * (media_id, `hashCol`: 64-bit code) table — multi-index hashing with
     * the house oversized-bucket re-shard cap (scale notes on

@@ -1328,6 +1328,54 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_._4 == 1.0))
   }
 
+  test("mediaDedupKeep: cross-modal clusters == brute union-find, keep = min-id") {
+    val s = spark
+    import s.implicits._
+    val rows = Multimodal.mediaRows
+    val df = rows.toDS().toDF()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val imgP = for {
+      a <- rows; b <- rows if a.media_id < b.media_id
+      ha <- a.phash64.toSeq; hb <- b.phash64.toSeq if ham(ha, hb) <= 7
+    } yield (a.media_id, b.media_id)
+    val audP = for {
+      a <- rows; b <- rows if a.media_id < b.media_id
+      ha <- a.audiofp64.toSeq; hb <- b.audiofp64.toSeq if ham(ha, hb) <= 7
+    } yield (a.media_id, b.media_id)
+    val sets = rows.flatMap(m => m.fr_phash64.map(m.media_id -> _.toSet)).toMap
+    val vidP = for {
+      (ia, ha) <- sets.toSeq; (ib, hb) <- sets.toSeq if ia < ib
+      if (ha & hb).size.toDouble / math.min(ha.size, hb.size) >= 0.5
+    } yield (ia, ib)
+    // min-root union-find: merging toward the smaller root makes every
+    // component's root its min id — the engine's representative rule
+    val parent = scala.collection.mutable.Map(
+      rows.map(m => m.media_id -> m.media_id): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    (imgP ++ audP ++ vidP).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = rows.map(m => m.media_id -> find(m.media_id)).toMap
+    val szs = truth.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val got = Multimodal.mediaDedupKeep(df).collect().map(r =>
+      r.getAs[Long]("media_id") -> ((r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep")))).toMap
+    assert(got.keySet == truth.keySet)
+    rows.foreach { m =>
+      val (cid, csz, keep) = got(m.media_id)
+      assert(cid == truth(m.media_id), s"cluster of ${m.media_id}")
+      assert(csz == szs(truth(m.media_id)), s"size of ${m.media_id}")
+      assert(keep == (cid == m.media_id), s"keep of ${m.media_id}")
+    }
+    // all three modalities must contribute drops or the gate is vacuous
+    val dropKinds = rows.filter(m => !got(m.media_id)._3)
+      .map(_.kind).toSet
+    assert(dropKinds == Set("image", "audio", "video"))
+  }
+
   test("imageNearDup oversized-bucket re-shard bounds work, never invents pairs") {
     val s = spark
     import s.implicits._
