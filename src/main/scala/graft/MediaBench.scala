@@ -128,17 +128,31 @@ object MediaBench {
       frameDelta = 500, frames = frames)
   }
 
+  /** media_id offsets giving each modality a DISJOINT id space (the
+    * cross-modal keep gate unions them into one vertex set); offsets are
+    * multiples of 5 so the id%5==4 planted-variant rule survives the
+    * shift. Generation params still derive from the LOCAL id.
+    */
+  def offsets(n: Long): (Long, Long) = {
+    def up5(x: Long) = (x + 4) / 5 * 5
+    val audOff = up5(n)
+    (audOff, audOff + up5(math.max(8L, n / 4)))
+  }
+
   /** generate + stage the synthetic corpus once per n (atomic rename,
     * `.staged` marker reuse — the Bench staging discipline); payload
-    * parquet per modality in the fixture's MediaIn column layout
+    * parquet per modality in the fixture's MediaIn column layout.
+    * `_v2`: disjoint per-modality id spaces (the ArtifactStore
+    * recipe-version lesson — a recipe change renames the dir).
     */
   def stageMedia(spark: SparkSession, n: Long): String = {
     val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v1"
+      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v2"
     Bench.stagedAtomically(out) { tmp =>
       import spark.implicits._
       val nAud = math.max(8L, n / 4)
       val nVid = math.max(8L, n / 8)
+      val (audOff, vidOff) = offsets(n)
       spark.range(0, n, 1, 32)
         .map(id => (id, "image", pngFor(id), Some(W), Some(H),
           None: Option[Long], None: Option[Int]))
@@ -146,13 +160,13 @@ object MediaBench {
           "duration_ms", "sample_rate")
         .write.parquet(s"$tmp/images.parquet")
       spark.range(0, nAud, 1, 32)
-        .map(id => (id, "audio", wavFor(id), None: Option[Int],
+        .map(id => (audOff + id, "audio", wavFor(id), None: Option[Int],
           None: Option[Int], Some(500L), Some(16000)))
         .toDF("media_id", "kind", "payload", "width", "height",
           "duration_ms", "sample_rate")
         .write.parquet(s"$tmp/audio.parquet")
       spark.range(0, nVid, 1, 32)
-        .map(id => (id, "video", mp4For(id), Some(W), Some(H),
+        .map(id => (vidOff + id, "video", mp4For(id), Some(W), Some(H),
           Some(if (id % 5 == 4) 2500L else 4000L), None: Option[Int]))
         .toDF("media_id", "kind", "payload", "width", "height",
           "duration_ms", "sample_rate")
@@ -183,6 +197,14 @@ object MediaBench {
         .write.mode("overwrite").parquet(s"$hdir/aud_fp.parquet")),
       "extract_vid" -> (() => Multimodal.videoPhash(payload("video"))
         .write.mode("overwrite").parquet(s"$hdir/vid_hash.parquet")))
+    // the keep gate's vertex set, derived from the stored artifacts
+    // (kind rides in img/aud hashes; video's is implied)
+    def keepIds(): DataFrame = hashes("img_hash")
+      .select(col("media_id"), col("kind"))
+      .unionAll(hashes("aud_fp").select(col("media_id"), col("kind")))
+      .unionAll(hashes("vid_hash").select(col("media_id")).distinct()
+        .withColumn("kind", lit("video")))
+
     // near-dup search FROM the stored artifacts (the DuckDB-twinned
     // phase) — noop sink, full compute per run
     val nearDup: Seq[(String, () => Unit)] = Seq(
@@ -192,6 +214,12 @@ object MediaBench {
           "audiofp64", 7, 8, llm.Dedup.MaxBucket)
         .write.format("noop").mode("overwrite").save()),
       "nd_vid" -> (() => Multimodal.videoNearDupFrom(hashes("vid_hash"))
+        .write.format("noop").mode("overwrite").save()),
+      // the cross-modal keep gate (x86) from the three stored artifacts:
+      // pair generation + the large-star/small-star CC + one verdict per
+      // file — the phase whose relational twin pays a recursive closure
+      "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
+          hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
         .write.format("noop").mode("overwrite").save()))
 
     val loads = scala.collection.mutable.ListBuffer[Double]()
@@ -231,7 +259,11 @@ object MediaBench {
       "nd_img" -> Multimodal.imageNearDupFrom(hashes("img_hash")).count(),
       "nd_aud" -> Multimodal.hammingNearDupFrom(hashes("aud_fp"),
         "audiofp64", 7, 8, llm.Dedup.MaxBucket).count(),
-      "nd_vid" -> Multimodal.videoNearDupFrom(hashes("vid_hash")).count())
+      "nd_vid" -> Multimodal.videoNearDupFrom(hashes("vid_hash")).count(),
+      // for the keep gate, "pairs" reports the files DROPPED
+      "nd_keep" -> Multimodal.mediaDedupKeepFrom(keepIds(),
+          hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
+        .filter(!col("keep")).count())
     // recall on the PLANTED variant pairs (id−1, id) for id ≡ 4 (mod 5):
     // the re-shard cap may drop incidental cross-texture pairs inside
     // oversized buckets, but a planted pair's codes agree on (nearly)
@@ -247,7 +279,12 @@ object MediaBench {
         "audiofp64", 7, 8, llm.Dedup.MaxBucket), math.max(8L, n / 4) / 5),
       "nd_vid" -> plantedOf(
         Multimodal.videoNearDupFrom(hashes("vid_hash")),
-        math.max(8L, n / 8) / 5))
+        math.max(8L, n / 8) / 5),
+      // keep-gate recall: every planted variant must be DROPPED
+      "nd_keep" -> Multimodal.mediaDedupKeepFrom(keepIds(),
+          hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
+        .filter(col("media_id") % 5 === 4 && !col("keep")).count().toDouble /
+        (n / 5 + math.max(8L, n / 4) / 5 + math.max(8L, n / 8) / 5))
 
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

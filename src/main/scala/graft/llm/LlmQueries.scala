@@ -313,7 +313,14 @@ object LlmQueries extends QueryPack {
     // cross-modal dedup keep gate: the three modality pair sets union
     // into one edge set, CC labels transitive variant chains, one
     // keep/drop verdict per file (the media twin of x30)
-    "x86_media_dedup_keep" -> ((s, _) => Multimodal.mediaDedupKeep(media(s)))
+    "x86_media_dedup_keep" -> ((s, _) => Multimodal.mediaDedupKeep(media(s))),
+    // scene-change detection over decoded frames (the shot-boundary
+    // pre-pass for per-scene frame sampling)
+    "x87_scene_changes" -> ((s, _) => Multimodal.sceneChanges(media(s))),
+    // composed media quality gate on decoded stats (the x26 shape:
+    // first failing rule wins)
+    "x88_media_quality_gate" -> ((s, _) =>
+      Multimodal.mediaQualityGate(media(s)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2529,6 +2536,56 @@ object LlmQueries extends QueryPack {
           FROM comp c
           JOIN sizes s USING (cluster_id)
           JOIN m mm USING (media_id)""",
+
+    // the engine lags DECODED per-frame luma means; the oracle lags the
+    // AUTHORED fr_brightness arrays (same bytes, same one-division
+    // arithmetic — bit-equal operands), comparisons only so no
+    // accumulation-order divergence is possible
+    "x87_scene_changes" ->
+      s"""WITH fr AS (
+            SELECT media_id, x.i AS idx, fr_brightness[x.i] AS b
+            FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
+              unnest(generate_series(1, len(fr_brightness))) AS x(i)
+            WHERE fr_brightness IS NOT NULL),
+          d AS (
+            SELECT media_id, b,
+              lag(b) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+            FROM fr)
+          SELECT media_id, count(*) AS n_frames,
+            CAST(sum(CASE WHEN prev IS NOT NULL
+                AND abs(b - prev) > ${Multimodal.SceneTau}
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+            CAST(sum(CASE WHEN prev IS NOT NULL
+                AND abs(b - prev) > ${Multimodal.SceneTau}
+              THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes
+          FROM d GROUP BY 1""",
+
+    // gate rules over the authored stat columns (= the engine's decoded
+    // values by the fixture authoring rule); thresholds interpolated
+    // from the shared Multimodal constants
+    "x88_media_quality_gate" ->
+      s"""WITH g AS (
+            SELECT media_id, kind,
+              CASE
+                WHEN px_brightness IS NULL AND amp_mean IS NULL
+                  AND duration_ms IS NULL THEN 'undecodable'
+                WHEN kind = 'image'
+                  AND width * height < ${Multimodal.MinImageArea}
+                  THEN 'too_small'
+                WHEN kind = 'image'
+                  AND (px_brightness < ${Multimodal.ExposureLo}
+                    OR px_brightness > ${Multimodal.ExposureHi})
+                  THEN 'exposure'
+                WHEN kind = 'audio' AND amp_mean < ${Multimodal.SilenceAmp}
+                  THEN 'silence'
+                WHEN kind = 'audio' AND amp_mean > ${Multimodal.HotAmp}
+                  THEN 'clipping_risk'
+                WHEN kind = 'video' AND duration_ms < ${Multimodal.MinClipMs}
+                  THEN 'too_short'
+                ELSE 'pass' END AS reason
+            FROM read_parquet('$MEDIA/media.parquet/*.parquet'))
+          SELECT media_id, kind, reason, (reason = 'pass') AS keep
+          FROM g""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

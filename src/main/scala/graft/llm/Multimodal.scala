@@ -205,12 +205,65 @@ object Multimodal {
             Some(vt.frames.map(fr => PHash.ofLuma(fr, vt.width, vt.height))))
         }
         val base = gradFrames(0, 8)
+        // 25 — HARD-CUT clip (x87): two unrelated texture families at
+        // shifted luma centers (~+45 / −45), so the cut is one large
+        // luma_mean jump against the ≤ ~3.3 in-segment drift every
+        // other fixture clip exhibits (measured; SceneTau = 16 splits
+        // them with margin on both sides)
+        val cut =
+          gradFrames(3, 4).map(fr => fr.map(v =>
+            math.min(255, (v & 0xff) + 45).toByte)) ++
+          gradFrames(4, 4).map(fr => fr.map(v =>
+            math.max(0, (v & 0xff) - 45).toByte))
         Seq(
           fx(21L, base),
           fx(22L, base.map(fr => fr.map(v =>
             math.min(255, (v & 0xff) + 6).toByte))),
           fx(23L, base.take(5)),
-          fx(24L, gradFrames(1, 8)))
+          fx(24L, gradFrames(1, 8)),
+          fx(25L, cut))
+      } ++ {
+        // quality-gate set (x88): the drop classes decoded-stat gating
+        // catches — an UNDER-exposed and an OVER-exposed image (unique
+        // texture families, luma compressed toward 0 / 255 so the
+        // brightness bound trips while the pattern stays non-degenerate
+        // for pHash), and a NEAR-SILENT WAV (the gain-invariant
+        // fingerprint still resolves; the amp_mean bound trips)
+        def imgFx(i: Long, fam: Long, lo: Int, hi: Int): MediaFx = {
+          val src = ImageCodec.gradImage(fam, 64, 48)
+          val img = new java.awt.image.BufferedImage(64, 48,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 48) {
+            var x = 0
+            while (x < 64) {
+              val v0 = src.getRGB(x, y) & 0xff
+              val v = lo + v0 * (hi - lo) / 255
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = ImageCodec.encode(img)
+          val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
+          val (rb, rm) = rs8x6(bytes)
+          MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
+            Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes),
+            None, None)
+        }
+        val silentTones = Seq((260.0, 300.0, 7000.0, 0.4),
+          (1100.0, -350.0, 4500.0, 1.3), (2100.0, 500.0, 3000.0, 2.1))
+        val silentBytes = WavCodec.encode(
+          WavCodec.toneSamples(silentTones.map { case (f, sl, a, p) =>
+            (f, sl, a * 0.02, p) }, 2.0, 16000), 16000)
+        val st = WavCodec.decode(silentBytes).get
+        Seq(
+          imgFx(26L, 7L, 0, 63),
+          imgFx(27L, 8L, 225, 255),
+          MediaFx(28L, "audio", silentBytes, None, None,
+            Some(st.durationMs), Some(st.sampleRate), None,
+            Some(st.meanAbs), None, None, None, None, None,
+            AudioFp.ofBytes(silentBytes), None))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -462,6 +515,71 @@ object Multimodal {
         col("overlap").cast("double") / least(col("nh_a"), col("nh_b")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("overlap"), col("sim"))
+  }
+
+  /** scene-change threshold on consecutive frame luma means — shared
+    * with the x87 oracle (interpolated-constant discipline). Fixture
+    * margins: in-segment drift ≤ ~3.3 everywhere, the planted cut ~85.
+    */
+  val SceneTau = 16.0
+
+  /** scene-change detection over DECODED frames (x87): the keyframe /
+    * shot-boundary pre-pass a multimodal training pipeline runs to
+    * sample frames per scene instead of per tick. One decode pass
+    * ([[videoFrames]]), a per-clip lag window on frame order (partition
+    * = clip, bounded by frames-per-clip), and a map-side-combinable
+    * rollup: a scene boundary is a consecutive luma_mean jump > tau.
+    * Comparisons only — no double accumulation — so the oracle (the
+    * same lag over the AUTHORED fr_brightness arrays) matches
+    * bit-for-bit.
+    */
+  def sceneChanges(media: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    videoFrames(media)
+      .withColumn("prev", lag(col("luma_mean"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("prev").isNotNull &&
+            abs(col("luma_mean") - col("prev")) > SceneTau, 1L)
+          .otherwise(0L)).as("n_changes"))
+      .select(col("media_id"), col("n_frames"), col("n_changes"),
+        (col("n_changes") + 1L).as("n_scenes"))
+  }
+
+  /** media quality-gate thresholds — shared with the x88 oracle */
+  val MinImageArea = 256
+  val ExposureLo = 0.15
+  val ExposureHi = 0.92
+  val SilenceAmp = 0.01
+  val HotAmp = 0.45
+  val MinClipMs = 3000L
+
+  /** media quality gate (x88) — the x26 composed keep/drop gate for the
+    * media table, on DECODED stats (the authored fixture columns exist
+    * only to let the oracle check the decode): undecodable payloads,
+    * sub-minimum image area, exposure outliers, near-silent or
+    * near-full-scale audio, too-short clips. First failing rule wins;
+    * one shuffle-free decode pass, one projection.
+    */
+  def mediaQualityGate(media: DataFrame): DataFrame = {
+    val reason = when(col("dec_brightness").isNull &&
+        col("dec_amp_mean").isNull && col("dec_duration_ms").isNull,
+        "undecodable")
+      .when(col("kind") === "image" &&
+        col("dec_width") * col("dec_height") < MinImageArea, "too_small")
+      .when(col("kind") === "image" &&
+        (col("dec_brightness") < ExposureLo ||
+          col("dec_brightness") > ExposureHi), "exposure")
+      .when(col("kind") === "audio" && col("dec_amp_mean") < SilenceAmp,
+        "silence")
+      .when(col("kind") === "audio" && col("dec_amp_mean") > HotAmp,
+        "clipping_risk")
+      .when(col("kind") === "video" && col("dec_duration_ms") < MinClipMs,
+        "too_short")
+      .otherwise("pass")
+    decodeMedia(media).withColumn("reason", reason)
+      .select(col("media_id"), col("kind"), col("reason"),
+        (col("reason") === "pass").as("keep"))
   }
 
   /** cross-modal media dedup KEEP gate (x86) — the media twin of x30's

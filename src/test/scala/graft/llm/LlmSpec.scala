@@ -1182,7 +1182,7 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.mediaRows.toDS().toDF()
     val out = Multimodal.resizeImages(df, 8, 6).collect().sortBy(_.media_id)
     assert(out.map(_.media_id).toSeq ==
-      (0L until 7L) ++ (12L until 17L)) // images only (incl. phash rows)
+      (0L until 7L) ++ (12L until 17L) ++ Seq(26L, 27L)) // images only
     out.foreach { r =>
       assert(r.rs_width == 8 && r.rs_height == 6)
       // the re-encoded payload is a REAL PNG of the target geometry whose
@@ -1374,6 +1374,42 @@ class MultimodalSpec extends SparkSpec {
     val dropKinds = rows.filter(m => !got(m.media_id)._3)
       .map(_.kind).toSet
     assert(dropKinds == Set("image", "audio", "video"))
+  }
+
+  test("sceneChanges: planted hard cut found; drift clips stay single-scene") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val truth = Multimodal.mediaRows.flatMap(m => m.fr_brightness.map { bs =>
+      val ch = bs.sliding(2).count(p =>
+        p.size == 2 && math.abs(p(1) - p(0)) > Multimodal.SceneTau)
+      m.media_id -> ((bs.size.toLong, ch.toLong, ch + 1L))
+    }).toMap
+    val got = Multimodal.sceneChanges(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == truth)
+    assert(got(25L) == ((8L, 1L, 2L)), "the planted hard cut")
+    assert(got.filter(_._1 != 25L).values.forall(_._2 == 0L),
+      "every drift clip is one scene")
+  }
+
+  test("mediaQualityGate: each planted drop class trips its own rule") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val got = Multimodal.mediaQualityGate(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == (("too_small", false)))
+    assert(got(26L) == (("exposure", false)), "under-exposed")
+    assert(got(27L) == (("exposure", false)), "over-exposed")
+    assert(got(28L) == (("silence", false)))
+    assert(Seq(7L, 8L, 9L).forall(got(_) == (("clipping_risk", false))),
+      "near-full-scale tones")
+    assert(got(23L) == (("too_short", false)), "trimmed clip")
+    assert(Seq(6L, 17L, 21L, 10L).forall(got(_) == (("pass", true))))
+    // rules partition cleanly: every row has exactly one verdict
+    assert(got.size == Multimodal.mediaRows.size)
   }
 
   test("imageNearDup oversized-bucket re-shard bounds work, never invents pairs") {

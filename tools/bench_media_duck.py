@@ -43,30 +43,104 @@ JOIN n nb ON nb.media_id = o.id_b
 WHERE CAST(o.overlap AS DOUBLE) / least(na.nh, nb.nh) >= 0.5"""
 
 
+def keep_gate(hdir):
+    """the x86 cross-modal keep twin: union of the three pair sets,
+    transitive closure by recursive CTE (the x16 oracle discipline —
+    a correctness twin, not a tuned native CC), min-id kept. The reach
+    table enumerates node×label per component, so a giant incidental
+    component makes this blow up — exactly the claim the Spark side's
+    star loop is priced against; the caller guards it with a timeout.
+    """
+    return f"""
+WITH RECURSIVE
+ih AS (SELECT media_id, phash64 AS ph
+       FROM read_parquet('{hdir}/img_hash.parquet/*.parquet')
+       WHERE phash64 IS NOT NULL),
+ah AS (SELECT media_id, audiofp64 AS ph
+       FROM read_parquet('{hdir}/aud_fp.parquet/*.parquet')
+       WHERE audiofp64 IS NOT NULL),
+ib AS (SELECT media_id, ph, t.band, (ph >> (t.band * 8)) & 255 AS bucket
+       FROM ih, unnest(generate_series(0, 7)) AS t(band)),
+ab AS (SELECT media_id, ph, t.band, (ph >> (t.band * 8)) & 255 AS bucket
+       FROM ah, unnest(generate_series(0, 7)) AS t(band)),
+ip AS (SELECT DISTINCT l.media_id AS da, r.media_id AS db
+       FROM ib l JOIN ib r ON l.band = r.band AND l.bucket = r.bucket
+                          AND l.media_id < r.media_id
+       WHERE bit_count(xor(l.ph, r.ph)) <= 7),
+ap AS (SELECT DISTINCT l.media_id AS da, r.media_id AS db
+       FROM ab l JOIN ab r ON l.band = r.band AND l.bucket = r.bucket
+                          AND l.media_id < r.media_id
+       WHERE bit_count(xor(l.ph, r.ph)) <= 7),
+fh AS (SELECT DISTINCT media_id, fphash64 AS h
+       FROM read_parquet('{hdir}/vid_hash.parquet/*.parquet')),
+n AS (SELECT media_id, count(*) AS nh FROM fh GROUP BY 1),
+ov AS (SELECT a.media_id AS da, b.media_id AS db, count(*) AS o
+       FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
+       GROUP BY 1, 2),
+vp AS (SELECT o.da, o.db FROM ov o
+       JOIN n na ON na.media_id = o.da JOIN n nb ON nb.media_id = o.db
+       WHERE CAST(o.o AS DOUBLE) / least(na.nh, nb.nh) >= 0.5),
+ids AS (SELECT media_id FROM ih UNION ALL SELECT media_id FROM ah
+        UNION ALL SELECT DISTINCT media_id FROM fh),
+cand AS (SELECT * FROM ip UNION ALL SELECT * FROM ap
+         UNION ALL SELECT * FROM vp),
+edges AS (SELECT da AS src, db AS dst FROM cand
+          UNION SELECT db, da FROM cand),
+reach(media_id, lbl) AS (
+    SELECT media_id, media_id FROM ids
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.media_id = e.dst),
+comp AS (SELECT media_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+SELECT media_id, cluster_id, media_id = cluster_id AS keep FROM comp"""
+
+
 def main():
     hdir = sys.argv[1]
+    timeout = float(os.environ.get("MEDIA_DUCK_TIMEOUT", "600"))
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count()}")
     queries = {
         "nd_img": banded(f"{hdir}/img_hash.parquet", "phash64"),
         "nd_aud": banded(f"{hdir}/aud_fp.parquet", "audiofp64"),
         "nd_vid": containment(f"{hdir}/vid_hash.parquet"),
+        "nd_keep": keep_gate(hdir),
     }
     med, mn, pairs = {}, {}, {}
     loads = [os.getloadavg()[0]]
     for name, sql in queries.items():
-        pairs[name] = len(con.execute(sql).fetchall())  # warm-up
+        import threading
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            pairs[name] = len(con.execute(sql).fetchall())  # warm-up
+        except Exception as e:
+            timer.cancel()
+            med[name] = None
+            mn[name] = None
+            pairs[name] = None
+            print(f"DNF {name}: {type(e).__name__} after {timeout}s",
+                  file=sys.stderr)
+            continue
+        timer.cancel()
         runs = []
         for _ in range(3):
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            runs.append(time.perf_counter() - t0)
+            try:
+                con.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+            except Exception:
+                runs.append(timeout)
+            finally:
+                timer.cancel()
         runs.sort()
         med[name] = round(runs[1], 4)
         mn[name] = round(runs[0], 4)
         loads.append(os.getloadavg()[0])
+    done = [v for v in med.values() if v is not None]
     print(json.dumps({
-        "metric": "media_duckdb_total", "value": round(sum(med.values()), 4),
+        "metric": "media_duckdb_total", "value": round(sum(done), 4),
         "unit": "sec", "queries": med, "queries_min": mn, "pairs": pairs,
         "load_avg": [round(l, 2) for l in loads], "hash_dir": hdir}))
 
