@@ -320,7 +320,13 @@ object LlmQueries extends QueryPack {
     // composed media quality gate on decoded stats (the x26 shape:
     // first failing rule wins)
     "x88_media_quality_gate" -> ((s, _) =>
-      Multimodal.mediaQualityGate(media(s)))
+      Multimodal.mediaQualityGate(media(s))),
+    // embedded PNG text metadata: the chunk walker's tEXt pairs (the
+    // provenance strings an image pipeline audits)
+    "x89_png_text_chunks" -> ((s, _) => Multimodal.pngTextChunks(media(s))),
+    // provenance-hygiene strip audit: chunks removed, bytes reclaimed,
+    // stripped-payload digest per file
+    "x90_strip_text_audit" -> ((s, _) => Multimodal.stripTextAudit(media(s)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2586,6 +2592,31 @@ object LlmQueries extends QueryPack {
             FROM read_parquet('$MEDIA/media.parquet/*.parquet'))
           SELECT media_id, kind, reason, (reason = 'pass') AS keep
           FROM g""",
+
+    // the engine walks the real chunk framing; the oracle unnests the
+    // authored keyword/value arrays (spliced at authoring time by the
+    // same CRC32-framed writer the walker is specced against)
+    "x89_png_text_chunks" ->
+      s"""SELECT media_id, CAST(x.i - 1 AS INT) AS chunk_idx,
+            txt_keys[x.i] AS keyword, txt_vals[x.i] AS value
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
+            unnest(generate_series(1, len(txt_keys))) AS x(i)
+          WHERE txt_keys IS NOT NULL""",
+
+    // strip accounting from the authored arrays: 13 framing bytes per
+    // chunk (len+type+crc+NUL) + key/value characters (ASCII fixtures,
+    // so char count == byte count); digest authored by running the
+    // strip at authoring time, content digest for untouched rows
+    "x90_strip_text_audit" ->
+      s"""SELECT media_id, kind,
+            CAST(coalesce(len(txt_keys), 0) AS BIGINT) AS n_text_chunks,
+            CAST(CASE WHEN txt_keys IS NULL THEN 0
+              ELSE 13 * len(txt_keys)
+                + length(array_to_string(txt_keys, ''))
+                + length(array_to_string(txt_vals, ''))
+              END AS BIGINT) AS bytes_removed,
+            coalesce(stripped_md5, md5(lower(hex(payload)))) AS stripped_md5
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet')""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

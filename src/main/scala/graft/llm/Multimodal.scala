@@ -39,7 +39,13 @@ object Multimodal {
       rs8x6_brightness: Option[Double], rs8x6_md5: Option[String],
       fr_ts_ms: Option[Seq[Long]], fr_brightness: Option[Seq[Double]],
       phash64: Option[Long], audiofp64: Option[Long],
-      fr_phash64: Option[Seq[Long]])
+      fr_phash64: Option[Seq[Long]],
+      // PNG text-chunk metadata (x89/x90): authored keyword/value pairs
+      // and the strip-audit digest; defaulted so only the planted rows
+      // carry them
+      txt_keys: Option[Seq[String]] = None,
+      txt_vals: Option[Seq[String]] = None,
+      stripped_md5: Option[String] = None)
 
   /** md5 of the lowercase-hex rendering — the one binary digest both
     * engines agree on (DuckDB has no md5 over BLOB), mirrored here for
@@ -264,6 +270,61 @@ object Multimodal {
             Some(st.durationMs), Some(st.sampleRate), None,
             Some(st.meanAbs), None, None, None, None, None,
             AudioFp.ofBytes(silentBytes), None))
+      } ++ {
+        // PNG text-metadata set (x89/x90): real tEXt chunks spliced into
+        // the container ([[PngChunks.withText]] — CRC32-framed per the
+        // spec), re-extracted by the engine's chunk walker. Patterns are
+        // fresh 6-coefficient sinusoid mixes (NOT gradImage families:
+        // phi = 0.7·id wraps 2π every ~9 ids, so high gradImage ids
+        // nearly reproduce low ones — measured near-collision, avoided
+        // by construction). Expected strip digest authored by running
+        // the strip on the authored bytes (the x12 decode-the-encoded
+        // rule); keys/vals authored as the spliced pairs.
+        def pattern(seed: Long): java.awt.image.BufferedImage = {
+          val img = new java.awt.image.BufferedImage(64, 48,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          def u(k: Int): Double = {
+            var z = seed * 1000003L + k + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+          }
+          val (a, b, c2, d2, e, phi) = (0.5 + 3.0 * u(1), 0.5 + 3.0 * u(2),
+            2.0 * u(3) - 1.0, 2.0 * u(4) - 1.0, 2.0 * u(5) - 1.0,
+            2.0 * StrictMath.PI * u(6))
+          val tau = 2.0 * StrictMath.PI
+          var y = 0
+          while (y < 48) {
+            var x = 0
+            while (x < 64) {
+              val fx = x.toDouble / 63
+              val fy = y.toDouble / 47
+              val s = StrictMath.sin(tau * (a * fx + b * fy + c2 * fx * fy +
+                d2 * fx * fx - e * fy * fy) + phi)
+              val i0 = StrictMath.round(128.0 + 110.0 * s).toInt
+              val v = if (i0 < 0) 0 else if (i0 > 255) 255 else i0
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        def fx(i: Long, kvs: Seq[(String, String)]): MediaFx = {
+          val bytes = PngChunks.withText(
+            ImageCodec.encode(pattern(i)), kvs)
+          val Some((dw, dh, bright)) = ImageCodec.decode(bytes)
+          val (rb, rm) = rs8x6(bytes)
+          MediaFx(i, "image", bytes, Some(dw), Some(dh), None, None,
+            Some(bright), None, rb, rm, None, None, PHash.ofBytes(bytes),
+            None, None,
+            txt_keys = Some(kvs.map(_._1)), txt_vals = Some(kvs.map(_._2)),
+            stripped_md5 = Some(md5OfHex(PngChunks.stripText(bytes))))
+        }
+        Seq(
+          fx(29L, Seq("Software" -> "graftcam 1.0",
+            "Comment" -> "synthetic fixture, do not train on me")),
+          fx(30L, Seq("Author" -> "fixture-writer")))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -515,6 +576,46 @@ object Multimodal {
         col("overlap").cast("double") / least(col("nh_a"), col("nh_b")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("overlap"), col("sim"))
+  }
+
+  /** embedded PNG text metadata (x89): one row per tEXt keyword/value
+    * pair ([[PngChunks.textChunks]] — the spec-shaped chunk walker), the
+    * provenance/consent strings (Software, Author, Comment) an image
+    * pipeline audits before training. Same shuffle-free typed pass as
+    * every decode op.
+    */
+  def pngTextChunks(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        PngChunks.textChunks(m.payload).zipWithIndex.map {
+          case ((k, v), i) => (m.media_id, i, k, v)
+        }
+      }).toDF("media_id", "chunk_idx", "keyword", "value")
+  }
+
+  /** text-chunk STRIP audit (x90) — the provenance-hygiene pass: every
+    * payload re-emitted without its tEXt/zTXt/iTXt chunks (pixels
+    * byte-identical — only non-critical chunks go; spec-pinned), with
+    * the per-file accounting a pipeline records: chunks removed, bytes
+    * reclaimed, digest of the stripped payload. Non-PNG rows pass
+    * through untouched (0 removed, digest = content digest).
+    */
+  def stripTextAudit(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val stripped = PngChunks.stripText(m.payload)
+        (m.media_id, m.kind,
+          PngChunks.textChunkCount(m.payload).toLong,
+          (m.payload.length - stripped.length).toLong,
+          md5OfHex(stripped))
+      }).toDF("media_id", "kind", "n_text_chunks", "bytes_removed",
+        "stripped_md5")
   }
 
   /** scene-change threshold on consecutive frame luma means — shared

@@ -1182,7 +1182,8 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.mediaRows.toDS().toDF()
     val out = Multimodal.resizeImages(df, 8, 6).collect().sortBy(_.media_id)
     assert(out.map(_.media_id).toSeq ==
-      (0L until 7L) ++ (12L until 17L) ++ Seq(26L, 27L)) // images only
+      Multimodal.mediaRows.filter(_.kind == "image").map(_.media_id)
+        .sorted) // every image row, nothing else
     out.foreach { r =>
       assert(r.rs_width == 8 && r.rs_height == 6)
       // the re-encoded payload is a REAL PNG of the target geometry whose
@@ -1410,6 +1411,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq(6L, 17L, 21L, 10L).forall(got(_) == (("pass", true))))
     // rules partition cleanly: every row has exactly one verdict
     assert(got.size == Multimodal.mediaRows.size)
+  }
+
+  test("PNG text chunks: splice→walk round-trip; strip is pixel-lossless") {
+    val rows = Multimodal.mediaRows
+    val r29 = rows.find(_.media_id == 29L).get
+    assert(PngChunks.textChunks(r29.payload) ==
+      r29.txt_keys.get.zip(r29.txt_vals.get))
+    val stripped = PngChunks.stripText(r29.payload)
+    assert(PngChunks.textChunkCount(r29.payload) == 2 &&
+      PngChunks.textChunkCount(stripped) == 0)
+    // only non-critical chunks go: pixels decode bit-identically and
+    // the perceptual hash is unchanged
+    val p0 = ImageCodec.decodeImage(r29.payload).get
+    val p1 = ImageCodec.decodeImage(stripped).get
+    assert((0 until p0.getHeight).forall(y =>
+      (0 until p0.getWidth).forall(x => p0.getRGB(x, y) == p1.getRGB(x, y))))
+    assert(PHash.ofBytes(stripped) == r29.phash64)
+    // idempotent; identity (same reference) for text-free and non-PNG
+    assert(PngChunks.stripText(stripped).sameElements(stripped))
+    val plain = rows.find(_.media_id == 6L).get.payload
+    assert(PngChunks.stripText(plain) eq plain)
+    val wav = rows.find(_.media_id == 7L).get.payload
+    assert(PngChunks.stripText(wav) eq wav)
+  }
+
+  test("pngTextChunks / stripTextAudit match the authored metadata") {
+    val s = spark
+    import s.implicits._
+    val rows = Multimodal.mediaRows
+    val df = rows.toDS().toDF()
+    val chunks = Multimodal.pngTextChunks(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2),
+        r.getString(3)))).toMap
+    val expected = (for {
+      m <- rows; ks <- m.txt_keys.toSeq; vs <- m.txt_vals.toSeq
+      ((k, v), i) <- ks.zip(vs).zipWithIndex
+    } yield (m.media_id, i) -> ((k, v))).toMap
+    assert(chunks == expected && chunks.nonEmpty)
+    val audit = Multimodal.stripTextAudit(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(audit.size == rows.size)
+    rows.foreach { m =>
+      val (n, removed, dig) = audit(m.media_id)
+      val ks = m.txt_keys.getOrElse(Seq.empty)
+      val vs = m.txt_vals.getOrElse(Seq.empty)
+      assert(n == ks.size)
+      assert(removed == 13L * ks.size + ks.map(_.length).sum +
+        vs.map(_.length).sum, s"bytes_removed of ${m.media_id}")
+      m.stripped_md5.foreach(exp => assert(dig == exp))
+      if (ks.isEmpty) assert(removed == 0L)
+    }
   }
 
   test("imageNearDup oversized-bucket re-shard bounds work, never invents pairs") {
