@@ -719,6 +719,26 @@ object Multimodal {
         (col("media_id") === col("cluster_id")).as("keep"))
   }
 
+  /** media curation funnel (x91) — the x77 sequential-attrition rollup
+    * on the media side: stage 1 applies the quality gate to every file,
+    * stage 2 runs cross-modal dedup keep among the quality SURVIVORS
+    * only (sequential semantics — a dropped file can't represent a
+    * cluster), and each (stage, kind) row reports in/kept counts. The
+    * composition a media-ingest report actually shows.
+    */
+  def mediaCurationFunnel(media: DataFrame): DataFrame = {
+    val q = mediaQualityGate(media)
+    val survivors = q.filter(col("keep")).select(col("media_id"))
+    val d = mediaDedupKeep(media.join(survivors, Seq("media_id")))
+    def rollup(gate: DataFrame, stage: String): DataFrame = gate
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(lit(stage).as("stage"), col("kind"), col("n_in"),
+        col("n_kept"))
+    rollup(q, "quality").unionByName(rollup(d, "dedup"))
+  }
+
   /** the generic exact banded hamming-≤τ self-join over any
     * (media_id, `hashCol`: 64-bit code) table — multi-index hashing with
     * the house oversized-bucket re-shard cap (scale notes on

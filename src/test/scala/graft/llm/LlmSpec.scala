@@ -1413,6 +1413,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got.size == Multimodal.mediaRows.size)
   }
 
+  test("mediaCurationFunnel wires the gates sequentially") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val q = Multimodal.mediaQualityGate(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3)))
+    val survivors = q.filter(_._3).map(_._1).toSet
+    val d = Multimodal.mediaDedupKeep(
+        df.filter(col("media_id").isInCollection(survivors))).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        r.getAs[Boolean]("keep")))
+    def roll(stage: String, xs: Seq[(Long, String, Boolean)]) =
+      xs.groupBy(_._2).map { case (k, g) =>
+        (stage, k, g.size.toLong, g.count(_._3).toLong)
+      }.toSet
+    val expected = roll("quality", q.toSeq) ++ roll("dedup", d.toSeq)
+    val got = Multimodal.mediaCurationFunnel(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected)
+    // the dedup stage must see EXACTLY the quality survivors (the
+    // sequential-funnel wiring), and both stages must drop something
+    assert(d.map(_._1).toSet == survivors)
+    assert(q.exists(!_._3) && d.exists(!_._3))
+  }
+
   test("PNG text chunks: splice→walk round-trip; strip is pixel-lossless") {
     val rows = Multimodal.mediaRows
     val r29 = rows.find(_.media_id == 29L).get
