@@ -220,7 +220,19 @@ object MediaBench {
       // file — the phase whose relational twin pays a recursive closure
       "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
           hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
-        .write.format("noop").mode("overwrite").save()))
+        .write.format("noop").mode("overwrite").save()),
+      // the st22 streaming perceptual gate at amplified upload volume:
+      // catalog = stored hashes of the lower id half, uploads = the
+      // upper half decoded + hashed IN-FLIGHT (no SQL twin exists for
+      // the stream side — this prices the gate's decode+probe
+      // throughput; runToTable materializes the collision listing)
+      "st_gate" -> (() => {
+        graft.stream.StreamOps.mediaPhashGateStream(spark, dir,
+          hashes("img_hash").filter(col("media_id") < n / 2),
+          sinkName = s"st_media_gate_bench_n$n", table = "images",
+          split = n / 2).count()
+        ()
+      }))
 
     val loads = scala.collection.mutable.ListBuffer[Double]()
     def sampleLoad(): Unit = loads += java.lang.management.ManagementFactory

@@ -707,7 +707,8 @@ object StreamOps {
     */
   def mediaPhashGateStream(spark: SparkSession, mediaDir: String,
       index: DataFrame, tau: Int = 7,
-      sinkName: String = "st_media_phash_gate"): DataFrame = {
+      sinkName: String = "st_media_phash_gate",
+      table: String = "media", split: Long = MediaGateSplit): DataFrame = {
     val nBands = 8
     val bpb = 64 / nBands
     val mask = (1L << bpb) - 1
@@ -717,8 +718,8 @@ object StreamOps {
           explode(sequence(lit(0), lit(nBands - 1))).as("band"))
         .withColumn("bucket", expr(s"($phAs >> (band * $bpb)) & ${mask}L"))
     val ref = bands(index, "corpus_id", "cph")
-    val incoming = fileStream(spark, mediaDir, "media")
-      .filter(col("media_id") >= MediaGateSplit)
+    val incoming = fileStream(spark, mediaDir, table)
+      .filter(col("media_id") >= split)
     val hits = bands(graft.llm.Multimodal.imagePhash(incoming),
         "media_id", "uph")
       .join(broadcast(ref), Seq("band", "bucket"))
