@@ -105,4 +105,34 @@ class CodecPropsSpec extends AnyFunSuite {
       WavCodec.decode(b)
     }
   }
+
+  test("PNG tEXt splice→walk→strip round trip holds for arbitrary pairs") {
+    val latin1Str = Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    val gen = for {
+      seed <- Gen.choose(0, 5)
+      nKvs <- Gen.choose(0, 4)
+      kvs <- Gen.listOfN(nKvs, Gen.zip(latin1Str, latin1Str))
+    } yield (seed, kvs)
+    forAllSeeded(gen, n = 60) { case (seed, kvs) =>
+      val base = ImageCodec.encode(ImageCodec.gradImage(seed.toLong, 16, 12))
+      val spliced = PngChunks.withText(base, kvs)
+      // walk returns exactly the spliced pairs, in order
+      assert(PngChunks.textChunks(spliced) == kvs)
+      assert(PngChunks.textChunkCount(spliced) == kvs.size)
+      // strip returns byte-identical original framing
+      assert(PngChunks.stripText(spliced).sameElements(base))
+      // pixels and perceptual hash unaffected by the splice
+      assert(ImageCodec.decode(spliced) == ImageCodec.decode(base))
+      assert(PHash.ofBytes(spliced) == PHash.ofBytes(base))
+      // bit-flip robustness: corrupting any single framing byte never
+      // throws, the walk just stops at the last well-formed chunk
+      if (spliced.nonEmpty) {
+        val idx = (seed * 7919 + kvs.size * 131) % spliced.length
+        val b = spliced.clone(); b(idx) = (b(idx) ^ 0x40).toByte
+        PngChunks.textChunks(b)
+        PngChunks.stripText(b)
+      }
+    }
+  }
 }
