@@ -729,4 +729,19 @@ object StreamOps {
       .dropDuplicates("media_id", "corpus_id")
     runToTable(hits, sinkName, "append")
   }
+
+  /** st23 — the streaming MEDIA QUALITY gate: x88's decode +
+    * first-failing-rule projection applied unchanged to a media
+    * file-stream (the st13 discipline — the batch operator IS the
+    * stream operator, oracle string shared verbatim so the two
+    * surfaces cannot drift). Stateless: no join, no watermark, no
+    * state store — each micro-batch is one typed decode pass + one
+    * codegen CASE projection, gating uploads at scan throughput
+    * before they ever land in the corpus.
+    */
+  def mediaQualityGateStream(spark: SparkSession, mediaDir: String,
+      sinkName: String = "st_media_quality_gate",
+      table: String = "media"): DataFrame =
+    runToTable(graft.llm.Multimodal.mediaQualityGate(
+      fileStream(spark, mediaDir, table)), sinkName, "append")
 }

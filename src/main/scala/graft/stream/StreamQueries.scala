@@ -85,7 +85,11 @@ object StreamQueries extends QueryPack {
               s.read.parquet(s"${graft.llm.LlmQueries.MEDIA}/media.parquet"))
             .filter(col("media_id") < StreamOps.MediaGateSplit &&
               col("phash64").isNotNull)
-        }))
+        })),
+    // the streaming media QUALITY gate (the st13 discipline on the
+    // media side): x88's decode + projection unchanged on the stream
+    "st23_media_quality_gate" -> ((s, _) =>
+      StreamOps.mediaQualityGateStream(s, graft.llm.LlmQueries.MEDIA))
   )
 
   private def artifact(spark: SparkSession, dir: String, name: String,
@@ -397,5 +401,8 @@ object StreamQueries extends QueryPack {
           WHERE u.media_id >= ${StreamOps.MediaGateSplit}
             AND c.media_id < ${StreamOps.MediaGateSplit}
             AND u.phash64 IS NOT NULL AND c.phash64 IS NOT NULL
-            AND bit_count(xor(u.phash64, c.phash64)) <= 7""")
+            AND bit_count(xor(u.phash64, c.phash64)) <= 7""",
+    // shared VERBATIM with the batch gate (the st13/x26 discipline)
+    "st23_media_quality_gate" ->
+      graft.llm.LlmQueries.oracles("x88_media_quality_gate"))
 }

@@ -70,6 +70,20 @@ class StreamArtifactSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size < hs.count(_._1 >= split))
   }
 
+  test("mediaQualityGateStream row-equals the batch gate (st13 discipline)") {
+    val mediaDir = graft.llm.LlmQueries.MEDIA
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).sorted.toSeq
+    val batch = rows(graft.llm.Multimodal.mediaQualityGate(
+      spark.read.parquet(s"$mediaDir/media.parquet")))
+    val streamed = rows(StreamOps.mediaQualityGateStream(spark, mediaDir,
+      "st_media_quality_gate_spec"))
+    assert(batch.nonEmpty && streamed == batch)
+    assert(streamed.exists(!_._4) && streamed.exists(_._4),
+      "both verdicts must occur or the gate is vacuous")
+  }
+
   test("takedownClusterGateStreamWith(stored clusters) row-equals st17") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
