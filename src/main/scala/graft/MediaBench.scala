@@ -181,6 +181,13 @@ object MediaBench {
     val spark = core.GraftSession.builder("graft-media-bench", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // binary-payload tables break the vectorized reader's default
+    // 4096-row batches at scale (measured at the 1M point: ~33 KB WAV
+    // payloads × batch rows overflow WritableColumnVector's contiguous
+    // byte reserve — FAILED_READ_FILE). 256 rows × ~35 KB ≈ 9 MB/batch
+    // column. A 100 TB deployment sets this per payload-table scan; the
+    // metadata/hash tables keep the default.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
 
     val dir = stageMedia(spark, n)
     val hdir =
@@ -215,6 +222,14 @@ object MediaBench {
         .write.format("noop").mode("overwrite").save()),
       "nd_vid" -> (() => Multimodal.videoNearDupFrom(hashes("vid_hash"))
         .write.format("noop").mode("overwrite").save()),
+      // the WIDER-BAND geometry (4×16-bit, τ≤3 — recall-exact for
+      // τ < nBands) the x81 scaladoc prescribes past the 8-bit bands'
+      // saturation: 65536 bucket values per band, so candidate volume
+      // stays linear where 8×8 goes ~n²/256 (the planted brightness
+      // variants hash at hamming 0, so τ=3 loses none of them)
+      "nd_img_wide" -> (() => Multimodal.imageNearDupFrom(
+          hashes("img_hash"), tau = 3, nBands = 4)
+        .write.format("noop").mode("overwrite").save()),
       // the cross-modal keep gate (x86) from the three stored artifacts:
       // pair generation + the large-star/small-star CC + one verdict per
       // file — the phase whose relational twin pays a recursive closure
@@ -245,9 +260,15 @@ object MediaBench {
       fn()
       (System.nanoTime() - t0) / 1e9
     }
+    // optional phase filter (SPARK_GRAFT_MEDIA_PHASES regex): the 1M+
+    // points run extraction + the wide-band probe only — the 8×8-bit
+    // geometry is BY DESIGN out of regime there (~8·n²/256 candidates)
+    val phaseRe = sys.env.get("SPARK_GRAFT_MEDIA_PHASES").map(_.r)
+    def keepPhase(name: String): Boolean =
+      phaseRe.forall(_.findFirstIn(name).isDefined)
     // warm-up pass (also materializes the hash artifacts the nd phases
     // read), then 3 interleaved sweeps
-    val phases = extract ++ nearDup
+    val phases = (extract ++ nearDup).filter(p => keepPhase(p._1))
     val samples = phases.map { case (name, fn) =>
       name -> scala.collection.mutable.ListBuffer(timeOnce(fn))
     }.toMap
@@ -267,15 +288,20 @@ object MediaBench {
       .agg(sum(length(col("payload")))).head().getLong(0) / 1e6
     val bytesMb = Seq("images" -> mb("images"), "audio" -> mb("audio"),
       "video" -> mb("video"))
-    val pairs = Seq(
-      "nd_img" -> Multimodal.imageNearDupFrom(hashes("img_hash")).count(),
-      "nd_aud" -> Multimodal.hammingNearDupFrom(hashes("aud_fp"),
-        "audiofp64", 7, 8, llm.Dedup.MaxBucket).count(),
-      "nd_vid" -> Multimodal.videoNearDupFrom(hashes("vid_hash")).count(),
+    val pairs = Seq[(String, () => Long)](
+      "nd_img" -> (() =>
+        Multimodal.imageNearDupFrom(hashes("img_hash")).count()),
+      "nd_img_wide" -> (() => Multimodal.imageNearDupFrom(
+        hashes("img_hash"), tau = 3, nBands = 4).count()),
+      "nd_aud" -> (() => Multimodal.hammingNearDupFrom(hashes("aud_fp"),
+        "audiofp64", 7, 8, llm.Dedup.MaxBucket).count()),
+      "nd_vid" -> (() =>
+        Multimodal.videoNearDupFrom(hashes("vid_hash")).count()),
       // for the keep gate, "pairs" reports the files DROPPED
-      "nd_keep" -> Multimodal.mediaDedupKeepFrom(keepIds(),
+      "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
           hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
-        .filter(!col("keep")).count())
+        .filter(!col("keep")).count()))
+      .filter(p => keepPhase(p._1)).map { case (k, f) => k -> f() }
     // recall on the PLANTED variant pairs (id−1, id) for id ≡ 4 (mod 5):
     // the re-shard cap may drop incidental cross-texture pairs inside
     // oversized buckets, but a planted pair's codes agree on (nearly)
@@ -284,19 +310,24 @@ object MediaBench {
     def plantedOf(df: DataFrame, total: Long): Double = df
       .filter(col("id_b") === col("id_a") + 1 && col("id_b") % 5 === 4)
       .count().toDouble / total
-    val recall = Seq(
-      "nd_img" -> plantedOf(
-        Multimodal.imageNearDupFrom(hashes("img_hash")), n / 5),
-      "nd_aud" -> plantedOf(Multimodal.hammingNearDupFrom(hashes("aud_fp"),
-        "audiofp64", 7, 8, llm.Dedup.MaxBucket), math.max(8L, n / 4) / 5),
-      "nd_vid" -> plantedOf(
+    val recall = Seq[(String, () => Double)](
+      "nd_img" -> (() => plantedOf(
+        Multimodal.imageNearDupFrom(hashes("img_hash")), n / 5)),
+      "nd_img_wide" -> (() => plantedOf(Multimodal.imageNearDupFrom(
+        hashes("img_hash"), tau = 3, nBands = 4), n / 5)),
+      "nd_aud" -> (() => plantedOf(
+        Multimodal.hammingNearDupFrom(hashes("aud_fp"),
+          "audiofp64", 7, 8, llm.Dedup.MaxBucket),
+        math.max(8L, n / 4) / 5)),
+      "nd_vid" -> (() => plantedOf(
         Multimodal.videoNearDupFrom(hashes("vid_hash")),
-        math.max(8L, n / 8) / 5),
+        math.max(8L, n / 8) / 5)),
       // keep-gate recall: every planted variant must be DROPPED
-      "nd_keep" -> Multimodal.mediaDedupKeepFrom(keepIds(),
+      "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
           hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
         .filter(col("media_id") % 5 === 4 && !col("keep")).count().toDouble /
-        (n / 5 + math.max(8L, n / 4) / 5 + math.max(8L, n / 8) / 5))
+        (n / 5 + math.max(8L, n / 4) / 5 + math.max(8L, n / 8) / 5)))
+      .filter(p => keepPhase(p._1)).map { case (k, f) => k -> f() }
 
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -13,18 +13,21 @@ import sys, json, time, os
 import duckdb
 
 
-def banded(table, col):
+def banded(table, col, tau=7, nbands=8):
+    bpb = 64 // nbands
+    mask = (1 << bpb) - 1
     return f"""
 WITH h AS (SELECT media_id, {col} AS ph
            FROM read_parquet('{table}/*.parquet') WHERE {col} IS NOT NULL),
-b AS (SELECT media_id, ph, t.band, (ph >> (t.band * 8)) & 255 AS bucket
-      FROM h, unnest(generate_series(0, 7)) AS t(band)),
+b AS (SELECT media_id, ph, t.band,
+             (ph >> (t.band * {bpb})) & {mask} AS bucket
+      FROM h, unnest(generate_series(0, {nbands - 1})) AS t(band)),
 cand AS (SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b,
                 l.ph AS pa, r.ph AS pb
          FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
                           AND l.media_id < r.media_id)
 SELECT id_a, id_b, bit_count(xor(pa, pb)) AS hamming
-FROM cand WHERE bit_count(xor(pa, pb)) <= 7"""
+FROM cand WHERE bit_count(xor(pa, pb)) <= {tau}"""
 
 
 def containment(table):
@@ -101,10 +104,16 @@ def main():
     con.execute(f"SET threads={os.cpu_count()}")
     queries = {
         "nd_img": banded(f"{hdir}/img_hash.parquet", "phash64"),
+        "nd_img_wide": banded(f"{hdir}/img_hash.parquet", "phash64",
+                              tau=3, nbands=4),
         "nd_aud": banded(f"{hdir}/aud_fp.parquet", "audiofp64"),
         "nd_vid": containment(f"{hdir}/vid_hash.parquet"),
         "nd_keep": keep_gate(hdir),
     }
+    only = os.environ.get("MEDIA_DUCK_ONLY")
+    if only:
+        import re
+        queries = {k: v for k, v in queries.items() if re.search(only, k)}
     med, mn, pairs = {}, {}, {}
     loads = [os.getloadavg()[0]]
     for name, sql in queries.items():
