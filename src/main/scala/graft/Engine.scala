@@ -141,6 +141,50 @@ class Engine(spark: SparkSession, catalog: MetaCatalog,
     graft.llm.Similarity.semDedup(embeddings, initIds, tau)
   def videoFrames(media: DataFrame): DataFrame =
     graft.llm.Multimodal.videoFrames(media)
+  // ---- perceptual media dedup + hygiene (x80-x91, st22-st23) ---------
+  def imagePhash(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.imagePhash(media)
+  def imageNearDup(media: DataFrame, tau: Int = 7): DataFrame =
+    graft.llm.Multimodal.imageNearDup(media, tau)
+  /** near-dup search off a stored [[imagePhash]] artifact; wider bands
+    * (nBands=4, tau<=3) past ~300k items — BASELINE.md r13 ladders
+    */
+  def imageNearDupFrom(hashed: DataFrame, tau: Int = 7,
+      nBands: Int = 8): DataFrame =
+    graft.llm.Multimodal.imageNearDupFrom(hashed, tau, nBands)
+  def audioFingerprint(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.audioFingerprint(media)
+  def audioNearDup(media: DataFrame, tau: Int = 7): DataFrame =
+    graft.llm.Multimodal.audioNearDup(media, tau)
+  def videoPhash(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.videoPhash(media)
+  def videoNearDup(media: DataFrame, minSim: Double = 0.5): DataFrame =
+    graft.llm.Multimodal.videoNearDup(media, minSim)
+  def videoNearDupFrom(frameHashes: DataFrame,
+      minSim: Double = 0.5): DataFrame =
+    graft.llm.Multimodal.videoNearDupFrom(frameHashes, minSim)
+  def mediaDedupKeep(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.mediaDedupKeep(media)
+  def mediaDedupKeepFrom(idsKinds: DataFrame, imgHash: DataFrame,
+      audFp: DataFrame, vidHash: DataFrame): DataFrame =
+    graft.llm.Multimodal.mediaDedupKeepFrom(idsKinds, imgHash, audFp,
+      vidHash)
+  def sceneChanges(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.sceneChanges(media)
+  def mediaQualityGate(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.mediaQualityGate(media)
+  def pngTextChunks(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.pngTextChunks(media)
+  def stripTextAudit(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.stripTextAudit(media)
+  def mediaCurationFunnel(media: DataFrame): DataFrame =
+    graft.llm.Multimodal.mediaCurationFunnel(media)
+  def streamingMediaPhashGate(mediaDir: String, catalogIndex: DataFrame,
+      tau: Int = 7): DataFrame =
+    graft.stream.StreamOps.mediaPhashGateStream(spark, mediaDir,
+      catalogIndex, tau)
+  def streamingMediaQualityGate(mediaDir: String): DataFrame =
+    graft.stream.StreamOps.mediaQualityGateStream(spark, mediaDir)
   def capDomains(docs: DataFrame): DataFrame =
     graft.llm.Sampling.domainCap(docs)
   /** bit-identical to capDomains with bounded window partitions */

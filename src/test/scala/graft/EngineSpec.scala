@@ -67,4 +67,23 @@ class EngineSpec extends SparkSpec {
     assert(eng.takedownPropagate(docs).count() > 0)
     spark.catalog.clearCache()
   }
+
+  test("perceptual media surface through the facade") {
+    val s = spark
+    import s.implicits._
+    val media = graft.llm.Multimodal.mediaRows.toDS().toDF()
+    val nMedia = graft.llm.Multimodal.mediaRows.size.toLong
+    assert(eng.imagePhash(media).count() == nMedia)
+    assert(eng.imageNearDup(media).count() > 0)
+    assert(eng.audioNearDup(media).count() > 0)
+    assert(eng.videoNearDup(media).count() > 0)
+    assert(eng.videoPhash(media).count() > 0)
+    assert(eng.mediaDedupKeep(media).count() == nMedia)
+    assert(eng.sceneChanges(media).count() > 0)
+    assert(eng.mediaQualityGate(media).count() == nMedia)
+    assert(eng.pngTextChunks(media).count() == 3)
+    assert(eng.stripTextAudit(media).count() == nMedia)
+    assert(eng.mediaCurationFunnel(media).count() == 6)
+    spark.catalog.clearCache()
+  }
 }
