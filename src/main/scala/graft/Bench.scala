@@ -103,14 +103,41 @@ object Bench {
         rmTree(tmp)
         published = true
       } else {
-        // stale partial (no marker) or an explicit restage: clear + move
-        rmTree(outP)
-        try {
-          Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
-          published = true
-        } catch {
-          case _: java.nio.file.FileSystemException =>
-            () // lost a race — loop re-checks the winner's marker
+        // stale partial (no marker) or an explicit restage. Never delete
+        // the target in place (r13 ADVICE): a winner can publish a
+        // complete staging between the marker check and the delete, and
+        // an in-place rmTree rips files from under its readers. Move the
+        // obstruction aside atomically, re-check ITS marker, and restore
+        // a complete staging that slipped in (unless this is an explicit
+        // restage — the caller wants the rewrite); only a verified
+        // marker-less partial is deleted, at the trash path.
+        val trash = Paths.get(out + ".trash." + ProcessHandle.current()
+          .pid() + "." + attempts)
+        val moved =
+          try { Files.move(outP, trash, StandardCopyOption.ATOMIC_MOVE); true }
+          catch {
+            case _: java.nio.file.NoSuchFileException => false
+            case _: java.nio.file.FileSystemException => false
+          }
+        if (moved && !force && Files.exists(trash.resolve(".staged"))) {
+          try {
+            Files.move(trash, outP, StandardCopyOption.ATOMIC_MOVE)
+            rmTree(tmp)
+            published = true
+          } catch {
+            case _: java.nio.file.FileSystemException => rmTree(trash)
+          }
+        } else if (moved) {
+          rmTree(trash)
+        }
+        if (!published) {
+          try {
+            Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
+            published = true
+          } catch {
+            case _: java.nio.file.FileSystemException =>
+              () // lost a race — loop re-checks the winner's marker
+          }
         }
       }
     }
@@ -205,7 +232,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = core.GraftSession.builder("graft-bench", cpus).getOrCreate()
+    val spark = core.GraftSession.builder("graft-bench", cpus)
+      // bench-only: memory-sink streams on duplication-heavy amplified
+      // corpora collect ~1 GB to the driver; the ENGINE default stays at
+      // 1 GB so accidental collects in operators still fail fast
+      .config("spark.driver.maxResultSize", "8g")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val doStage = sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") != "0"

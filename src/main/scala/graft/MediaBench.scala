@@ -179,6 +179,8 @@ object MediaBench {
     val n = sys.env.getOrElse("SPARK_GRAFT_MEDIA_N", "20000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = core.GraftSession.builder("graft-media-bench", cpus)
+      // harness-only maxResultSize raise — see the Bench.main note
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // binary-payload tables break the vectorized reader's default

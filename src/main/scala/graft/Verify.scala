@@ -9,7 +9,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = core.GraftSession.builder("graft-verify", cpus).getOrCreate()
+    val spark = core.GraftSession.builder("graft-verify", cpus)
+      // harness-only maxResultSize raise — see the Bench.main note
+      .config("spark.driver.maxResultSize", "8g")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=x33_segment_dedup,x34_…

@@ -35,12 +35,12 @@ object GraftSession {
       // task 3), and a deployment's row groups are real 128 MB units.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // the memory sink (Verify/Bench read streaming results through it)
-      // collects the query output to the driver: a duplication-heavy
-      // amplified corpus makes collision-listing gates emit ~10M rows
-      // (~1 GB serialized), over the 1 GB default cap. The driver has
-      // headroom; a deployment writes streams to files/Kafka instead.
-      .config("spark.driver.maxResultSize", "8g")
+      // spark.driver.maxResultSize stays at the 1 GB default ON PURPOSE
+      // (r13 verdict item 5): the cap is the guardrail that catches an
+      // accidental driver-side collect in a future operator. Only the
+      // Bench/Verify entry points raise it (their memory-sink streams
+      // legitimately collect ~1 GB on duplication-heavy amplified
+      // corpora; a deployment writes streams to files/Kafka instead).
       // native expression registration for every session (SURVEY §4)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;

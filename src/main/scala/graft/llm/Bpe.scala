@@ -26,6 +26,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object Bpe {
 
+  /** unsigned lexicographic byte comparison — the local argmax's twin of
+    * UTF8String's binary ordering (what `orderBy(pair asc)` compares).
+    * `y == null` means "no best yet" and always loses.
+    */
+  private[llm] def utf8Less(x: Array[Byte], y: Array[Byte]): Boolean = {
+    if (y == null) return true
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** word-frequency dict with the initial symbol sequence (one symbol
     * per character, space-joined). `regexp_extract_all("(?s).")` splits
     * to code points without the trailing-empty artifact of
@@ -211,11 +227,25 @@ object Bpe {
           }
           if (counts.isEmpty) done = true
           else {
-            // max count, tie → lexicographically smallest "l r" string —
-            // the distributed orderBy(cnt desc, pair asc) spelling
-            val ((l, r), cnt) = counts.minBy { case ((a, b), c) =>
-              (-c, a + " " + b)
+            // max count, tie → smallest "l r" key in UTF-8 BYTE order —
+            // the distributed orderBy(cnt desc, pair asc) compares
+            // UTF8String bytes (code-point order), and Java String
+            // compareTo compares UTF-16 code units, which disagree for
+            // supplementary-plane characters (surrogates 0xD800–0xDFFF
+            // sort BELOW U+E000–U+FFFF in UTF-16 but their UTF-8 form
+            // 0xF0… sorts ABOVE 0xE0…). r13 ADVICE item 1.
+            var bestL: String = null; var bestR: String = null
+            var bestC = Long.MinValue; var bestKey: Array[Byte] = null
+            counts.foreach { case ((a, b), c) =>
+              if (c >= bestC) {
+                val key = (a + " " + b)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                if (c > bestC || utf8Less(key, bestKey)) {
+                  bestL = a; bestR = b; bestC = c; bestKey = key
+                }
+              }
             }
+            val (l, r, cnt) = (bestL, bestR, bestC)
             if (cnt < 2L) done = true
             else {
               merges += ((round.toLong, l, r, l + r, cnt))

@@ -396,9 +396,17 @@ object Dedup {
           if (back(i) < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = back(i)
           i += 1
         }
+        // materialize via an RDD, NOT a local Seq's toDF (r13 verdict
+        // item 6): a LocalRelation at the 1M-edge cap embeds ~2M rows in
+        // EVERY plan that references it (copied into each downstream
+        // join's analyzed plan); parallelize ships the rows once as task
+        // binaries and the plan stays O(1). The transient driver cost is
+        // the edge array + this row array — tens of MB at cap.
         import spark.implicits._
-        val labelsLocal = back.indices
-          .map(i => (back(i), minOf(find(i)))).toDF("doc_id", "label")
+        val labelsLocal = spark.sparkContext
+          .parallelize(back.indices.map(i => (back(i), minOf(find(i)))),
+            math.max(1, back.length >> 16))
+          .toDF("doc_id", "label")
         return finish(labelsLocal, labelsLocal.select(col("doc_id")))
       }
     }

@@ -60,7 +60,11 @@ object PngChunks {
     chunks(bytes).count(c => TextTypes.contains(c._1))
 
   /** payload with all text chunks removed (identity for non-PNG bytes);
-    * critical chunks are byte-copied, so pixels decode identically
+    * critical chunks are byte-copied, so pixels decode identically.
+    * Bytes AFTER the last well-formed chunk (a truncated final chunk,
+    * trailing junk) are byte-copied verbatim (r13 ADVICE item 4): the
+    * walker stops at the malformed frame, and silently dropping its
+    * bytes would break the "only text chunks removed" contract.
     */
   def stripText(bytes: Array[Byte]): Array[Byte] = {
     val cs = chunks(bytes)
@@ -70,6 +74,10 @@ object PngChunks {
     cs.foreach { case (ctype, off, len) =>
       if (!TextTypes.contains(ctype)) out.write(bytes, off - 8, len + 12)
     }
+    // tail passthrough: everything past the last well-formed chunk's CRC
+    val tailStart = cs.map { case (_, off, len) => off + len + 4 }.max
+    if (tailStart < bytes.length)
+      out.write(bytes, tailStart, bytes.length - tailStart)
     out.toByteArray
   }
 

@@ -61,14 +61,46 @@ object ArtifactStore {
           rmTree(tmp)
           published = true
         } else {
-          // marker-less obstruction = stale partial: clear it, move in
-          rmTree(outP)
-          try {
-            Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
-            published = true
-          } catch {
-            case _: java.nio.file.FileSystemException =>
-              () // lost a race — loop re-checks the winner's marker
+          // marker-less obstruction = stale partial. Do NOT delete it in
+          // place (r13 ADVICE item 2): between the marker check above and
+          // a delete, a concurrent builder can atomically publish a
+          // COMPLETE artifact here, and an in-place rmTree would then rip
+          // files out from under readers mid-scan. Instead move the
+          // obstruction aside ATOMICALLY, re-check ITS marker: a complete
+          // artifact that slipped in is moved straight back (or, if yet
+          // another builder won the now-empty slot, discarded — the
+          // rebuild is identical by construction); only a verified
+          // marker-less partial is ever deleted, and only at the trash
+          // path where no reader resolves it.
+          val trash = Paths.get(out + ".trash." + ProcessHandle.current()
+            .pid() + "." + attempts)
+          val moved =
+            try { Files.move(outP, trash, StandardCopyOption.ATOMIC_MOVE); true }
+            catch {
+              case _: java.nio.file.NoSuchFileException => false // already gone
+              case _: java.nio.file.FileSystemException => false // racer owns it
+            }
+          if (moved && Files.exists(trash.resolve("_SUCCESS"))) {
+            // the obstruction WAS a complete publish — put it back
+            try {
+              Files.move(trash, outP, StandardCopyOption.ATOMIC_MOVE)
+              rmTree(tmp)
+              published = true
+            } catch {
+              case _: java.nio.file.FileSystemException =>
+                rmTree(trash) // another complete publish beat the restore
+            }
+          } else if (moved) {
+            rmTree(trash)
+          }
+          if (!published) {
+            try {
+              Files.move(tmp, outP, StandardCopyOption.ATOMIC_MOVE)
+              published = true
+            } catch {
+              case _: java.nio.file.FileSystemException =>
+                () // lost a race — loop re-checks the winner's marker
+            }
           }
         }
       }

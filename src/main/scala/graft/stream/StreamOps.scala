@@ -710,6 +710,11 @@ object StreamOps {
       sinkName: String = "st_media_phash_gate",
       table: String = "media", split: Long = MediaGateSplit): DataFrame = {
     val nBands = 8
+    // the multi-index band probe is only EXACT for tau < nBands (a pair
+    // at hamming d < nBands must agree on ≥1 band); past that it silently
+    // loses recall — fail fast, mirroring hammingNearDupFrom (r13 ADVICE)
+    require(tau >= 0 && tau < nBands,
+      s"band probe is exact only for 0 <= tau < $nBands bands; got $tau")
     val bpb = 64 / nBands
     val mask = (1L << bpb) - 1
     def bands(df: DataFrame, idAs: String, phAs: String): DataFrame =

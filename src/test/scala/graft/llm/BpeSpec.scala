@@ -116,6 +116,30 @@ class BpeSpec extends SparkSpec {
     assert(dist == full)
   }
 
+  test("tie-break uses UTF-8 byte order — supplementary-plane ties agree " +
+      "between the local finish and the distributed path (r13 advice)") {
+    // U+1F600 (😀) is UTF-16 surrogates 0xD83D,0xDE00 — BELOW U+FFFD in
+    // Java String order — but UTF-8 bytes 0xF0… — ABOVE U+FFFD's 0xEF…
+    // in UTF8String order. A (cnt) tie between pairs led by these two
+    // characters picks DIFFERENT winners under the two orderings, so
+    // this corpus detects any local argmax that compares UTF-16 units.
+    val astral = new String(Character.toChars(0x1F600))
+    val bmp = "�"
+    val df = docsDf(Seq(
+      (0L, s"${astral}a ${astral}a ${bmp}a ${bmp}a", "s")))
+    val full = mergeTable(Bpe.bpeTrain(df, nMerges = 2))
+    spark.catalog.clearCache()
+    val local = mergeTable(Bpe.bpeTrainIncremental(df, nMerges = 2))
+    spark.catalog.clearCache()
+    val dist = mergeTable(Bpe.bpeTrainIncremental(df, nMerges = 2,
+      localDictCap = 0))
+    spark.catalog.clearCache()
+    assert(full.size == 2 && local == full && dist == full)
+    // the UTF-8-smaller pair (the BMP replacement char) must win round 1
+    assert(full.head._2 == bmp,
+      s"round-1 winner must be the UTF-8-smaller pair, got $full")
+  }
+
   test("bpeTrainIncremental: carried plan stays flat across rounds (r9 regression guard)") {
     // the r9 x48 regression was multiplicative logical-plan growth in the
     // carried count table (persist does not truncate lineage); with the

@@ -135,4 +135,22 @@ class CodecPropsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stripText passes bytes after the last well-formed chunk through " +
+      "verbatim (r13 advice: truncated/trailing-junk payloads)") {
+    val base = ImageCodec.encode(ImageCodec.gradImage(3L, 16, 12))
+    val spliced = PngChunks.withText(base, Seq(("Software", "graft")))
+    // trailing junk after IEND, too short to frame a chunk: strip must
+    // remove the tEXt but keep the junk byte-for-byte
+    val junk = Array[Byte](0x4a, 0x55, 0x4e, 0x4b, 0x21)
+    val withJunk = spliced ++ junk
+    assert(PngChunks.stripText(withJunk).sameElements(base ++ junk))
+    // truncated final chunk (IEND missing its CRC): the 8 partial bytes
+    // after the last well-formed chunk survive the strip
+    val truncated = spliced.dropRight(4)
+    assert(PngChunks.stripText(truncated).sameElements(base.dropRight(4)))
+    // degenerate truncation: nothing but text chunks were well-formed —
+    // the strip still keeps every unparsed byte
+    assert(PngChunks.stripText(spliced).sameElements(base))
+  }
 }

@@ -356,6 +356,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("local finish materializes labels through an RDD scan, not a " +
+      "plan-embedded LocalRelation (r13 verdict item 6)") {
+    // at the 1M-edge cap a LocalRelation would embed ~2M rows in every
+    // downstream plan; the RDD-backed frame keeps the plan O(1) and the
+    // rows in task binaries. Pin the representation, not just the values.
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clustersFromPairs(ids, pairs)
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("ExternalRDD"),
+      s"local-finish labels must be RDD-backed, plan was:\n$analyzed")
+    // and the values still match the distributed loop on this graph
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.clustersFromPairs(ids, pairs, localEdgeCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == dist)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val s = spark
     import s.implicits._

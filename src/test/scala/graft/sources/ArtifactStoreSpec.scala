@@ -55,6 +55,12 @@ class ArtifactStoreSpec extends SparkSpec {
       "partial must be rebuilt and replaced")
     assert(java.nio.file.Files.exists(out.resolve("_SUCCESS")))
     assert(!java.nio.file.Files.exists(out.resolve("garbage.bin")))
+    // the r13 move-aside publish must not leave trash residue behind
+    val siblings = out.getParent.toFile.list().toSeq
+    assert(!siblings.exists(_.contains(".trash.")),
+      s"publish left trash residue: $siblings")
+    assert(!siblings.exists(_.contains(".tmp.")),
+      s"publish left temp residue: $siblings")
   }
 
   test("a changed recipe rebuilds instead of reusing the stale artifact") {

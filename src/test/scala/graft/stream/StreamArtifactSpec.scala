@@ -70,6 +70,20 @@ class StreamArtifactSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size < hs.count(_._1 >= split))
   }
 
+  test("mediaPhashGateStream fails fast on tau >= nBands (r13 advice: " +
+      "the band probe would silently lose recall)") {
+    val index = spark.emptyDataFrame
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.mediaPhashGateStream(spark, graft.llm.LlmQueries.MEDIA,
+        index, tau = 8, sinkName = "st_media_phash_guard_spec")
+    }
+    assert(e.getMessage.contains("exact only"))
+    intercept[IllegalArgumentException] {
+      StreamOps.mediaPhashGateStream(spark, graft.llm.LlmQueries.MEDIA,
+        index, tau = -1, sinkName = "st_media_phash_guard_spec")
+    }
+  }
+
   test("mediaQualityGateStream row-equals the batch gate (st13 discipline)") {
     val mediaDir = graft.llm.LlmQueries.MEDIA
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
