@@ -145,13 +145,14 @@ object MediaBench {
     * `_v2`: disjoint per-modality id spaces (the ArtifactStore
     * recipe-version lesson — a recipe change renames the dir).
     */
-  def stageMedia(spark: SparkSession, n: Long): String = {
+  def stageMedia(spark: SparkSession, n: Long, vidX: Int = 1): String = {
     val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v2"
+      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v2" +
+        (if (vidX > 1) s"_vx$vidX" else "")
     Bench.stagedAtomically(out) { tmp =>
       import spark.implicits._
       val nAud = math.max(8L, n / 4)
-      val nVid = math.max(8L, n / 8)
+      val nVid = math.max(8L, n / 8) * vidX
       val (audOff, vidOff) = offsets(n)
       spark.range(0, n, 1, 32)
         .map(id => (id, "image", pngFor(id), Some(W), Some(H),
@@ -177,6 +178,10 @@ object MediaBench {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_MEDIA_N", "20000").toLong
+    // video-heavy corpus knob (r14, the x85 amplified point): multiplies
+    // the clip count (default n/8) without paying n more images/WAVs —
+    // the modality mix of a video-dominated ingest
+    val vidX = sys.env.getOrElse("SPARK_GRAFT_MEDIA_VID_X", "1").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = core.GraftSession.builder("graft-media-bench", cpus)
       // harness-only maxResultSize raise — see the Bench.main note
@@ -191,9 +196,10 @@ object MediaBench {
     // metadata/hash tables keep the default.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
 
-    val dir = stageMedia(spark, n)
+    val dir = stageMedia(spark, n, vidX)
     val hdir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/hashes_n$n"
+      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/hashes_n$n" +
+        (if (vidX > 1) s"_vx$vidX" else "")
     def payload(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
     def hashes(t: String): DataFrame = spark.read.parquet(s"$hdir/$t.parquet")
 
@@ -205,7 +211,12 @@ object MediaBench {
       "extract_aud" -> (() => Multimodal.audioFingerprint(payload("audio"))
         .write.mode("overwrite").parquet(s"$hdir/aud_fp.parquet")),
       "extract_vid" -> (() => Multimodal.videoPhash(payload("video"))
-        .write.mode("overwrite").parquet(s"$hdir/vid_hash.parquet")))
+        .write.mode("overwrite").parquet(s"$hdir/vid_hash.parquet")),
+      // the quality gate's payload-free input (decode once, gate many)
+      "extract_stats" -> (() => Multimodal.mediaDecodeStats(
+          payload("images").unionByName(payload("audio"))
+            .unionByName(payload("video")))
+        .write.mode("overwrite").parquet(s"$hdir/stats.parquet")))
     // the keep gate's vertex set, derived from the stored artifacts
     // (kind rides in img/aud hashes; video's is implied)
     def keepIds(): DataFrame = hashes("img_hash")
@@ -237,6 +248,14 @@ object MediaBench {
       // file — the phase whose relational twin pays a recursive closure
       "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
           hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
+        .write.format("noop").mode("overwrite").save()),
+      // the x91 curation funnel off the four stored artifacts: quality
+      // projection → survivor semi-join → cross-modal keep gate → the
+      // per-(stage, kind) attrition rollup (the DuckDB twin runs the
+      // same CASE + survivor-restricted recursive-CTE closure)
+      "funnel" -> (() => Multimodal.mediaCurationFunnelFrom(
+          hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
+          hashes("vid_hash"))
         .write.format("noop").mode("overwrite").save()),
       // the st22 streaming perceptual gate at amplified upload volume:
       // catalog = stored hashes of the lower id half, uploads = the
@@ -302,7 +321,12 @@ object MediaBench {
       // for the keep gate, "pairs" reports the files DROPPED
       "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
           hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
-        .filter(!col("keep")).count()))
+        .filter(!col("keep")).count()),
+      // for the funnel, total files dropped across both stages
+      "funnel" -> (() => Multimodal.mediaCurationFunnelFrom(
+          hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
+          hashes("vid_hash"))
+        .agg(sum(col("n_in") - col("n_kept"))).head().getLong(0)))
       .filter(p => keepPhase(p._1)).map { case (k, f) => k -> f() }
     // recall on the PLANTED variant pairs (id−1, id) for id ≡ 4 (mod 5):
     // the re-shard cap may drop incidental cross-texture pairs inside
@@ -323,12 +347,30 @@ object MediaBench {
         math.max(8L, n / 4) / 5)),
       "nd_vid" -> (() => plantedOf(
         Multimodal.videoNearDupFrom(hashes("vid_hash")),
-        math.max(8L, n / 8) / 5)),
+        math.max(8L, n / 8) * vidX / 5)),
       // keep-gate recall: every planted variant must be DROPPED
       "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
           hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
         .filter(col("media_id") % 5 === 4 && !col("keep")).count().toDouble /
-        (n / 5 + math.max(8L, n / 4) / 5 + math.max(8L, n / 8) / 5)))
+        (n / 5 + math.max(8L, n / 4) / 5 +
+          math.max(8L, n / 8) * vidX / 5)),
+      // funnel recall: no planted variant may survive BOTH stages (a
+      // video variant drops at quality — 2.5 s < MinClipMs; image/audio
+      // variants drop at dedup)
+      "funnel" -> (() => {
+        val q = Multimodal.mediaQualityGateFrom(hashes("stats"))
+        val surv = q.filter(col("keep")).select(col("media_id"))
+        val kept = Multimodal.mediaDedupKeepFrom(
+          hashes("stats").join(surv, Seq("media_id"))
+            .select(col("media_id"), col("kind")),
+          hashes("img_hash").join(surv, Seq("media_id")),
+          hashes("aud_fp").join(surv, Seq("media_id")),
+          hashes("vid_hash").join(surv, Seq("media_id")))
+          .filter(col("keep") && col("media_id") % 5 === 4).count()
+        val planted = n / 5 + math.max(8L, n / 4) / 5 +
+          math.max(8L, n / 8) * vidX / 5
+        (planted - kept).toDouble / planted
+      }))
       .filter(p => keepPhase(p._1)).map { case (k, f) => k -> f() }
 
     def r3(v: Double): String =

@@ -554,24 +554,39 @@ object Multimodal {
       maxDf: Int = 1000): DataFrame =
     videoNearDupFrom(videoPhash(media), minSim, maxDf)
 
-  /** [[videoNearDup]] over a stored [[videoPhash]] artifact */
+  /** [[videoNearDup]] over a stored [[videoPhash]] artifact.
+    *
+    * Plan shape (r14: the two whole-partition WINDOWS — per-clip hash
+    * count, per-hash df — became hash AGGREGATES + joins; a window with
+    * no frame is a full sort-and-materialize of every frame row, while
+    * the aggregates are map-side-combinable and the per-clip count
+    * table is clip-sized, so AQE broadcasts it back onto the pair
+    * list): distinct → two partial-agg group-bys (clip-keyed nh,
+    * hash-keyed df) → df-cut semi-join → hash-keyed self-join (frame
+    * collisions only, never all-pairs) → pair-keyed overlap agg → two
+    * clip-sized nh joins → sim filter. nh deliberately counts BEFORE
+    * the df cut — a stop-frame still belongs to the clip's length even
+    * when it can't generate candidates.
+    */
   def videoNearDupFrom(frameHashes: DataFrame, minSim: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
     val d = frameHashes.select(col("media_id"), col("fphash64")).distinct()
-    val withN = d.withColumn("nh",
-      count(lit(1)).over(Window.partitionBy(col("media_id"))))
-    val kept = withN.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("fphash64"))))
+    val nh = d.groupBy(col("media_id")).agg(count(lit(1)).as("nh"))
+    val rare = d.groupBy(col("fphash64"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val a = kept.select(col("fphash64"), col("media_id").as("id_a"),
-      col("nh").as("nh_a"))
-    val b = kept.select(col("fphash64"), col("media_id").as("id_b"),
-      col("nh").as("nh_b"))
+      .select(col("fphash64"))
+    val kept = d.join(rare, Seq("fphash64"))
+    val a = kept.select(col("fphash64"), col("media_id").as("id_a"))
+    val b = kept.select(col("fphash64"), col("media_id").as("id_b"))
     a.join(b, Seq("fphash64"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("overlap"), first(col("nh_a")).as("nh_a"),
-        first(col("nh_b")).as("nh_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(nh.select(col("media_id").as("id_a"), col("nh").as("nh_a")),
+        Seq("id_a"))
+      .join(nh.select(col("media_id").as("id_b"), col("nh").as("nh_b")),
+        Seq("id_b"))
       .withColumn("sim",
         col("overlap").cast("double") / least(col("nh_a"), col("nh_b")))
       .filter(col("sim") >= minSim)
@@ -662,7 +677,21 @@ object Multimodal {
     * near-full-scale audio, too-short clips. First failing rule wins;
     * one shuffle-free decode pass, one projection.
     */
-  def mediaQualityGate(media: DataFrame): DataFrame = {
+  def mediaQualityGate(media: DataFrame): DataFrame =
+    qualityVerdict(decodeMedia(media))
+
+  /** [[mediaQualityGate]] over a stored [[mediaDecodeStats]] artifact —
+    * the production shape: the decode pass ran once at extraction time,
+    * the gate itself is one codegen projection over payload-free stats
+    */
+  def mediaQualityGateFrom(stats: DataFrame): DataFrame =
+    qualityVerdict(stats)
+
+  /** the x88 first-failing-rule CASE, over any frame carrying the
+    * decoded-stat columns (same projection whether they were decoded
+    * in-flight or read back from the stats artifact)
+    */
+  private def qualityVerdict(decoded: DataFrame): DataFrame = {
     val reason = when(col("dec_brightness").isNull &&
         col("dec_amp_mean").isNull && col("dec_duration_ms").isNull,
         "undecodable")
@@ -678,10 +707,21 @@ object Multimodal {
       .when(col("kind") === "video" && col("dec_duration_ms") < MinClipMs,
         "too_short")
       .otherwise("pass")
-    decodeMedia(media).withColumn("reason", reason)
+    decoded.withColumn("reason", reason)
       .select(col("media_id"), col("kind"), col("reason"),
         (col("reason") === "pass").as("keep"))
   }
+
+  /** payload-free decode-stats artifact (the quality gate's stored
+    * input): one shuffle-free decode pass, then only the per-file stat
+    * columns — at 100 TB the payload stays in the lake and this
+    * kilobytes-per-million-files table is what the gate, the funnel,
+    * and the ingest reports actually read
+    */
+  def mediaDecodeStats(media: DataFrame): DataFrame =
+    decodeMedia(media).select(col("media_id"), col("kind"),
+      col("dec_width"), col("dec_height"), col("dec_brightness"),
+      col("dec_duration_ms"), col("dec_sample_rate"), col("dec_amp_mean"))
 
   /** cross-modal media dedup KEEP gate (x86) — the media twin of x30's
     * keep-representatives: the three modality pair generators (image
@@ -730,14 +770,39 @@ object Multimodal {
     val q = mediaQualityGate(media)
     val survivors = q.filter(col("keep")).select(col("media_id"))
     val d = mediaDedupKeep(media.join(survivors, Seq("media_id")))
-    def rollup(gate: DataFrame, stage: String): DataFrame = gate
-      .groupBy(col("kind"))
+    funnelRollup(q, "quality").unionByName(funnelRollup(d, "dedup"))
+  }
+
+  /** [[mediaCurationFunnel]] off the four STORED artifacts (decode
+    * stats + the three hash tables) — the production funnel: decode
+    * happened once at extraction; stage 1 is a projection over the
+    * stats artifact, stage 2 semi-joins each hash artifact down to the
+    * quality survivors before the pair generators run, so dedup's
+    * candidate volume shrinks with the quality cut instead of being
+    * paid on files already dropped. Per-file identical to
+    * [[mediaCurationFunnel]] (hash extraction is deterministic per
+    * payload — spec-pinned).
+    */
+  def mediaCurationFunnelFrom(stats: DataFrame, imgHash: DataFrame,
+      audFp: DataFrame, vidHash: DataFrame): DataFrame = {
+    val q = mediaQualityGateFrom(stats)
+    val survivors = q.filter(col("keep")).select(col("media_id"))
+    val d = mediaDedupKeepFrom(
+      stats.join(survivors, Seq("media_id"))
+        .select(col("media_id"), col("kind")),
+      imgHash.join(survivors, Seq("media_id")),
+      audFp.join(survivors, Seq("media_id")),
+      vidHash.join(survivors, Seq("media_id")))
+    funnelRollup(q, "quality").unionByName(funnelRollup(d, "dedup"))
+  }
+
+  /** per-(stage, kind) in/kept attrition row */
+  private def funnelRollup(gate: DataFrame, stage: String): DataFrame =
+    gate.groupBy(col("kind"))
       .agg(count(lit(1)).as("n_in"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .select(lit(stage).as("stage"), col("kind"), col("n_in"),
         col("n_kept"))
-    rollup(q, "quality").unionByName(rollup(d, "dedup"))
-  }
 
   /** the generic exact banded hamming-≤τ self-join over any
     * (media_id, `hashCol`: 64-bit code) table — multi-index hashing with

@@ -1460,6 +1460,27 @@ class MultimodalSpec extends SparkSpec {
     assert(q.exists(!_._3) && d.exists(!_._3))
   }
 
+  test("mediaCurationFunnelFrom (stored artifacts) == in-flight funnel") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val direct = Multimodal.mediaCurationFunnel(df).collect().map(key).toSet
+    // the production path: decode once into the four artifacts, then
+    // run the funnel payload-free
+    val stored = Multimodal.mediaCurationFunnelFrom(
+      Multimodal.mediaDecodeStats(df), Multimodal.imagePhash(df),
+      Multimodal.audioFingerprint(df), Multimodal.videoPhash(df))
+      .collect().map(key).toSet
+    assert(stored == direct)
+    // and the stats-artifact gate alone equals the in-flight gate
+    val g1 = Multimodal.mediaQualityGate(df).collect().map(_.toSeq).toSet
+    val g2 = Multimodal.mediaQualityGateFrom(Multimodal.mediaDecodeStats(df))
+      .collect().map(_.toSeq).toSet
+    assert(g2 == g1)
+  }
+
   test("PNG text chunks: splice→walk round-trip; strip is pixel-lossless") {
     val rows = Multimodal.mediaRows
     val r29 = rows.find(_.media_id == 29L).get

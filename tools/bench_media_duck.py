@@ -46,22 +46,23 @@ JOIN n nb ON nb.media_id = o.id_b
 WHERE CAST(o.overlap AS DOUBLE) / least(na.nh, nb.nh) >= 0.5"""
 
 
-def keep_gate(hdir):
+def keep_gate(hdir, surv=""):
     """the x86 cross-modal keep twin: union of the three pair sets,
     transitive closure by recursive CTE (the x16 oracle discipline —
     a correctness twin, not a tuned native CC), min-id kept. The reach
     table enumerates node×label per component, so a giant incidental
     component makes this blow up — exactly the claim the Spark side's
     star loop is priced against; the caller guards it with a timeout.
+    `surv`: optional survivor-restriction predicate (the funnel's
+    quality semi-join), e.g. "AND media_id IN (SELECT media_id FROM s)".
     """
     return f"""
-WITH RECURSIVE
 ih AS (SELECT media_id, phash64 AS ph
        FROM read_parquet('{hdir}/img_hash.parquet/*.parquet')
-       WHERE phash64 IS NOT NULL),
+       WHERE phash64 IS NOT NULL {surv}),
 ah AS (SELECT media_id, audiofp64 AS ph
        FROM read_parquet('{hdir}/aud_fp.parquet/*.parquet')
-       WHERE audiofp64 IS NOT NULL),
+       WHERE audiofp64 IS NOT NULL {surv}),
 ib AS (SELECT media_id, ph, t.band, (ph >> (t.band * 8)) & 255 AS bucket
        FROM ih, unnest(generate_series(0, 7)) AS t(band)),
 ab AS (SELECT media_id, ph, t.band, (ph >> (t.band * 8)) & 255 AS bucket
@@ -75,7 +76,8 @@ ap AS (SELECT DISTINCT l.media_id AS da, r.media_id AS db
                           AND l.media_id < r.media_id
        WHERE bit_count(xor(l.ph, r.ph)) <= 7),
 fh AS (SELECT DISTINCT media_id, fphash64 AS h
-       FROM read_parquet('{hdir}/vid_hash.parquet/*.parquet')),
+       FROM read_parquet('{hdir}/vid_hash.parquet/*.parquet')
+       WHERE 1=1 {surv}),
 n AS (SELECT media_id, count(*) AS nh FROM fh GROUP BY 1),
 ov AS (SELECT a.media_id AS da, b.media_id AS db, count(*) AS o
        FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
@@ -93,8 +95,47 @@ reach(media_id, lbl) AS (
     SELECT media_id, media_id FROM ids
     UNION
     SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.media_id = e.dst),
-comp AS (SELECT media_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
-SELECT media_id, cluster_id, media_id = cluster_id AS keep FROM comp"""
+comp AS (SELECT media_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)"""
+
+
+def keep_gate_full(hdir):
+    return ("WITH RECURSIVE " + keep_gate(hdir).strip() + """
+SELECT media_id, cluster_id, media_id = cluster_id AS keep FROM comp""")
+
+
+def funnel(hdir):
+    """the x91 twin: the x88 first-failing-rule CASE over the stored
+    decode-stats artifact, then the keep-gate closure restricted to the
+    quality survivors, rolled up per (stage, kind). Thresholds mirror
+    graft.llm.Multimodal's MinImageArea/Exposure/Silence/Hot/MinClipMs
+    constants verbatim.
+    """
+    surv = "AND media_id IN (SELECT media_id FROM surv)"
+    return f"""
+WITH RECURSIVE
+q AS (SELECT media_id, kind,
+  CASE WHEN dec_brightness IS NULL AND dec_amp_mean IS NULL
+            AND dec_duration_ms IS NULL THEN 'undecodable'
+       WHEN kind = 'image' AND dec_width * dec_height < 256
+            THEN 'too_small'
+       WHEN kind = 'image' AND (dec_brightness < 0.15
+            OR dec_brightness > 0.92) THEN 'exposure'
+       WHEN kind = 'audio' AND dec_amp_mean < 0.01 THEN 'silence'
+       WHEN kind = 'audio' AND dec_amp_mean > 0.45 THEN 'clipping_risk'
+       WHEN kind = 'video' AND dec_duration_ms < 3000 THEN 'too_short'
+       ELSE 'pass' END AS reason
+  FROM read_parquet('{hdir}/stats.parquet/*.parquet')),
+surv AS (SELECT media_id FROM q WHERE reason = 'pass'),
+{keep_gate(hdir, surv).strip()},
+dedup AS (SELECT c.media_id, q.kind, c.media_id = c.cluster_id AS keep
+          FROM comp c JOIN q USING (media_id))
+SELECT 'quality' AS stage, kind, count(*) AS n_in,
+       sum(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END) AS n_kept
+FROM q GROUP BY 2
+UNION ALL
+SELECT 'dedup', kind, count(*),
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)
+FROM dedup GROUP BY 2"""
 
 
 def main():
@@ -108,7 +149,8 @@ def main():
                               tau=3, nbands=4),
         "nd_aud": banded(f"{hdir}/aud_fp.parquet", "audiofp64"),
         "nd_vid": containment(f"{hdir}/vid_hash.parquet"),
-        "nd_keep": keep_gate(hdir),
+        "nd_keep": keep_gate_full(hdir),
+        "funnel": funnel(hdir),
     }
     only = os.environ.get("MEDIA_DUCK_ONLY")
     if only:
