@@ -145,6 +145,20 @@ object Bench {
     out
   }
 
+  /** sf-proportional media corpus size: sf × 100k images (+ n/4 WAVs,
+    * n/8 clips) — sf0.1 stages 10k/2.5k/1.25k files, so the media
+    * family (x80–x91) benches on real decode + search volume instead of
+    * the 31-row fixture's job floor (r13 verdict task 7). The staged
+    * table carries the authored expected columns ([[llm.MediaCorpus]]),
+    * so `tools/bench_duck.py` can race the oracle queries on the SAME
+    * staged rows.
+    */
+  private def mediaN(sfDir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+    math.max(64L, (sf * 100000L).toLong)
+  }
+
   private def stage(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -158,6 +172,27 @@ object Bench {
           .parquet(s"$tmpDir/$t.parquet")
       }
     }
+  }
+
+  /** the media family's query-name shape (x12/x13/x31/x39 media demos +
+    * the x80–x91 perceptual family) — used to stage the media table only
+    * when a selected query will actually read it
+    */
+  private[graft] val MediaNames = "^(x12|x13|x31|x39|x8[0-9]|x9[01])_".r
+
+  /** stage the generated media table INTO an already-published run dir,
+    * under its own atomic marker (media.parquet is written by
+    * [[stagedAtomically]], so readers only ever see a complete table).
+    * Kept separate from the core staging so amplified runs that never
+    * touch media (e.g. an st13-only point at ×30) don't pay a 300k-image
+    * generation, and existing core stagings stay valid.
+    */
+  private def ensureMedia(spark: org.apache.spark.sql.SparkSession,
+      runDir: String, n: Long): Unit = {
+    stagedAtomically(s"$runDir/media.parquet") { tmp =>
+      llm.MediaCorpus.write(spark, tmp, n)
+    }
+    ()
   }
 
   /** floor-amortization mode (r7 verdict task 3): stage a synthetic
@@ -227,7 +262,7 @@ object Bench {
     * x66/x67/x68 (classifier, takedown, diverse select)
     */
   private val AmplifySet =
-    "^(q13|q36|q37|x02|x03|x16|x21|x22|x23|x26|x30|x33|x36|x38|x41|x43|x44|x50|x53|x56|x57|x58|x59|x61|x62|x63|x64|x65|x66|x67|x68|x69|x71|x72|x73|x74|x75|x76|x77|x78|x79|st21)"
+    "^(q13|q36|q37|x02|x03|x16|x21|x22|x23|x26|x30|x33|x36|x38|x41|x43|x44|x50|x53|x56|x57|x58|x59|x61|x62|x63|x64|x65|x66|x67|x68|x69|x71|x72|x73|x74|x75|x76|x77|x78|x79|x81|x83|x85|x86|x88|x91|st21)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -255,6 +290,19 @@ object Bench {
       SparkEntry.queries.toSeq.filter(p)
         .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
         .sortBy(_._1)
+
+    // sf-proportional media table (r13 verdict task 7): staged once
+    // (untimed) when a selected query reads it — sf×100k images, ×k in
+    // amplified mode (amplified media scales by GENERATION: k× more
+    // unique textures at the same 20% planted-variant rate, so near-dup
+    // cost grows with real content diversity and the twin pays the same
+    // candidate volume). Unstaged runs (SPARK_GRAFT_STAGE=0) keep the
+    // fixture fallback — the run dir is the read-only sf dir.
+    val mediaSelected = SparkEntry.queries.keys.exists(n =>
+      MediaNames.findFirstIn(n).isDefined &&
+        only.forall(_.findFirstIn(n).isDefined))
+    if (mediaSelected && runDir != sfDir)
+      ensureMedia(spark, runDir, mediaN(sfDir) * math.max(1, amplify.getOrElse(1)))
 
     // host-load telemetry (r7 verdict task 8): 1-minute load average
     // sampled at start and after every sweep, reported in the JSON so a

@@ -243,6 +243,13 @@ object MediaBench {
       "nd_img_wide" -> (() => Multimodal.imageNearDupFrom(
           hashes("img_hash"), tau = 3, nBands = 4)
         .write.format("noop").mode("overwrite").save()),
+      // the same wide-band geometry on the audio fingerprints (r13
+      // verdict task 4: the ≥1M-file design-scale point for nd_aud) —
+      // gain-halved re-masters fingerprint at hamming 0, so τ=3 keeps
+      // the planted recall while 16-bit bands keep candidates linear
+      "nd_aud_wide" -> (() => Multimodal.hammingNearDupFrom(
+          hashes("aud_fp"), "audiofp64", 3, 4, llm.Dedup.MaxBucket)
+        .write.format("noop").mode("overwrite").save()),
       // the cross-modal keep gate (x86) from the three stored artifacts:
       // pair generation + the large-star/small-star CC + one verdict per
       // file — the phase whose relational twin pays a recursive closure
@@ -316,6 +323,8 @@ object MediaBench {
         hashes("img_hash"), tau = 3, nBands = 4).count()),
       "nd_aud" -> (() => Multimodal.hammingNearDupFrom(hashes("aud_fp"),
         "audiofp64", 7, 8, llm.Dedup.MaxBucket).count()),
+      "nd_aud_wide" -> (() => Multimodal.hammingNearDupFrom(
+        hashes("aud_fp"), "audiofp64", 3, 4, llm.Dedup.MaxBucket).count()),
       "nd_vid" -> (() =>
         Multimodal.videoNearDupFrom(hashes("vid_hash")).count()),
       // for the keep gate, "pairs" reports the files DROPPED
@@ -344,6 +353,10 @@ object MediaBench {
       "nd_aud" -> (() => plantedOf(
         Multimodal.hammingNearDupFrom(hashes("aud_fp"),
           "audiofp64", 7, 8, llm.Dedup.MaxBucket),
+        math.max(8L, n / 4) / 5)),
+      "nd_aud_wide" -> (() => plantedOf(
+        Multimodal.hammingNearDupFrom(hashes("aud_fp"),
+          "audiofp64", 3, 4, llm.Dedup.MaxBucket),
         math.max(8L, n / 4) / 5)),
       "nd_vid" -> (() => plantedOf(
         Multimodal.videoNearDupFrom(hashes("vid_hash")),

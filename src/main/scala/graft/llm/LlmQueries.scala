@@ -20,8 +20,18 @@ object LlmQueries extends QueryPack {
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
-  private def media(s: SparkSession): DataFrame =
-    s.read.parquet(s"$MEDIA/media.parquet")
+  /** media input: a STAGED sf-proportional corpus when the run dir
+    * carries one ([[MediaCorpus]] — the bench path, r13 verdict task 7),
+    * else the committed 31-row fixture (the correctness path: the
+    * driver's sf dirs have no media table, and every media oracle reads
+    * the fixture's authored columns at its committed path)
+    */
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    val staged = s"$dir/media.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(staged)))
+      s.read.parquet(staged)
+    else s.read.parquet(s"$MEDIA/media.parquet")
+  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_exact_dedup" -> ((s, dir) => Dedup.exactGroups(docs(s, dir))),
@@ -42,8 +52,8 @@ object LlmQueries extends QueryPack {
     "x09_lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
     "x10_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
     "x11_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
-    "x12_media_meta" -> ((s, _) => Multimodal.mediaMeta(media(s))),
-    "x13_frame_sample" -> ((s, _) => Multimodal.frameSample(media(s))),
+    "x12_media_meta" -> ((s, dir) => Multimodal.mediaMeta(media(s, dir))),
+    "x13_frame_sample" -> ((s, dir) => Multimodal.frameSample(media(s, dir))),
     "x14_ivf_centroid_topk" -> ((s, dir) =>
       Similarity.ivfCentroidTopK(embs(s, dir), CentroidIds, nQueries = 10,
         k = 3)),
@@ -72,8 +82,8 @@ object LlmQueries extends QueryPack {
     "x29_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(TextOps.injectDemoPii(docs(s, dir)))),
     "x30_dedup_keep" -> ((s, dir) => Dedup.keepRepresentatives(docs(s, dir))),
-    "x31_resize" -> ((s, _) =>
-      Multimodal.resizeImages(media(s), 8, 6).toDF()
+    "x31_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(media(s, dir), 8, 6).toDF()
         .select(col("media_id"), col("rs_width"), col("rs_height"),
           col("rs_brightness"),
           md5(lower(hex(col("payload")))).as("rs_md5"))),
@@ -89,7 +99,7 @@ object LlmQueries extends QueryPack {
     "x36_fuzzy_decontam" -> ((s, dir) => Dedup.fuzzyDecontam(docs(s, dir))),
     "x37_cms_heavy" -> ((s, dir) => Sketches.cmsHeavyHitters(docs(s, dir))),
     "x38_pipeline_manifest" -> ((s, dir) => Pipeline.manifest(docs(s, dir))),
-    "x39_video_frames" -> ((s, _) => Multimodal.videoFrames(media(s))),
+    "x39_video_frames" -> ((s, dir) => Multimodal.videoFrames(media(s, dir))),
     // rows-only (no oracle, like q30/m22): the scale-path mean's
     // partition-order float accumulation is engine-specific by design;
     // KmeansSpec bounds it within 1e-9 of the exact path
@@ -292,44 +302,44 @@ object LlmQueries extends QueryPack {
     // perceptual image hash: one decode+DCT pass, no shuffle; the
     // engine re-derives every hash from the payload bytes, the oracle
     // reads the fixture's authored expected column (the x12 rule)
-    "x80_image_phash" -> ((s, _) => Multimodal.imagePhash(media(s))),
+    "x80_image_phash" -> ((s, dir) => Multimodal.imagePhash(media(s, dir))),
     // image near-dup by banded hamming search (multi-index hashing —
     // exact for tau < nBands); surfaces the re-encode / brightness /
     // upscale variants content_md5 dedup misses
-    "x81_image_neardup" -> ((s, _) => Multimodal.imageNearDup(media(s))),
+    "x81_image_neardup" -> ((s, dir) => Multimodal.imageNearDup(media(s, dir))),
     // audio spectral fingerprint: Goertzel time×frequency grid through
     // the same DCT+median hash core; oracle reads the authored column
-    "x82_audio_fingerprint" -> ((s, _) =>
-      Multimodal.audioFingerprint(media(s))),
+    "x82_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(media(s, dir))),
     // audio near-dup: gain-change / resample / re-encode variants via
     // the same exact banded hamming machine as x81
-    "x83_audio_neardup" -> ((s, _) => Multimodal.audioNearDup(media(s))),
+    "x83_audio_neardup" -> ((s, dir) => Multimodal.audioNearDup(media(s, dir))),
     // per-frame perceptual hashes for decodable video tracks (the
     // materialized artifact clip-level dedup runs off)
-    "x84_video_phash" -> ((s, _) => Multimodal.videoPhash(media(s))),
+    "x84_video_phash" -> ((s, dir) => Multimodal.videoPhash(media(s, dir))),
     // clip near-dup by frame-hash containment (trimmed clips score 1.0
     // against their source; stop-frame df cut bounds bucket fan-out)
-    "x85_video_neardup" -> ((s, _) => Multimodal.videoNearDup(media(s))),
+    "x85_video_neardup" -> ((s, dir) => Multimodal.videoNearDup(media(s, dir))),
     // cross-modal dedup keep gate: the three modality pair sets union
     // into one edge set, CC labels transitive variant chains, one
     // keep/drop verdict per file (the media twin of x30)
-    "x86_media_dedup_keep" -> ((s, _) => Multimodal.mediaDedupKeep(media(s))),
+    "x86_media_dedup_keep" -> ((s, dir) => Multimodal.mediaDedupKeep(media(s, dir))),
     // scene-change detection over decoded frames (the shot-boundary
     // pre-pass for per-scene frame sampling)
-    "x87_scene_changes" -> ((s, _) => Multimodal.sceneChanges(media(s))),
+    "x87_scene_changes" -> ((s, dir) => Multimodal.sceneChanges(media(s, dir))),
     // composed media quality gate on decoded stats (the x26 shape:
     // first failing rule wins)
-    "x88_media_quality_gate" -> ((s, _) =>
-      Multimodal.mediaQualityGate(media(s))),
+    "x88_media_quality_gate" -> ((s, dir) =>
+      Multimodal.mediaQualityGate(media(s, dir))),
     // embedded PNG text metadata: the chunk walker's tEXt pairs (the
     // provenance strings an image pipeline audits)
-    "x89_png_text_chunks" -> ((s, _) => Multimodal.pngTextChunks(media(s))),
+    "x89_png_text_chunks" -> ((s, dir) => Multimodal.pngTextChunks(media(s, dir))),
     // provenance-hygiene strip audit: chunks removed, bytes reclaimed,
     // stripped-payload digest per file
-    "x90_strip_text_audit" -> ((s, _) => Multimodal.stripTextAudit(media(s))),
+    "x90_strip_text_audit" -> ((s, dir) => Multimodal.stripTextAudit(media(s, dir))),
     // media curation funnel: quality gate on every file, cross-modal
     // dedup keep among the survivors, per-(stage, kind) attrition
-    "x91_media_funnel" -> ((s, _) => Multimodal.mediaCurationFunnel(media(s)))
+    "x91_media_funnel" -> ((s, dir) => Multimodal.mediaCurationFunnel(media(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */

@@ -51,7 +51,7 @@ object Multimodal {
     * engines agree on (DuckDB has no md5 over BLOB), mirrored here for
     * authoring-time expected values
     */
-  private def md5OfHex(bytes: Array[Byte]): String = {
+  private[llm] def md5OfHex(bytes: Array[Byte]): String = {
     val hex = bytes.map("%02x".format(_)).mkString
     java.security.MessageDigest.getInstance("MD5")
       .digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString
@@ -61,7 +61,7 @@ object Multimodal {
     * ENCODED bytes (cancels JPEG lossiness, no-op for PNG), resample with
     * the same integer-math kernel the engine uses, re-encode
     */
-  private def rs8x6(bytes: Array[Byte]): (Option[Double], Option[String]) = {
+  private[llm] def rs8x6(bytes: Array[Byte]): (Option[Double], Option[String]) = {
     val img = ImageCodec.decodeImage(bytes).get
     val rs = ImageCodec.resizeNearest(img, 8, 6)
     (Some(ImageCodec.brightness(rs)), Some(md5OfHex(ImageCodec.encode(rs))))

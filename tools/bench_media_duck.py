@@ -148,6 +148,8 @@ def main():
         "nd_img_wide": banded(f"{hdir}/img_hash.parquet", "phash64",
                               tau=3, nbands=4),
         "nd_aud": banded(f"{hdir}/aud_fp.parquet", "audiofp64"),
+        "nd_aud_wide": banded(f"{hdir}/aud_fp.parquet", "audiofp64",
+                              tau=3, nbands=4),
         "nd_vid": containment(f"{hdir}/vid_hash.parquet"),
         "nd_keep": keep_gate_full(hdir),
         "funnel": funnel(hdir),

@@ -50,9 +50,24 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"  # Spark staging layout
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # when checking against a staged dir that carries a generated media
+    # table, point the media oracles at it (same rewrite as bench_duck.py).
+    # st22/st23 stay on the fixture: their Spark side is a FILE STREAM
+    # over the committed fixture dir (split constant tuned to its ids);
+    # the amplified stream gate is priced by MediaBench instead.
+    staged_media = f"{sfdir}/media.parquet"
+    if os.path.isdir(staged_media):
+        oracle = {k: (v if k.startswith("st") else
+                      v.replace("/root/repo/fixtures/media/media.parquet",
+                                staged_media))
+                  for k, v in oracle.items()}
     npass = nfail = nskip = 0
     allq = sorted(set(list(oracle.keys()) +
         [g.split('/')[-1] for g in glob.glob(f"{outdir}/[qmxs]*")
