@@ -133,10 +133,10 @@ object MediaBench {
     * multiples of 5 so the id%5==4 planted-variant rule survives the
     * shift. Generation params still derive from the LOCAL id.
     */
-  def offsets(n: Long): (Long, Long) = {
+  def offsets(n: Long, audX: Int = 1): (Long, Long) = {
     def up5(x: Long) = (x + 4) / 5 * 5
     val audOff = up5(n)
-    (audOff, audOff + up5(math.max(8L, n / 4)))
+    (audOff, audOff + up5(math.max(8L, n / 4) * audX))
   }
 
   /** generate + stage the synthetic corpus once per n (atomic rename,
@@ -145,15 +145,17 @@ object MediaBench {
     * `_v2`: disjoint per-modality id spaces (the ArtifactStore
     * recipe-version lesson — a recipe change renames the dir).
     */
-  def stageMedia(spark: SparkSession, n: Long, vidX: Int = 1): String = {
+  def stageMedia(spark: SparkSession, n: Long, vidX: Int = 1,
+      audX: Int = 1): String = {
     val out =
       s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v2" +
-        (if (vidX > 1) s"_vx$vidX" else "")
+        (if (vidX > 1) s"_vx$vidX" else "") +
+        (if (audX > 1) s"_ax$audX" else "")
     Bench.stagedAtomically(out) { tmp =>
       import spark.implicits._
-      val nAud = math.max(8L, n / 4)
+      val nAud = math.max(8L, n / 4) * audX
       val nVid = math.max(8L, n / 8) * vidX
-      val (audOff, vidOff) = offsets(n)
+      val (audOff, vidOff) = offsets(n, audX)
       spark.range(0, n, 1, 32)
         .map(id => (id, "image", pngFor(id), Some(W), Some(H),
           None: Option[Long], None: Option[Int]))
@@ -182,6 +184,9 @@ object MediaBench {
     // the clip count (default n/8) without paying n more images/WAVs —
     // the modality mix of a video-dominated ingest
     val vidX = sys.env.getOrElse("SPARK_GRAFT_MEDIA_VID_X", "1").toInt
+    // audio-heavy corpus knob (r14, the nd_aud design-scale point):
+    // multiplies the WAV count (default n/4) without paying 4n images
+    val audX = sys.env.getOrElse("SPARK_GRAFT_MEDIA_AUD_X", "1").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = core.GraftSession.builder("graft-media-bench", cpus)
       // harness-only maxResultSize raise — see the Bench.main note
@@ -196,10 +201,11 @@ object MediaBench {
     // metadata/hash tables keep the default.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
 
-    val dir = stageMedia(spark, n, vidX)
+    val dir = stageMedia(spark, n, vidX, audX)
     val hdir =
       s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/hashes_n$n" +
-        (if (vidX > 1) s"_vx$vidX" else "")
+        (if (vidX > 1) s"_vx$vidX" else "") +
+        (if (audX > 1) s"_ax$audX" else "")
     def payload(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
     def hashes(t: String): DataFrame = spark.read.parquet(s"$hdir/$t.parquet")
 
@@ -353,11 +359,11 @@ object MediaBench {
       "nd_aud" -> (() => plantedOf(
         Multimodal.hammingNearDupFrom(hashes("aud_fp"),
           "audiofp64", 7, 8, llm.Dedup.MaxBucket),
-        math.max(8L, n / 4) / 5)),
+        math.max(8L, n / 4) * audX / 5)),
       "nd_aud_wide" -> (() => plantedOf(
         Multimodal.hammingNearDupFrom(hashes("aud_fp"),
           "audiofp64", 3, 4, llm.Dedup.MaxBucket),
-        math.max(8L, n / 4) / 5)),
+        math.max(8L, n / 4) * audX / 5)),
       "nd_vid" -> (() => plantedOf(
         Multimodal.videoNearDupFrom(hashes("vid_hash")),
         math.max(8L, n / 8) * vidX / 5)),
@@ -365,7 +371,7 @@ object MediaBench {
       "nd_keep" -> (() => Multimodal.mediaDedupKeepFrom(keepIds(),
           hashes("img_hash"), hashes("aud_fp"), hashes("vid_hash"))
         .filter(col("media_id") % 5 === 4 && !col("keep")).count().toDouble /
-        (n / 5 + math.max(8L, n / 4) / 5 +
+        (n / 5 + math.max(8L, n / 4) * audX / 5 +
           math.max(8L, n / 8) * vidX / 5)),
       // funnel recall: no planted variant may survive BOTH stages (a
       // video variant drops at quality — 2.5 s < MinClipMs; image/audio
@@ -380,7 +386,7 @@ object MediaBench {
           hashes("aud_fp").join(surv, Seq("media_id")),
           hashes("vid_hash").join(surv, Seq("media_id")))
           .filter(col("keep") && col("media_id") % 5 === 4).count()
-        val planted = n / 5 + math.max(8L, n / 4) / 5 +
+        val planted = n / 5 + math.max(8L, n / 4) * audX / 5 +
           math.max(8L, n / 8) * vidX / 5
         (planted - kept).toDouble / planted
       }))
