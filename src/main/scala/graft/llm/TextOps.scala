@@ -745,25 +745,19 @@ object TextOps {
     val nt = size(tk)
     val staged = docs.select(col("doc_id"), col("text"),
       split(col("text"), " ").as("tk"))
-    // per-language stopword hits; langs folded in ASCENDING order with
-    // strict >, reproducing min_by((-hits, lang)): first language wins
-    // ties, all-zero stays "unknown". The filter lambdas touch only the
-    // lambda variable and a literal array.
-    val langWords = Seq(
-      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
-      "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
-      "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
-      "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
-      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
-    val best = langWords.foldLeft(
-      struct(lit("unknown").as("l"), lit(0).as("h"))) {
-      case (acc, (l, ws)) =>
-        val h = size(filter(tk, t => array_contains(typedLit(ws), t)))
-        when(h > acc.getField("h"),
-          struct(lit(l).as("l"), h.as("h"))).otherwise(acc)
-    }
+    // per-language stopword hits → strict-> argmax in ASCENDING language
+    // order (first language wins ties, all-zero stays "unknown"),
+    // reproducing min_by((-hits, lang)) — fused into the native codegen
+    // `lang_best` expression (graft.functions.LangBest): ONE pass over
+    // the token array with a token→language-bitmask lookup. The former
+    // five-filter fold dispatched an interpreted lambda per element per
+    // language (HOFs run outside whole-stage codegen) and its wall was
+    // JIT-luck-dependent at ×30 stream scale; winner bit-identical
+    // (spec-pinned against the fold on tie/overlap/unicode corpora).
+    graft.functions.LangBest.register(docs.sparkSession)
+    val best = coalesce(call_function("lang_best", tk), lit("unknown"))
     val staged2 = staged.select(col("doc_id"), col("text"), col("tk"),
-      best.as("best"))
+      best.as("best_lang"))
     // duplicate-bigram occurrences = Σ{c : c ≥ 2} over bigram counts —
     // the native codegen `dup_bigram_count` expression
     // (graft.functions.DupBigramCount) fuses bigram construction, sort,
@@ -790,7 +784,7 @@ object TextOps {
     val score = greatest(lit(0.0),
       least(lit(1.0), lit(1.0) - punctRatio - abs(meanLen - 5.0) / 10.0))
     val sig = staged2.select(col("doc_id"),
-      col("best").getField("l").as("pred_lang"),
+      col("best_lang").as("pred_lang"),
       nt.as("n_tokens"), score.as("quality_score"),
       dupFrac.as("dup_bigram_frac"))
     val reason = when(col("n_tokens") < minTokens, "too_short")
