@@ -27,6 +27,14 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // static auto-broadcast stays ON: file-stat-derived estimates are
+      // reliable and the metadata family's fixture joins depend on them
+      // (turning it off engine-wide doubled m_total — measured, then
+      // reverted). The UNRELIABLE estimates are generator-derived
+      // candidate tables (posexplode pair sets), whose static size is a
+      // schema-default guess an under-estimate of which statically plans
+      // a BroadcastHashJoin AQE cannot demote — those join sites carry
+      // explicit merge hints instead (Similarity.noStaticBroadcast).
       // scan-split sizing stays at the cluster defaults (128 MB
       // partitions / 4 MB open cost): measured locally, shrinking them to
       // fan toy-MB tables across all 32 cores costs more in task overhead

@@ -26,6 +26,27 @@ object Similarity {
   /** float[] → double[] exactly */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Guard for GENERATOR-DERIVED candidate tables (posexplode pair sets,
+    * band-row collision sets) entering a join: their static size
+    * estimate is a schema-default guess, and an under-estimate
+    * statically plans a BroadcastHashJoin that AQE cannot demote —
+    * measured at ×30 amplification, the x06 candidate set was estimated
+    * under the 10 MB threshold and the driver OOM'd building a
+    * multi-million-row hashed relation. The merge hint pins these joins
+    * to a partitioned plan with no driver-side build. shuffle_hash, not
+    * merge: the hinted side is always the NARROW one (id-pair /
+    * band-row tables), so per-partition hash builds stay bounded at any
+    * corpus size with shuffle partitions sized to the cluster, and the
+    * wide embedding side streams past — while a merge hint sorted BOTH
+    * sides (64-double vectors included) and cost x78 +6 s at sf0.1
+    * (measured, switched). File-scan-derived sides keep static
+    * auto-broadcast: their estimates are real file sizes (turning the
+    * threshold off engine-wide doubled the metadata section — measured,
+    * reverted, see GraftSession).
+    */
+  private def noStaticBroadcast(df: DataFrame): DataFrame =
+    df.hint("shuffle_hash")
+
   /** left-to-right dot product of two double arrays */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -202,7 +223,7 @@ object Similarity {
     // composition — x15's oracle proves it)
     val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+    noStaticBroadcast(cand).join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         call_function("cosine_sim", col("va"), col("vb")).as("cos"))
       .filter(col("cos") > minCos)
@@ -213,13 +234,20 @@ object Similarity {
     */
   private def vecBuckets(e: DataFrame, nBands: Int, bitsPerBand: Int,
       dim: Int): DataFrame = {
-    val planes = hyperplanes(nBands, bitsPerBand, dim)
-    val bandStructs = planes.zipWithIndex.map { case (ps, bi) =>
-      struct(lit(bi + 1).as("band"), bandBucket(col("v"), ps).as("bucket"))
-    }
-    e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+    // ALL band buckets from ONE fused codegen pass (the native
+    // hyperplane_buckets expression) instead of nBands×bitsPerBand
+    // interpreted aggregate(zip_with(...)) projections per row — the
+    // lang_best lesson applied to the vector family's hottest
+    // expression; bucket strings bit-identical to [[bandBucket]]
+    // (spec-pinned, incl. null-element / length-mismatch / NaN rows).
+    // The coalesce reproduces the HOF fold's null-array behavior
+    // (every `when` on a null projection fell to '0').
+    graft.functions.HyperplaneBuckets.register(e.sparkSession)
+    val zeroRow = array(Seq.fill(nBands)(lit("0" * bitsPerBand)): _*)
+    val buckets = coalesce(call_function("hyperplane_buckets", col("v"),
+      lit(nBands), lit(bitsPerBand), lit(dim)), zeroRow)
+    e.select(col("vec_id"), posexplode(buckets).as(Seq("p", "bucket")))
+      .select(col("vec_id"), (col("p") + 1).as("band"), col("bucket"))
   }
 
   /** bucketed kNN-GRAPH construction — the neighbor-graph artifact a
@@ -441,12 +469,12 @@ object Similarity {
     val cbr = vecBandRows(corpus, nBands, bitsPerBand, dim)
       .select(col("vec_id").as("cand_id"), col("band"), col("bucket"))
     val bbr = vecBandRows(batch, nBands, bitsPerBand, dim)
-    val cand = bbr.join(cbr, Seq("band", "bucket"))
+    val cand = bbr.join(noStaticBroadcast(cbr), Seq("band", "bucket"))
       .select(col("vec_id"), col("cand_id")).distinct()
     val bv = batch.select(col("vec_id"), asDouble(col("embedding")).as("qv"))
     val cv = corpus.select(col("vec_id").as("cand_id"),
       asDouble(col("embedding")).as("cvv"))
-    cand.join(bv, Seq("vec_id")).join(cv, Seq("cand_id"))
+    noStaticBroadcast(cand).join(bv, Seq("vec_id")).join(cv, Seq("cand_id"))
       .select(col("vec_id"), col("cand_id"),
         call_function("cosine_sim", col("qv"), col("cvv")).as("cos"))
       .filter(col("cos") >= minCos)
@@ -600,13 +628,13 @@ object Similarity {
     val cb = vecBandRows(corpus, nBands, bitsPerBand, dim)
       .select(col("band"), col("bucket"), col("vec_id").as("corpus_id"))
     val nb = vecBandRows(batch, nBands, bitsPerBand, dim)
-    val cand = nb.join(cb, Seq("band", "bucket"))
+    val cand = nb.join(noStaticBroadcast(cb), Seq("band", "bucket"))
       .select(col("vec_id"), col("corpus_id")).distinct()
     val bv = batch.select(col("vec_id"),
       asDouble(col("embedding")).as("bv"))
     val cv = corpus.select(col("vec_id").as("corpus_id"),
       asDouble(col("embedding")).as("cv"))
-    cand.join(bv, Seq("vec_id")).join(cv, Seq("corpus_id"))
+    noStaticBroadcast(cand).join(bv, Seq("vec_id")).join(cv, Seq("corpus_id"))
       .select(col("vec_id"), col("corpus_id"),
         call_function("cosine_sim", col("bv"), col("cv")).as("cos"))
       .filter(col("cos") >= minCos)
