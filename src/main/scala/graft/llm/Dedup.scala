@@ -77,51 +77,33 @@ object Dedup {
     hu.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** [[bands]]∘[[minhashSignature]] computed entirely IN-ROW — no
-    * shuffle, no aggregation: shingles, one md5 per distinct shingle,
-    * and the Kirsch–Mitzenmacher mins all run as array expressions
-    * inside the row (`array_min` over a `transform` replaces the
-    * grouped `min`). Bit-identical band keys to the grouped path
-    * (spec-asserted) — the shape a STREAMING gate needs, where a
-    * per-doc groupBy would demand watermarked stateful aggregation for
-    * what is really a pure map. Docs with fewer than 3 tokens produce
-    * no row, matching the grouped path's empty groupBy.
+  /** [[bands]]∘[[minhashSignature]] computed entirely IN-ROW with the
+    * native codegen `minhash_bands` expression
+    * ([[graft.functions.MinhashBands]]): shingling, one md5 per
+    * DISTINCT shingle, the Kirsch–Mitzenmacher mins, and the
+    * "|"-joined band strings, all in one fused pass per document — no
+    * shuffle, no aggregation, no interpreted lambda. Band keys are
+    * bit-identical to the grouped path AND to the former higher-order
+    * formulation (both spec-pinned in MinhashBandsSpec). Docs with
+    * fewer than 3 tokens produce no row, matching the grouped path's
+    * empty groupBy.
     *
-    * Digest discipline: md5 runs once per shingle into a bound `mhs`
-    * array, and the hex halves parse ONCE per shingle into a bound
-    * (u1, u2) struct array — the 12 hash functions then cost pure
-    * long arithmetic per element. (The first version re-ran
-    * `conv(substring(...))` inside every hash function's lambda — no
-    * CSE inside higher-order lambdas, so that was 24 string
-    * allocations + radix parses per shingle where the grouped path
-    * pays 2; measured ~35% of the stream gate's in-flight time, r13.)
+    * This is now the shape BOTH surfaces use: streams (a per-doc
+    * groupBy would demand watermarked stateful aggregation for a pure
+    * map) and batch (the grouped path shuffled the exploded shingle
+    * table — tokens × 16 B per doc — just to compute a per-document
+    * pure function; in-row, the only shuffle left in an LSH dedup
+    * query is the (band, bh) grouping itself, which at 100 TB halves
+    * the dedup family's shuffle volume). [[minhashSignature]] stays as
+    * the signature-valued public operator (x01's surface).
     */
   def bandsInRow(docs: DataFrame): DataFrame = {
-    val tk = col("tk")
-    val n = size(tk)
-    val sh = array_distinct(transform(sequence(lit(1), n - 2), i =>
-      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-        element_at(tk, i + 2))))
-    val mins = (1 to NumHashes).map { i =>
-      array_min(transform(col("hu"), h =>
-        (h.getField("u1") + lit(i.toLong) * h.getField("u2"))
-          % MinhashMod)).as(s"h$i")
-    }
-    val nBands = NumHashes / BandSize
-    val bandCols = (0 until nBands).map { b =>
-      val hs = (1 to BandSize).map(j => col(s"h${b * BandSize + j}"))
-      struct(lit(b + 1).as("band"), concat_ws("|", hs: _*).as("bh"))
-    }
+    graft.functions.MinhashBands.register(docs.sparkSession)
     docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(n >= 3)
-      .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("mhs"))
-      .select(col("doc_id"), transform(col("mhs"), m =>
-        struct(conv(substring(m, 1, 8), 16, 10).cast("long").as("u1"),
-          conv(substring(m, 9, 8), 16, 10).cast("long").as("u2"))).as("hu"))
-      .select(col("doc_id") +: mins: _*)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"),
+        posexplode(call_function("minhash_bands", col("tk")))
+          .as(Seq("p", "bh")))
+      .select(col("doc_id"), (col("p") + 1).as("band"), col("bh"))
   }
 
   /** LSH band buckets in long form (doc_id, band, bucket_hash). The
@@ -166,7 +148,7 @@ object Dedup {
     * needs anyway; window partitions spill, never OOM.
     */
   private def collidedBuckets(docs: DataFrame, maxBucket: Int): DataFrame = {
-    val bb = bands(minhashSignature(docs))
+    val bb = bandsInRow(docs)
     val wsz = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh"))
     val sharded = bb
@@ -220,7 +202,7 @@ object Dedup {
     */
   def oversizedBuckets(docs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame =
-    bands(minhashSignature(docs))
+    bandsInRow(docs)
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
 
@@ -591,7 +573,7 @@ object Dedup {
   def fuzzyDecontam(docs: DataFrame, evalMod: Long = 10): DataFrame = {
     // one signature pass feeds both sides of the band join — branch
     // materialized once (no subplan reuse across DataFrame branches)
-    val bb = bands(minhashSignature(docs))
+    val bb = bandsInRow(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ev = bb.filter(col("doc_id") % evalMod === 0)
       .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
@@ -643,7 +625,7 @@ object Dedup {
     * gate — the corpus text is never re-signed.
     */
   def bandKeyIndex(corpus: DataFrame): DataFrame =
-    bands(minhashSignature(corpus))
+    bandsInRow(corpus)
       .select(col("band"), col("bh")).distinct()
 
   /** [[incrementalDedup]] against a pre-built [[bandKeyIndex]] — the
@@ -652,7 +634,7 @@ object Dedup {
     */
   def incrementalDedupWithIndex(corpusKeys: DataFrame,
       batch: DataFrame): DataFrame = {
-    val nb = bands(minhashSignature(batch))
+    val nb = bandsInRow(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vsCorpus = nb.join(corpusKeys, Seq("band", "bh"), "left_semi")
       .select(col("doc_id")).distinct()

@@ -459,24 +459,32 @@ object TextOps {
   }
 
   /** the SCORE half of [[dsirWeights]]: one shuffle-free, join-free,
-    * STATELESS projection — the fitted ratios constant-fold into an
-    * array literal inside whole-stage codegen, so this applies to a
-    * STREAMING frame unchanged (st10: batch-fit, stream-score).
+    * STATELESS projection — the fitted ratios ride as a literal vector
+    * inside the native codegen `dsir_terms` expression
+    * ([[graft.functions.DsirScore]]: gram stream, md5 bucket, ratio
+    * lookup, and the sorted sum fused into one pass per row — the
+    * former formulation dispatched an interpreted lambda PER GRAM with
+    * a MessageDigest + hex round-trip inside, spec-pinned identical),
+    * so this applies to a STREAMING frame unchanged (st10: batch-fit,
+    * stream-score). `buckets` must match the fitted table's length —
+    * the expression buckets by `ratios.length`.
     */
   def dsirScore(raw: DataFrame, ratios: Array[Double],
       buckets: Int = DsirBuckets, lnWeights: Boolean = false): DataFrame = {
-    val tk = col("tk")
-    val rLit = array(ratios.map(x => lit(if (lnWeights) math.log(x) else x))
-      .toSeq: _*)
-    val gramArr = concat(tk, dsirBiArr(tk))
-    val terms = transform(gramArr,
-      g => element_at(rLit, dsirBucketOf(g, buckets).cast("int") + 1))
-    val fold = aggregate(sort_array(terms), lit(0.0), (acc, x) => acc + x)
+    require(ratios.length == buckets,
+      s"dsirScore: ${ratios.length} fitted ratios for $buckets buckets")
+    val weighted =
+      if (lnWeights) ratios.map(math.log) else ratios
+    graft.functions.DsirScore.register(raw.sparkSession)
+    val ts = call_function("dsir_terms", col("tk"),
+      array(weighted.toSeq.map(lit): _*))
     raw.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), ts.as("ts"))
       .select(col("doc_id"),
-        size(gramArr).cast("long").as("n_grams"),
-        (if (lnWeights) fold
-         else fold / size(gramArr).cast("double")).as("dsir_score"))
+        col("ts.n_grams").as("n_grams"),
+        (if (lnWeights) col("ts.s")
+         else col("ts.s") / col("ts.n_grams").cast("double"))
+          .as("dsir_score"))
   }
 
   /** pairwise source-vocabulary Jaccard — the mixture-design audit:

@@ -317,9 +317,9 @@ object StreamOps {
     */
   def decontamGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.Dedup
-    val ref = Dedup.bands(Dedup.minhashSignature(
+    val ref = Dedup.bandsInRow(
         graft.core.Tables.load(spark, dir, "documents")
-          .filter(col("doc_id") % 10 === 0)))
+          .filter(col("doc_id") % 10 === 0))
       .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
     decontamGateStreamWith(spark, dir, ref, "st_decontam_gate")
   }

@@ -50,9 +50,9 @@ object StreamQueries extends QueryPack {
       StreamOps.decontamGateStreamWith(s, dir,
         artifact(s, dir, "decontam_index", "minhash.bands.eval10") {
           import org.apache.spark.sql.functions.col
-          graft.llm.Dedup.bands(graft.llm.Dedup.minhashSignature(
+          graft.llm.Dedup.bandsInRow(
               graft.core.Tables.load(s, dir, "documents")
-                .filter(col("doc_id") % 10 === 0)))
+                .filter(col("doc_id") % 10 === 0))
             .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
         })),
     "st20_takedown_cluster_stored" -> ((s, dir) =>
@@ -68,9 +68,9 @@ object StreamQueries extends QueryPack {
       StreamOps.decontamFlagStreamWith(s, dir,
         artifact(s, dir, "decontam_index", "minhash.bands.eval10") {
           import org.apache.spark.sql.functions.col
-          graft.llm.Dedup.bands(graft.llm.Dedup.minhashSignature(
+          graft.llm.Dedup.bandsInRow(
               graft.core.Tables.load(s, dir, "documents")
-                .filter(col("doc_id") % 10 === 0)))
+                .filter(col("doc_id") % 10 === 0))
             .select(col("band"), col("bh"), col("doc_id").as("eval_id"))
         })),
     // the streaming PERCEPTUAL ingest gate (the media twin of st19):
