@@ -621,39 +621,32 @@ object TextOps {
     * One generate + two hash aggs + a per-doc window.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
+    // per-doc bigram stats are a pure function of the row — the native
+    // codegen `bigram_stats` expression ([[graft.functions.BigramStats]])
+    // computes (top_bigram, top_n, dup_n) in one in-row pass, where the
+    // former shape exploded bigrams and paid TWO corpus-sized shuffles
+    // (groupBy(doc_id, bigram), then the per-doc rollup) plus a doc_id
+    // join back to the dims. Winner/count/dup-mass spec-pinned
+    // bit-identical to the grouped min_by/max/sum (ties resolve by the
+    // same binary string order); a null stats struct is the old left
+    // join's MISS (docs under 2 tokens), coalesced identically below.
+    graft.functions.BigramStats.register(docs.sparkSession)
     val tk = col("tk")
     val nt = size(tk)
-    val bg = when(nt >= 2, transform(sequence(lit(1), nt - 1), i =>
-      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-    // bigram counts feed ONE per-doc agg. The former shape branched the
-    // counts frame into a window-rank (top bigram) AND a second agg (dup
-    // mass) — and DataFrame branches recompute their subtree, so the
-    // bigram explode+count ran twice. min_by over (-c, bigram) keeps the
-    // exact (c desc, bigram asc) winner; its count is max(c); the dup
-    // mass is a conditional sum in the same agg.
-    val perDoc = base.select(col("doc_id"), explode(bg).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min_by(col("bigram"),
-          struct((-col("c")).as("nc"), col("bigram").as("bg")))
-          .as("top_bigram"),
-        max(col("c")).as("top_bigram_n"),
-        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_n"))
-    val dims = base.select(col("doc_id"), nt.as("n_tokens"),
-      size(array_distinct(tk)).as("n_distinct"))
+    val staged = base.select(col("doc_id"), nt.as("n_tokens"),
+      size(array_distinct(tk)).as("n_distinct"),
+      call_function("bigram_stats", col("tk")).as("bs"))
     val nBg = (col("n_tokens") - 1).cast("double")
-    dims.join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("top_bigram"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+    staged
+      .select(col("doc_id"), col("bs.top_bigram").as("top_bigram"),
+        coalesce(col("bs.top_n"), lit(0L)).as("top_bigram_n"),
         col("n_tokens"),
         when(col("n_tokens") >= 2,
-          coalesce(col("top_bigram_n"), lit(0L)).cast("double") / nBg)
+          coalesce(col("bs.top_n"), lit(0L)).cast("double") / nBg)
           .otherwise(0.0).as("top_bigram_frac"),
         when(col("n_tokens") >= 2,
-          coalesce(col("dup_n"), lit(0L)).cast("double") / nBg)
+          coalesce(col("bs.dup_n"), lit(0L)).cast("double") / nBg)
           .otherwise(0.0).as("dup_bigram_frac"),
         (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
           .as("distinct_token_ratio"))
