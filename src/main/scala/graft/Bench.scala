@@ -162,17 +162,32 @@ object Bench {
   private def stage(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bench_staged/$tag"
+    // _p2: staged content is a pure function of (sfDir, THIS recipe) —
+    // the partition-count rule changed, so the dir name versions with it
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bench_staged/${tag}_p2"
     stagedAtomically(out) { tmpDir =>
       core.Tables.names.foreach { t =>
         val df = spark.read.parquet(s"$sfDir/$t.parquet")
         val rows = df.count()
-        val parts = math.min(32L, math.max(1L, rows / 10000L)).toInt
-        df.repartition(parts).write.mode("overwrite")
+        df.repartition(stageParts(rows)).write.mode("overwrite")
           .parquet(s"$tmpDir/$t.parquet")
       }
     }
   }
+
+  /** staged partition count: rows/500 capped at the core count. The
+    * former rows/10000 rule left `documents` at sf0.1 in ONE split —
+    * and once the per-doc heavy lifting moved INTO the scan stage
+    * (native in-row expressions: minhash_bands, winnow_fps, lang_best,
+    * dsir_terms), a 1-split scan ran the whole corpus's md5 work on one
+    * of 32 cores. A deployment gets this spread for free from its
+    * thousands of real input splits; the bench's small staged tables
+    * need it written into the layout (parquet files don't split below
+    * the row-group floor, so maxPartitionBytes can't do it later).
+    */
+  private def stageParts(rows: Long): Int =
+    math.min(32L, math.max(1L, rows / 500L)).toInt
 
   /** the media family's query-name shape (x12/x13/x31/x39 media demos +
     * the x80–x91 perceptual family) — used to stage the media table only
@@ -213,7 +228,7 @@ object Bench {
     // recipe) — the r12 events amplification changed the recipe, so the
     // dir name versions with it rather than trusting stale markers
     val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_bench_amplified/${tag}_x${k}_v2"
+      s"${System.getProperty("java.io.tmpdir")}/graft_bench_amplified/${tag}_x${k}_v3"
     // the amplified copy is a pure function of (sfDir, k) — reuse an
     // existing staging unless SPARK_GRAFT_RESTAGE=1 (staging ×30 costs
     // minutes); same temp-dir + atomic-rename discipline as stage()
@@ -245,8 +260,7 @@ object Bench {
           case _ => df
         }
         val rows = amped.count()
-        val parts = math.min(32L, math.max(1L, rows / 10000L)).toInt
-        amped.repartition(parts).write.mode("overwrite")
+        amped.repartition(stageParts(rows)).write.mode("overwrite")
           .parquet(s"$tmpDir/$t.parquet")
       }
     }

@@ -502,33 +502,25 @@ object Dedup {
     * proportional to candidates, not n².
     */
   def jaccardOnCandidates(docs: DataFrame): DataFrame = {
-    // per-doc distinct via array_distinct BEFORE the explode: local work,
-    // no distinct-shuffle over the exploded token rows
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // the candidate set feeds two branches (intersection join + the final
-    // left join); DataFrame branches get no subplan reuse, so materialize
-    // it once. DISK_ONLY persist (not localCheckpoint, r2 verdict): a
-    // localCheckpoint is executor-local and non-replicated, so one lost
-    // executor mid-verify recomputes everything; a persisted block that
-    // goes missing recomputes only its own partition from lineage — and at
-    // deployment scale you'd point this at reliable storage instead.
-    val cand = candidatePairs(docs)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-        Seq("doc_b"))
+    // the intersection is computed IN-ROW with the built-in (and
+    // codegen'd) array_intersect over each side's distinct token array —
+    // composing existing ops, no custom expression needed. The former
+    // shape exploded distinct tokens and paid FIVE candidate-keyed joins
+    // plus two aggregations (token-keyed intersection count + per-doc
+    // sizes + the re-assembly); this is two doc_id equi-joins shipping
+    // the token arrays and one projection, still proportional to
+    // candidates, never n². Values bit-identical: inter and the sizes
+    // are the same distinct counts, and the single int/int Divide casts
+    // to double exactly like the old long/long one (spec x03 oracle
+    // unchanged and hash-green).
+    val tk = array_distinct(split(col("text"), " "))
+    val ta = docs.select(col("doc_id").as("doc_a"), tk.as("ta"))
+    val tb = docs.select(col("doc_id").as("doc_b"), tk.as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    candidatePairs(docs)
+      .join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (coalesce(col("inter"), lit(0L)) /
-          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))))
+        (inter / (size(col("ta")) + size(col("tb")) - inter))
           .as("jaccard"))
   }
 

@@ -256,27 +256,17 @@ object TextOps {
     *     window inside the HOF lambda — the round-2 x02 lesson).
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 16): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
+    // per-doc distinct fingerprints from ONE native in-row pass
+    // (graft.functions.WinnowFps: k-gram md5s + monotonic-deque sliding
+    // min + distinct) — the former shape paid a repartition shuffle, a
+    // per-CHARACTER-position explode, and a doc-keyed window sort for a
+    // per-document pure function; fingerprint sets spec-pinned
+    // identical (incl. the short-doc single-window rule)
+    graft.functions.WinnowFps.register(docs.sparkSession)
     docs
-      .filter(expr(s"char_length(text) >= $k"))
-      .repartition(par, col("doc_id"))
       .select(col("doc_id"),
-        expr(s"char_length(text) - ${k - 1}").as("n"), col("text"))
-      .select(col("doc_id"), col("n"),
-        explode(sequence(lit(1), col("n"))).as("pos"), col("text"))
-      .select(col("doc_id"), col("n"), col("pos"),
-        conv(substring(md5(expr(s"substr(text, pos, $k)")), 1, 8), 16, 10)
-          .cast("long").as("h"))
-      .withColumn("wmin", min(col("h")).over(win))
-      // valid window starts only (1-based pos); a doc shorter than w
-      // grams keeps its single all-grams window
-      .filter(col("pos") <= col("n") - (w - 1) ||
-        (col("n") < w && col("pos") === 1))
-      .select(col("doc_id"), col("wmin").as("fp"))
-      .distinct()
+        explode(call_function("winnow_fps", col("text"),
+          lit(k), lit(w))).as("fp"))
   }
 
   /** exact duplicated-span detection (Lee et al., "Deduplicating
