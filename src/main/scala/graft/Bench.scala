@@ -176,6 +176,16 @@ object Bench {
     }
   }
 
+  /** the executor parallelism this process runs at — the same
+    * env-derived value [[core.GraftSession]]'s `local[N]` master uses,
+    * falling back to the host core count (r14 advice: the staged layout
+    * previously hardcoded 32, silently mismatching hosts with a
+    * different core count or an explicit SPARK_GRAFT_CPUS override)
+    */
+  private def benchCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
   /** staged partition count: rows/500 capped at the core count. The
     * former rows/10000 rule left `documents` at sf0.1 in ONE split —
     * and once the per-doc heavy lifting moved INTO the scan stage
@@ -187,7 +197,7 @@ object Bench {
     * the row-group floor, so maxPartitionBytes can't do it later).
     */
   private def stageParts(rows: Long): Int =
-    math.min(32L, math.max(1L, rows / 500L)).toInt
+    math.min(benchCores.toLong, math.max(1L, rows / 500L)).toInt
 
   /** the media family's query-name shape (x12/x13/x31/x39 media demos +
     * the x80–x91 perceptual family) — used to stage the media table only
@@ -323,8 +333,39 @@ object Bench {
     // reviewer can separate shared-VM noise from plan regressions
     // without re-deriving it
     val loadSamples = scala.collection.mutable.ListBuffer[Double]()
-    def sampleLoad(): Unit = loadSamples += java.lang.management
+    def load1(): Double = java.lang.management
       .ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def sampleLoad(): Unit = loadSamples += load1()
+
+    // start-load gate (r14 verdict task 1): the r14 round-close snapshot
+    // was a high-load run (load 10–19; its x90/x91 readings were 7–9×
+    // the quiet-host numbers), violating the canonical-run rule the same
+    // round had just declared. The bench now refuses to START timing on
+    // a loaded host: it waits (bounded) for the 1-minute load to fall
+    // under SPARK_GRAFT_MAX_START_LOAD (default 5.0; 0 disables), and
+    // records how it went — `load_gate` reads "ok" when timing began
+    // quiet, "timed_under_load" when the wait expired (so a reviewer
+    // knows the numbers are suspect WITHOUT re-deriving it from
+    // load_avg). Staging above is untimed, so it runs before the gate.
+    val maxStartLoad = sys.env.get("SPARK_GRAFT_MAX_START_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(5.0)
+    val maxQuietWaitS = sys.env.get("SPARK_GRAFT_QUIET_WAIT_S")
+      .flatMap(_.toIntOption).getOrElse(900)
+    var quietWaitedS = 0
+    var startLoad = load1()
+    while (maxStartLoad > 0 && startLoad > maxStartLoad &&
+        quietWaitedS < maxQuietWaitS) {
+      Console.err.println(f"[bench] start load $startLoad%.1f > " +
+        f"$maxStartLoad%.1f — waiting for a quiet host " +
+        f"(${quietWaitedS}s/${maxQuietWaitS}s)")
+      Thread.sleep(15000)
+      quietWaitedS += 15
+      startLoad = load1()
+    }
+    val loadGate =
+      if (maxStartLoad <= 0) "disabled"
+      else if (startLoad <= maxStartLoad) "ok"
+      else "timed_under_load"
     sampleLoad()
 
     def runOnce(fn: QueryFn, clear: Boolean = true): Double = {
@@ -510,13 +551,24 @@ object Bench {
     if (mGuard == "BREACH")
       Console.err.println(s"[bench] m-suite guard BREACH: " +
         f"m_total=${mTimings.values.sum}%.2f s > 6 s at sane load")
+    val gateKeys =
+      s""""load_gate":${jstr(loadGate)},"start_load":${r3(startLoad)},"quiet_wait_s":$quietWaitedS"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"m_guard":${jstr(mGuard)},"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
     val jsonShort =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"m_guard":${jstr(mGuard)},"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+    // the 175-query map outgrew the ~4 KiB stdout tail the driver keeps
+    // (BENCH_r13/r14 both read `parsed: null` off a mid-map cut), so the
+    // LAST printed line is a compact headline-only record that always
+    // fits; the per-query maps live in the full line above it and in the
+    // committed bench_out.json (the canonical round artifact)
+    val jsonCompact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","m_total":${r3(mTimings.values.sum)},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)},"queries_file":"bench_out.json"}"""
 
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(jsonShort)
+    println(jsonCompact)
+    Console.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

@@ -139,6 +139,10 @@ object DsirScore {
         "dsir_terms takes (tokens, ratios array literal)")
       require(children(1).foldable, "dsir_terms: ratios must be a literal")
       val arr = children(1).eval(null).asInstanceOf[ArrayData]
+      // r14 advice: an empty (or null) ratio table passes foldability and
+      // then divides by zero per row in bucketOf — fail at plan time
+      require(arr != null && arr.numElements() > 0,
+        "dsir_terms: ratios must be a non-empty array literal")
       DsirScore(children.head, arr.toDoubleArray().toVector)
     })
 

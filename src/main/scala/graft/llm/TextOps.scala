@@ -139,16 +139,14 @@ object TextOps {
   }
 
   /** tiny per-language stopword table for the lang-ID heuristic — joined
-    * as a broadcast dimension, never a per-row closure.
+    * as a broadcast dimension, never a per-row closure. Derived from
+    * [[graft.functions.LangBest.LangWords]] (r14 advice): the broadcast
+    * join here and the native `lang_best` expression are two surfaces of
+    * ONE table, so an edit to either can no longer drift them apart.
     */
   def stopwords(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
-      "es" -> Seq("el", "la", "de", "y", "que", "los", "un"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
-      "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
-      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+    graft.functions.LangBest.LangWords
       .flatMap { case (l, ws) => ws.map(w => (l, w)) }
       .toDF("lang_cand", "stopword")
   }

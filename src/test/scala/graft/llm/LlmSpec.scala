@@ -1253,6 +1253,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mediaExtractAll (fused single decode) == the per-modality extractors") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    // every column of the fused pass must equal the extractor it fuses
+    // (the r15 one-decode contract): stats == mediaDecodeStats, image
+    // hash == imagePhash, audio fp == audioFingerprint, exploded frame
+    // hashes == videoPhash
+    def statKey(r: org.apache.spark.sql.Row) = (r.getAs[Long]("media_id"),
+      r.getAs[String]("kind"), Option(r.getAs[java.lang.Integer]("dec_width")),
+      Option(r.getAs[java.lang.Integer]("dec_height")),
+      Option(r.getAs[java.lang.Double]("dec_brightness")),
+      Option(r.getAs[java.lang.Long]("dec_duration_ms")),
+      Option(r.getAs[java.lang.Integer]("dec_sample_rate")),
+      Option(r.getAs[java.lang.Double]("dec_amp_mean")))
+    val x = Multimodal.mediaExtractAll(df)
+    val statCols = Seq("media_id", "kind", "dec_width", "dec_height",
+      "dec_brightness", "dec_duration_ms", "dec_sample_rate", "dec_amp_mean")
+    assert(x.select(statCols.head, statCols.tail: _*).collect().map(statKey)
+      .toSet ===
+      Multimodal.mediaDecodeStats(df).collect().map(statKey).toSet)
+    def hKey(c: String)(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("media_id"), Option(r.getAs[java.lang.Long](c)))
+    assert(x.select("media_id", "phash64").collect().map(hKey("phash64"))
+      .toSet ===
+      Multimodal.imagePhash(df).collect().map(hKey("phash64")).toSet)
+    assert(x.select("media_id", "audiofp64").collect()
+      .map(hKey("audiofp64")).toSet ===
+      Multimodal.audioFingerprint(df).collect().map(hKey("audiofp64")).toSet)
+    def fKey(r: org.apache.spark.sql.Row) = (r.getAs[Long]("media_id"),
+      r.getAs[Int]("frame_idx"), r.getAs[Long]("fphash64"))
+    val fused = x.filter(org.apache.spark.sql.functions.col("fr_phash64")
+        .isNotNull)
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("fr_phash64"))
+          .as(Seq("frame_idx", "fphash64")))
+    assert(fused.collect().map(fKey).toSet ===
+      Multimodal.videoPhash(df).collect().map(fKey).toSet)
+  }
+
+  test("md5OfHex streaming rewrite == the reference rendering") {
+    // the r15 table-lookup streaming digest must equal the original
+    // per-byte-format construction on every payload shape (empty, 1-byte,
+    // chunk-boundary-straddling, real fixture payloads)
+    def reference(bytes: Array[Byte]): String = {
+      val hex = bytes.map("%02x".format(_)).mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    }
+    val rnd = new scala.util.Random(7)
+    val shapes = Seq(Array.emptyByteArray, Array[Byte](0), Array[Byte](-1),
+      Array.fill(4095)(rnd.nextInt().toByte),
+      Array.fill(4096)(rnd.nextInt().toByte),
+      Array.fill(4097)(rnd.nextInt().toByte),
+      Array.fill(10000)(rnd.nextInt().toByte)) ++
+      Multimodal.mediaRows.take(3).map(_.payload)
+    shapes.foreach { b =>
+      assert(Multimodal.md5OfHex(b) === reference(b), s"len ${b.length}")
+    }
+  }
+
   test("imageNearDup banded join == brute-force hamming<=tau ground truth") {
     val s = spark
     import s.implicits._
