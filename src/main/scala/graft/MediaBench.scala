@@ -222,7 +222,17 @@ object MediaBench {
       "extract_stats" -> (() => Multimodal.mediaDecodeStats(
           payload("images").unionByName(payload("audio"))
             .unionByName(payload("video")))
-        .write.mode("overwrite").parquet(s"$hdir/stats.parquet")))
+        .write.mode("overwrite").parquet(s"$hdir/stats.parquet")),
+      // r15 (r14 verdict item 3): the FUSED one-pass extractor — stats +
+      // pHash + audio FP + frame hashes from a single payload scan and a
+      // single decode. Compare against extract_img+aud+vid+stats: the
+      // fused pass does the union of their work for ~the cost of
+      // extract_stats alone (the other three passes' payload I/O and
+      // decode are the duplication it deletes)
+      "extract_fused" -> (() => Multimodal.mediaExtractAll(
+          payload("images").unionByName(payload("audio"))
+            .unionByName(payload("video")))
+        .write.mode("overwrite").parquet(s"$hdir/extract_all.parquet")))
     // the keep gate's vertex set, derived from the stored artifacts
     // (kind rides in img/aud hashes; video's is implied)
     def keepIds(): DataFrame = hashes("img_hash")
@@ -255,6 +265,13 @@ object MediaBench {
       // the planted recall while 16-bit bands keep candidates linear
       "nd_aud_wide" -> (() => Multimodal.hammingNearDupFrom(
           hashes("aud_fp"), "audiofp64", 3, 4, llm.Dedup.MaxBucket)
+        .write.format("noop").mode("overwrite").save()),
+      // r15 (r14 verdict item 4): the AUTO-WIDENED cap — the fixed-2000
+      // re-shard dropped 8.6% of incidental pairs at 1M tone-mix WAVs;
+      // autoCap widens until the candidate-work budget, so a clustered
+      // corpus recovers them instead of silently losing recall
+      "nd_aud_auto" -> (() => Multimodal.hammingNearDupAuto(
+          hashes("aud_fp"), "audiofp64", 3, 4)
         .write.format("noop").mode("overwrite").save()),
       // the cross-modal keep gate (x86) from the three stored artifacts:
       // pair generation + the large-star/small-star CC + one verdict per
@@ -331,6 +348,8 @@ object MediaBench {
         "audiofp64", 7, 8, llm.Dedup.MaxBucket).count()),
       "nd_aud_wide" -> (() => Multimodal.hammingNearDupFrom(
         hashes("aud_fp"), "audiofp64", 3, 4, llm.Dedup.MaxBucket).count()),
+      "nd_aud_auto" -> (() => Multimodal.hammingNearDupAuto(
+        hashes("aud_fp"), "audiofp64", 3, 4).count()),
       "nd_vid" -> (() =>
         Multimodal.videoNearDupFrom(hashes("vid_hash")).count()),
       // for the keep gate, "pairs" reports the files DROPPED
@@ -364,6 +383,9 @@ object MediaBench {
         Multimodal.hammingNearDupFrom(hashes("aud_fp"),
           "audiofp64", 3, 4, llm.Dedup.MaxBucket),
         math.max(8L, n / 4) * audX / 5)),
+      "nd_aud_auto" -> (() => plantedOf(
+        Multimodal.hammingNearDupAuto(hashes("aud_fp"), "audiofp64", 3, 4),
+        math.max(8L, n / 4) * audX / 5)),
       "nd_vid" -> (() => plantedOf(
         Multimodal.videoNearDupFrom(hashes("vid_hash")),
         math.max(8L, n / 8) * vidX / 5)),
@@ -392,6 +414,30 @@ object MediaBench {
       }))
       .filter(p => keepPhase(p._1)).map { case (k, f) => k -> f() }
 
+    // r15 (r14 verdict item 4): the measured recall-vs-cap CURVE for the
+    // audio hamming join — the x52-S-curve discipline applied to the
+    // re-shard cap. Per cap: candidate-pair volume and planted recall,
+    // plus the incidental-pair fraction recovered vs the widest point.
+    // Env-gated (each point runs the full join) — turn on for the
+    // design-scale adjudication runs.
+    val capCurve: Seq[(Int, Long, Double)] =
+      if (sys.env.get("SPARK_GRAFT_MEDIA_CAPCURVE").contains("1")) {
+        val capsLadder = Seq(500, 2000, 8000, 32000, 128000)
+        capsLadder.map { cap =>
+          val df = Multimodal.hammingNearDupFrom(hashes("aud_fp"),
+            "audiofp64", 3, 4, cap)
+          val p = df.count()
+          val rec = df.filter(col("id_b") === col("id_a") + 1 &&
+            col("id_b") % 5 === 4).count().toDouble /
+            (math.max(8L, n / 4) * audX / 5)
+          (cap, p, rec)
+        }
+      } else Seq.empty
+    // -1 when a phase filter skipped audio extraction and no artifact
+    // exists from an earlier run
+    val audAutoCap = scala.util.Try(
+      Multimodal.autoCap(hashes("aud_fp"), "audiofp64", 4)).getOrElse(-1)
+
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jm(m: Seq[(String, Double)]): String =
@@ -402,6 +448,12 @@ object MediaBench {
       s""""pairs":${pairs.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")},""" +
       s""""planted_recall":${jm(recall)},""" +
+      s""""auto_cap_aud":$audAutoCap,""" +
+      (if (capCurve.nonEmpty)
+        s""""cap_curve_aud":${capCurve.map { case (c, p, r) =>
+          s""""$c":{"pairs":$p,"recall":${r3(r)}}""" }
+          .mkString("{", ",", "}")},"""
+      else "") +
       s""""bytes_mb":${jm(bytesMb)},""" +
       s""""load_avg":${loads.map(r3).mkString("[", ",", "]")},""" +
       s""""hash_dir":"$hdir"}"""

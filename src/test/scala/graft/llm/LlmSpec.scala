@@ -1294,6 +1294,49 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.videoPhash(df).collect().map(fKey).toSet)
   }
 
+  test("autoCap widens with budget, never past the largest bucket; " +
+      "auto join recovers the fixed cap's dropped pairs") {
+    val s = spark
+    import s.implicits._
+    // adversarial corpus: one mega-bucket — 600 codes agreeing on every
+    // band (hamming 0/1 variants of one base code), plus scattered
+    // singles. The fixed cap 100 shards the bucket and drops cross-shard
+    // pairs; the auto cap must widen past 600 under a generous budget
+    // and recover the EXACT pair set.
+    val base = 0x0f0f0f0f0f0f0f0fL
+    val rows = (0 until 600).map(i => (i.toLong, base)) ++
+      (600 until 700).map(i => (i.toLong, i.toLong * 0x9e3779b97f4a7c15L))
+    val df = rows.toDF("media_id", "phash64")
+    // generous budget: cap widens to >= 600 (the mega-bucket size), so
+    // nothing shards; a starvation budget keeps the floor cap
+    val wide = Multimodal.autoCap(df, "phash64", 8,
+      budgetPairs = 100000000L, minCap = 100)
+    assert(wide >= 600, s"cap $wide")
+    val starved = Multimodal.autoCap(df, "phash64", 8,
+      budgetPairs = 1L, minCap = 100)
+    assert(starved == 100)
+    // work model sanity: the mega-bucket appears in all 8 bands, so an
+    // unsharded enumeration is 8 * 600^2/2 = 1.44M candidates; a budget
+    // just under that must stop the ladder below 600
+    val mid = Multimodal.autoCap(df, "phash64", 8,
+      budgetPairs = 1000000L, minCap = 100)
+    assert(mid < 600 && mid >= 100, s"cap $mid")
+    // exact recovery: at the auto cap the banded join equals brute force
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (ia, ib)).toSet
+    val auto = pairSet(Multimodal.hammingNearDupAuto(df, "phash64", 7, 8))
+    assert(auto == brute)
+    // and the fixed floor cap provably dropped some of them (the finding
+    // this policy exists for)
+    val fixed = pairSet(Multimodal.hammingNearDupFrom(df, "phash64", 7, 8,
+      maxBucket = 100))
+    assert(fixed.subsetOf(brute) && fixed.size < brute.size)
+  }
+
   test("md5OfHex streaming rewrite == the reference rendering") {
     // the r15 table-lookup streaming digest must equal the original
     // per-byte-format construction on every payload shape (empty, 1-byte,
