@@ -922,16 +922,28 @@ object Multimodal {
     * per-bucket candidate work ≈ d·min(d, cap)/2 (an unsharded bucket
     * enumerates d²/2 pairs; a sharded one ceil(d/cap) groups of ~cap²/2
     * ≈ d·cap/2), so total work W(cap) = Σ_d d·min(d, cap)/2 is monotone
-    * in cap — binary-search the LARGEST power-of-two multiple of
-    * `minCap` whose W fits `budgetPairs`, capped at the largest bucket
-    * (beyond which nothing changes). Every pair dropped by the returned
-    * cap would also be dropped by any smaller cap, so auto-widening
-    * never loses recall vs the fixed default; when the corpus is tame
-    * the whole histogram fits the budget and NO bucket is sharded.
+    * in cap — walk the LARGEST power-of-two multiple of `minCap` whose
+    * W fits the budget, capped at the largest bucket (beyond which
+    * nothing changes). Every pair dropped by the returned cap would
+    * also be dropped by any smaller cap, so auto-widening never loses
+    * recall vs the fixed default; when the corpus is tame the whole
+    * histogram fits the budget and NO bucket is sharded.
+    *
+    * The effective budget is max(`budgetPairs`, `headroom`·W(minCap)) —
+    * SCALE-FREE by construction (measured at the 1M tone-mix point: the
+    * sub-cap buckets alone cost 9.3×10⁸ candidates, so any constant
+    * absolute budget is either trivially exceeded at scale or wasteful
+    * at toy scale; "spend ≤ 50% more than the fixed cap already pays"
+    * is meaningful at every corpus size, and at 1M WAVs it widens
+    * 2000→8000 for +12% work and recovers the 8.6% of pairs the fixed
+    * cap dropped). `budgetPairs` stays as the absolute floor so small
+    * corpora with one mega-bucket can still widen past a dominating
+    * linear-in-cap W.
     */
   def autoCap(hashed: DataFrame, hashCol: String, nBands: Int,
       budgetPairs: Long = 200000000L,
-      minCap: Int = Dedup.MaxBucket): Int = {
+      minCap: Int = Dedup.MaxBucket,
+      headroom: Double = 1.5): Int = {
     require(64 % nBands == 0 && nBands >= 2 && nBands <= 64)
     val bpb = 64 / nBands
     val mask = (1L << bpb) - 1
@@ -963,8 +975,9 @@ object Multimodal {
       else if (lo > cap) sd * cap / 2.0
       else math.min(sd2 / 2.0, sd * cap / 2.0)
     }.sum
+    val budget = math.max(budgetPairs.toDouble, headroom * work(minCap.toLong))
     var cap = minCap.toLong
-    while (cap < dmax && work(cap * 2) <= budgetPairs.toDouble) cap *= 2
+    while (cap < dmax && work(cap * 2) <= budget) cap *= 2
     math.min(cap, Int.MaxValue.toLong).toInt
   }
 
@@ -1000,10 +1013,22 @@ object Multimodal {
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bucket",
         expr(s"(phash64 >> (band * $bpb)) & ${mask}L"))
-    val wsz = Window.partitionBy(col("band"), col("bucket"))
-    val sharded = bands
-      .withColumn("bsz", count(lit(1)).over(wsz))
+    // bucket sizes via a map-side-combinable AGG joined back (r15): the
+    // former per-partition count WINDOW shuffled AND SORTED every band
+    // row before the sub grouping's shuffle. The size table is bounded
+    // by the band VALUE SPACE (≤ nBands·2^(64/nBands) rows — 2048 for
+    // 8×8-bit, 256k for 4×16-bit), so for bpb ≤ 16 it broadcasts BY
+    // CONSTRUCTION (a safe static hint, unlike the corpus-scaled sides
+    // noStaticBroadcast exists for) and the full band table crosses the
+    // wire exactly once, unsorted, straight into the sub grouping. The
+    // band projection computes twice (a shift+mask over the hash
+    // artifact — free), which is why the TEXT side's collidedBuckets
+    // keeps its window: its band rows carry 128 minhash md5s per doc.
+    val bsz = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > 1)
+    val bszSide = if (bpb <= 16) broadcast(bsz) else bsz
+    val sharded = bands.join(bszSide, Seq("band", "bucket"))
       .withColumn("nsh",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
       .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
