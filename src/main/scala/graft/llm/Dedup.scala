@@ -326,10 +326,21 @@ object Dedup {
       .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     // canonical undirected form (lo < hi) — both star operators emit
     // (min-of-neighborhood, node) pairs, which are already canonical
-    val edges = spill(inIds
+    val edgesRaw = inIds
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct(), "edges")
+      .filter(col("lo") =!= col("hi")).distinct()
+    // r15: the bounded local finish no longer pays a parquet round trip.
+    // The edge lineage persists and the limit(cap+1) probe collects
+    // straight off it — under the cap (every toy/sf-scale consumer:
+    // x16/x30/x67/x71-x73/x86/x91) that is the ONLY materialization.
+    // Only the over-cap loop path spills to parquet, FROM the cache, so
+    // pair generation still executes exactly once; the parquet file
+    // keeps every loop iteration's plan O(1) (the r12 plan-audit
+    // lesson) and its real file stats drive the materialization-regime
+    // choice below.
+    val edgesCached = edgesRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shared tail: singleton docs (in no surviving edge) label to
     // themselves; sizes ride one corpus-keyed aggregation
     def finish(labels: DataFrame, vertIds: DataFrame): DataFrame = {
@@ -342,12 +353,12 @@ object Dedup {
         .select(col("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"))
     }
-    val idsAreLong = edges.schema.fields
+    val idsAreLong = edgesCached.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (localEdgeCap > 0 && idsAreLong) {
       // bounded local finish: limit(cap+1) makes the guard free — under
       // the cap the set is complete and already collected
-      val head = edges.limit(localEdgeCap + 1).collect()
+      val head = edgesCached.limit(localEdgeCap + 1).collect()
       if (head.length <= localEdgeCap) {
         val es = head.map(r => (r.getLong(0), r.getLong(1)))
         val idx = scala.collection.mutable.HashMap.empty[Long, Int]
@@ -389,9 +400,14 @@ object Dedup {
           .parallelize(back.indices.map(i => (back(i), minOf(find(i)))),
             math.max(1, back.length >> 16))
           .toDF("doc_id", "label")
+        edgesCached.unpersist()
         return finish(labelsLocal, labelsLocal.select(col("doc_id")))
       }
     }
+    // over the cap (or non-long ids): the distributed loop — spill the
+    // edge set to parquet off the cache, then drop the cache
+    val edges = spill(edgesCached, "edges")
+    edgesCached.unpersist()
     def verts = edges.select(col("lo").as("doc_id"))
       .union(edges.select(col("hi").as("doc_id"))).distinct()
     // directed view (u, v): both orientations, so one groupBy(u) sees

@@ -382,24 +382,35 @@ object Similarity {
         col("community_id").as("comm_a")), Seq("doc_a"))
       .join(comm.select(col("vec_id").as("doc_b"),
         col("community_id").as("comm_b")), Seq("doc_b"))
+    // ONE pass over the tagged edges (r15): each edge contributes a row
+    // to both endpoints' communities, and one map-side-combinable agg
+    // yields internal AND cut counts per community — an internal edge
+    // lands twice in its own community (hence /2, exact by parity); a
+    // cross edge lands once in each side's. Replaces the former persist
+    // + three scans (global m, internal agg, cut union agg); the global
+    // m re-derives from the community-sized result: Σ internal + Σ cut/2.
+    val sides = tagged.select(explode(array(
+        struct(col("comm_a").as("community_id"),
+          (col("comm_a") === col("comm_b")).as("internal")),
+        struct(col("comm_b").as("community_id"),
+          (col("comm_a") === col("comm_b")).as("internal")))).as("s"))
+      .select(col("s.community_id"), col("s.internal"))
+    val perComm = sides.groupBy(col("community_id"))
+      .agg((sum(when(col("internal"), 1L).otherwise(0L)) / 2)
+          .cast("long").as("n_internal"),
+        sum(when(col("internal"), 0L).otherwise(1L)).as("n_cut"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mTot = tagged.agg(count(lit(1)).as("m"))
-    val internal = tagged.filter(col("comm_a") === col("comm_b"))
-      .groupBy(col("comm_a").as("community_id"))
-      .agg(count(lit(1)).as("n_internal"))
-    val cut = tagged.filter(col("comm_a") =!= col("comm_b"))
-      .select(col("comm_a").as("community_id"))
-      .union(tagged.filter(col("comm_a") =!= col("comm_b"))
-        .select(col("comm_b").as("community_id")))
-      .groupBy(col("community_id")).agg(count(lit(1)).as("n_cut"))
+    val mTot = perComm
+      .agg((sum(col("n_internal")) +
+        (sum(col("n_cut")) / 2).cast("long")).as("m"))
+      .select(coalesce(col("m"), lit(0L)).as("m"))
     val base = comm.groupBy(col("community_id"))
       .agg(count(lit(1)).as("community_size"))
     val mD = col("m").cast("double")
     val volD = col("volume").cast("double")
     val minSide = least(volD, lit(2d) * mD - volD)
     base
-      .join(internal, Seq("community_id"), "left")
-      .join(cut, Seq("community_id"), "left")
+      .join(perComm, Seq("community_id"), "left")
       .select(col("community_id"), col("community_size"),
         coalesce(col("n_internal"), lit(0L)).as("n_internal"),
         coalesce(col("n_cut"), lit(0L)).as("n_cut"))
