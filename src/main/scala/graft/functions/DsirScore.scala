@@ -62,7 +62,7 @@ case class DsirScore(child: Expression, ratios: Vector[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val ds = DsirScore.getClass.getName.stripSuffix("$") + ".MODULE$"
+      val ds = DsirScore.getClass.getName.stripSuffix("$") // static forwarder (r15: janino cannot see MODULE$ on the companion CLASS - 26 silent interpreted fallbacks per Verify run)
       val r = ctx.addReferenceObj("ratios", ratioArr, "double[]")
       s"""
         ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)

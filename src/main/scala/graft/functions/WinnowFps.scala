@@ -50,7 +50,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val wf = WinnowFps.getClass.getName.stripSuffix("$") + ".MODULE$"
+      val wf = WinnowFps.getClass.getName.stripSuffix("$") // static forwarder (r15: janino cannot see MODULE$ on the companion CLASS - 26 silent interpreted fallbacks per Verify run)
       s"""
         ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
           $wf.compute($a, $k, $w);
