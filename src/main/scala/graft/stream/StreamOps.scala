@@ -154,14 +154,21 @@ object StreamOps {
     d.toString
   }
 
+  /** state-store parallelism for the stateful streams: one state store
+    * per shuffle partition, so size it to the KEY cardinality (hundreds
+    * of users/tables at sf scale), not the batch parallelism default.
+    * At deployment scale this is the statefulOperator partitioning knob,
+    * set per stream — the amplified bench points (k× the users, k× the
+    * join state) raise it via SPARK_GRAFT_STREAM_PARTS the same way a
+    * deployment would size state stores to its key space.
+    */
+  private def streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
   def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
-    // stateful operators allocate one state store per shuffle partition;
-    // size that to the KEY cardinality (hundreds of users/tables here),
-    // not the batch parallelism default — at deployment scale this is the
-    // statefulOperator partitioning knob, set per stream
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", checkpointDir(name))
