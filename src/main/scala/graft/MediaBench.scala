@@ -287,6 +287,14 @@ object MediaBench {
           hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
           hashes("vid_hash"))
         .write.format("noop").mode("overwrite").save()),
+      // the funnel at the WIDE image geometry (4×16-bit, τ=3) — the
+      // documented 8-band saturation remedy measured on the composition,
+      // not just on nd_img: past ~300k surviving images this is the
+      // production geometry (r15, the funnel-ladder knee)
+      "funnel_wide" -> (() => Multimodal.mediaCurationFunnelFrom(
+          hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
+          hashes("vid_hash"), imgTau = 3, imgBands = 4)
+        .write.format("noop").mode("overwrite").save()),
       // the st22 streaming perceptual gate at amplified upload volume:
       // catalog = stored hashes of the lower id half, uploads = the
       // upper half decoded + hashed IN-FLIGHT (no SQL twin exists for
@@ -360,6 +368,10 @@ object MediaBench {
       "funnel" -> (() => Multimodal.mediaCurationFunnelFrom(
           hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
           hashes("vid_hash"))
+        .agg(sum(col("n_in") - col("n_kept"))).head().getLong(0)),
+      "funnel_wide" -> (() => Multimodal.mediaCurationFunnelFrom(
+          hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
+          hashes("vid_hash"), imgTau = 3, imgBands = 4)
         .agg(sum(col("n_in") - col("n_kept"))).head().getLong(0)))
       .filter(p => keepPhase(p._1)).map { case (k, f) => k -> f() }
     // recall on the PLANTED variant pairs (id−1, id) for id ≡ 4 (mod 5):
@@ -370,6 +382,24 @@ object MediaBench {
     def plantedOf(df: DataFrame, total: Long): Double = df
       .filter(col("id_b") === col("id_a") + 1 && col("id_b") % 5 === 4)
       .count().toDouble / total
+    // funnel recall at a given image band geometry: no planted variant
+    // may survive BOTH stages (a video variant drops at quality —
+    // 2.5 s < MinClipMs; image/audio variants drop at dedup)
+    def funnelRecall(imgTau: Int, imgBands: Int): Double = {
+      val q = Multimodal.mediaQualityGateFrom(hashes("stats"))
+      val surv = q.filter(col("keep")).select(col("media_id"))
+      val kept = Multimodal.mediaDedupKeepFrom(
+        hashes("stats").join(surv, Seq("media_id"))
+          .select(col("media_id"), col("kind")),
+        hashes("img_hash").join(surv, Seq("media_id")),
+        hashes("aud_fp").join(surv, Seq("media_id")),
+        hashes("vid_hash").join(surv, Seq("media_id")),
+        imgTau, imgBands)
+        .filter(col("keep") && col("media_id") % 5 === 4).count()
+      val planted = n / 5 + math.max(8L, n / 4) * audX / 5 +
+        math.max(8L, n / 8) * vidX / 5
+      (planted - kept).toDouble / planted
+    }
     val recall = Seq[(String, () => Double)](
       "nd_img" -> (() => plantedOf(
         Multimodal.imageNearDupFrom(hashes("img_hash")), n / 5)),
@@ -398,20 +428,8 @@ object MediaBench {
       // funnel recall: no planted variant may survive BOTH stages (a
       // video variant drops at quality — 2.5 s < MinClipMs; image/audio
       // variants drop at dedup)
-      "funnel" -> (() => {
-        val q = Multimodal.mediaQualityGateFrom(hashes("stats"))
-        val surv = q.filter(col("keep")).select(col("media_id"))
-        val kept = Multimodal.mediaDedupKeepFrom(
-          hashes("stats").join(surv, Seq("media_id"))
-            .select(col("media_id"), col("kind")),
-          hashes("img_hash").join(surv, Seq("media_id")),
-          hashes("aud_fp").join(surv, Seq("media_id")),
-          hashes("vid_hash").join(surv, Seq("media_id")))
-          .filter(col("keep") && col("media_id") % 5 === 4).count()
-        val planted = n / 5 + math.max(8L, n / 4) * audX / 5 +
-          math.max(8L, n / 8) * vidX / 5
-        (planted - kept).toDouble / planted
-      }))
+      "funnel" -> (() => funnelRecall(7, 8)),
+      "funnel_wide" -> (() => funnelRecall(3, 4)))
       .filter(p => keepPhase(p._1)).map { case (k, f) => k -> f() }
 
     // r15 (r14 verdict item 4): the measured recall-vs-cap CURVE for the

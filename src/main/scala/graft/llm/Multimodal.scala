@@ -840,8 +840,9 @@ object Multimodal {
     * production path: decode happens once, at extraction time
     */
   def mediaDedupKeepFrom(idsKinds: DataFrame, imgHash: DataFrame,
-      audFp: DataFrame, vidHash: DataFrame): DataFrame = {
-    val pairs = imageNearDupFrom(imgHash)
+      audFp: DataFrame, vidHash: DataFrame,
+      imgTau: Int = 7, imgBands: Int = 8): DataFrame = {
+    val pairs = imageNearDupFrom(imgHash, imgTau, imgBands)
       .select(col("id_a"), col("id_b"))
       .unionAll(hammingNearDupFrom(audFp, "audiofp64", 7, 8,
         Dedup.MaxBucket).select(col("id_a"), col("id_b")))
@@ -889,9 +890,16 @@ object Multimodal {
     * paid on files already dropped. Per-file identical to
     * [[mediaCurationFunnel]] (hash extraction is deterministic per
     * payload — spec-pinned).
+    *
+    * `imgTau`/`imgBands` expose the image stage's band geometry (r15):
+    * past ~300k surviving images the default 8×8-bit bands saturate
+    * (expected bucket size n/256 → pair work ~n²/256) and a deployment
+    * switches to 4×16-bit / τ≤3 per the [[imageNearDupFrom]] scaladoc —
+    * the funnel ladder measures both geometries at the same corpus.
     */
   def mediaCurationFunnelFrom(stats: DataFrame, imgHash: DataFrame,
-      audFp: DataFrame, vidHash: DataFrame): DataFrame = {
+      audFp: DataFrame, vidHash: DataFrame,
+      imgTau: Int = 7, imgBands: Int = 8): DataFrame = {
     val q = mediaQualityGateFrom(stats)
     val survivors = q.filter(col("keep")).select(col("media_id"))
     val d = mediaDedupKeepFrom(
@@ -899,7 +907,8 @@ object Multimodal {
         .select(col("media_id"), col("kind")),
       imgHash.join(survivors, Seq("media_id")),
       audFp.join(survivors, Seq("media_id")),
-      vidHash.join(survivors, Seq("media_id")))
+      vidHash.join(survivors, Seq("media_id")),
+      imgTau, imgBands)
     funnelRollup(q, "quality").unionByName(funnelRollup(d, "dedup"))
   }
 

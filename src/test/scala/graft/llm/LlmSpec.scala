@@ -1586,6 +1586,44 @@ class MultimodalSpec extends SparkSpec {
     assert(g2 == g1)
   }
 
+  test("wide image geometry (4x16, tau=3): banded join exact; funnel knob") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Multimodal.mediaRows.toDS().toDF()
+    // banded recall is exact for tau < nBands at THIS geometry too —
+    // the brute-force pin the 8x8 spec has, at the wide production
+    // geometry the funnel ladder switches to past ~300k images
+    val hs = Multimodal.mediaRows.flatMap(m => m.phash64.map(m.media_id -> _))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = PHash.hamming(ha, hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    val wide = Multimodal.imageNearDupFrom(
+        Multimodal.imagePhash(df), tau = 3, nBands = 4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(wide == brute)
+    // the funnel's geometry knob: quality stage is geometry-independent,
+    // and the wide dedup stage still drops every planted variant (their
+    // hashes match at hamming 0, so tau=3 keeps them all)
+    val wf = Multimodal.mediaCurationFunnelFrom(
+      Multimodal.mediaDecodeStats(df), Multimodal.imagePhash(df),
+      Multimodal.audioFingerprint(df), Multimodal.videoPhash(df),
+      imgTau = 3, imgBands = 4)
+    val base = Multimodal.mediaCurationFunnelFrom(
+      Multimodal.mediaDecodeStats(df), Multimodal.imagePhash(df),
+      Multimodal.audioFingerprint(df), Multimodal.videoPhash(df))
+    def stage(d: org.apache.spark.sql.DataFrame, st: String) =
+      d.filter(col("stage") === st).collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stage(wf, "quality") == stage(base, "quality"))
+    // per-kind dedup inputs are identical (same survivors); wide-tau
+    // keeps can only differ on incidental tau-in-(3,7] pairs
+    assert(stage(wf, "dedup").map(t => (t._1, t._2)) ==
+      stage(base, "dedup").map(t => (t._1, t._2)))
+  }
+
   test("PNG text chunks: splice→walk round-trip; strip is pixel-lossless") {
     val rows = Multimodal.mediaRows
     val r29 = rows.find(_.media_id == 29L).get
