@@ -551,8 +551,14 @@ object Bench {
     if (mGuard == "BREACH")
       Console.err.println(s"[bench] m-suite guard BREACH: " +
         f"m_total=${mTimings.values.sum}%.2f s > 6 s at sane load")
+    // machine-checkable canonicality (r14 verdict item 1's alternative):
+    // a run only counts as the round's record when the m-guard read ok
+    // (or had nothing to guard), timing started quiet, and nothing
+    // failed — a reviewer greps ONE boolean instead of re-deriving it
+    val canonical = (mGuard == "ok" || mGuard == "n/a") &&
+      loadGate != "timed_under_load" && failed.isEmpty
     val gateKeys =
-      s""""load_gate":${jstr(loadGate)},"start_load":${r3(startLoad)},"quiet_wait_s":$quietWaitedS"""
+      s""""load_gate":${jstr(loadGate)},"start_load":${r3(startLoad)},"quiet_wait_s":$quietWaitedS,"canonical":$canonical"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
     val jsonShort =

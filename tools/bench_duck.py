@@ -83,8 +83,16 @@ def main():
         med[name] = round(runs[1], 4)
         mn[name] = round(runs[0], 4)
         loads.append(os.getloadavg()[0])
-    out = {"metric": "duckdb_total", "value": round(sum(med.values()), 4),
+        print(f"done {name}: med {med[name]}s", file=sys.stderr)
+    # DNF entries carry None (JSON null) in the maps; the total sums the
+    # finishers only and the dnf list names the rest — a timed-out twin
+    # is a measured result, not a crash (the r15 x10 run lost an hour to
+    # a None in this sum)
+    finished = [v for v in med.values() if v is not None]
+    out = {"metric": "duckdb_total", "value": round(sum(finished), 4),
            "unit": "sec", "queries": med, "queries_min": mn,
+           "n_dnf": len(med) - len(finished),
+           "dnf": sorted(k for k, v in med.items() if v is None),
            "load_avg": [round(l, 2) for l in loads], "data": datadir}
     print(json.dumps(out))
 
