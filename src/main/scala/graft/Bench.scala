@@ -551,12 +551,20 @@ object Bench {
     if (mGuard == "BREACH")
       Console.err.println(s"[bench] m-suite guard BREACH: " +
         f"m_total=${mTimings.values.sum}%.2f s > 6 s at sane load")
-    // machine-checkable canonicality (r14 verdict item 1's alternative):
-    // a run only counts as the round's record when the m-guard read ok
-    // (or had nothing to guard), timing started quiet, and nothing
-    // failed — a reviewer greps ONE boolean instead of re-deriving it
-    val canonical = (mGuard == "ok" || mGuard == "n/a") &&
-      loadGate != "timed_under_load" && failed.isEmpty
+    // machine-checkable canonicality (r14 verdict item 1's alternative;
+    // tightened per r15 ADVICE): a run only counts as the round's record
+    // when the FULL default query selection ran (no SPARK_GRAFT_ONLY
+    // filter, no amplified subset — a cherry-picked run must not
+    // self-stamp), the m-guard read ok (n/a passes only when the engine
+    // registers no m-queries at all), the start-load gate actually ran
+    // and passed (a disabled gate is not a pass), and nothing failed —
+    // a reviewer greps ONE boolean instead of re-deriving it
+    val fullSelection = sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
+      amplify.isEmpty
+    val noMQueriesExist = !SparkEntry.queries.keys.exists(_.startsWith("m"))
+    val canonical = fullSelection &&
+      (mGuard == "ok" || (mGuard == "n/a" && noMQueriesExist)) &&
+      loadGate == "ok" && failed.isEmpty
     val gateKeys =
       s""""load_gate":${jstr(loadGate)},"start_load":${r3(startLoad)},"quiet_wait_s":$quietWaitedS,"canonical":$canonical"""
     val json =

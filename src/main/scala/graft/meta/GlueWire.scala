@@ -1,0 +1,127 @@
+package graft.meta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import Model._
+
+/** AWS Glue catalog WIRE FORMAT (S2, reference
+  * `/root/reference/src/catalog.rs:188-246`): render + parse of the
+  * response payloads the public Glue Data Catalog API serves —
+  *
+  *   - `AWSGlue.GetDatabases` → `{"DatabaseList": [{"Name": "ml"}, ...]}`
+  *   - `AWSGlue.GetTables`    → `{"TableList": [{"Name": ..., "DatabaseName": ...,
+  *                               "TableType": ..., "Parameters": {...}}, ...]}`
+  *
+  * per the public AWS Glue API reference (JSON 1.1 / X-Amz-Target
+  * protocol). An Iceberg table in Glue is a pointer, not a payload: its
+  * `Parameters` carry `table_type=ICEBERG` and `metadata_location`
+  * naming the current Iceberg TableMetadata FILE in the warehouse —
+  * the Iceberg-on-Glue convention the reference's `iceberg-glue` crate
+  * implements. Loading the table therefore means (a) reading the Glue
+  * table entry, (b) fetching the metadata file at `metadata_location`,
+  * and (c) parsing that file as plain TableMetadata v2 JSON — step (c)
+  * is byte-shared with the REST path ([[RestWire.parseTableMetadata]]),
+  * so both transports land in the same [[Model]] rows and every
+  * downstream operator stays wire-format-agnostic.
+  *
+  * Classification mirrors the reference's probe semantics
+  * (`src/catalog.rs:342-375`) composed with the Glue convention: an
+  * entry without the `table_type=ICEBERG` parameter (a plain Hive/CSV
+  * table) or whose metadata file does not load classifies "unknown".
+  *
+  * Only the SigV4-signed HTTPS transport is out of scope (offline
+  * build, no AWS SDK — SURVEY §0); everything above it is live here.
+  */
+object GlueWire {
+
+  private val M = new ObjectMapper()
+
+  /** a Glue `Table` entry as the client sees it */
+  case class GlueTableFx(
+      database: String,
+      name: String,
+      tableType: String,
+      parameters: Map[String, String]) {
+    /** the Iceberg-on-Glue marker (case-insensitive, per the published
+      * convention `table_type=ICEBERG`)
+      */
+    def isIcebergPointer: Boolean =
+      parameters.get("table_type").exists(_.equalsIgnoreCase("iceberg"))
+    def metadataLocation: Option[String] = parameters.get("metadata_location")
+  }
+
+  // ---- render (the fixture-authoring / server side) --------------------
+
+  def getDatabasesJson(dbs: Seq[String]): String = {
+    val root = M.createObjectNode()
+    val arr = root.putArray("DatabaseList")
+    dbs.foreach { d => arr.addObject().put("Name", d); () }
+    root.toPrettyString
+  }
+
+  def getTablesJson(tables: Seq[GlueTableFx]): String = {
+    val root = M.createObjectNode()
+    val arr = root.putArray("TableList")
+    tables.foreach { t =>
+      val o = arr.addObject()
+      o.put("Name", t.name)
+      o.put("DatabaseName", t.database)
+      o.put("TableType", t.tableType)
+      val p = o.putObject("Parameters")
+      t.parameters.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    }
+    root.toPrettyString
+  }
+
+  // ---- parse (the client side the engine runs) -------------------------
+
+  def parseDatabases(json: String): Seq[String] =
+    iter(M.readTree(json).path("DatabaseList")).map(_.path("Name").asText)
+
+  def parseTables(json: String): Seq[GlueTableFx] =
+    iter(M.readTree(json).path("TableList")).map { t =>
+      GlueTableFx(
+        t.path("DatabaseName").asText,
+        t.path("Name").asText,
+        t.path("TableType").asText,
+        iterFields(t.path("Parameters")).map { case (k, v) =>
+          k -> v.asText
+        }.toMap)
+    }
+
+  /** client-construction config defaulting, mirroring the reference
+    * (`src/catalog.rs:188-246`): `warehouse` is required, `region`
+    * defaults to us-east-1, `profile`/`endpoint_url` pass through when
+    * present. Pure — the registry frames stay as-authored; this is what
+    * the transport layer would hand the SDK.
+    */
+  def effectiveProps(cfg: ConfigFx): Map[String, String] = {
+    val warehouse = cfg.config.getOrElse("warehouse", throw
+      new IllegalArgumentException(
+        s"catalog ${cfg.name}: Warehouse is required for Glue catalog"))
+    Map("warehouse" -> warehouse,
+      "region" -> cfg.config.getOrElse("region", "us-east-1")) ++
+      cfg.config.get("profile").map("profile" -> _) ++
+      cfg.config.get("endpoint_url").map("endpoint_url" -> _)
+  }
+
+  /** filesystem-safe key for a metadata_location URI — the payload
+    * catalog's on-disk analogue of an S3 object key
+    */
+  def locationKey(location: String): String =
+    location.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def iter(n: JsonNode): Seq[JsonNode] = {
+    val b = Seq.newBuilder[JsonNode]
+    val it = n.elements()
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def iterFields(n: JsonNode): Seq[(String, JsonNode)] = {
+    val b = Seq.newBuilder[(String, JsonNode)]
+    val it = n.fields()
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+}

@@ -26,6 +26,12 @@ object MetaQueries extends QueryPack {
   // drive the full catalog-connect path minus transport through the
   // same DuckDB oracles as their parquet-fixture twins.
   private val restCat = RestPayloadCatalog.default
+  // S2 client path: the Glue-typed subset of the population served
+  // through the AWS Glue wire format (GlueWire GetDatabases/GetTables +
+  // the Iceberg TableMetadata file each metadata_location points at),
+  // so m25/m26 drive the Glue catalog-connect path minus the SigV4
+  // transport through catalog-filtered twins of the same oracles.
+  private val glueCat = GluePayloadCatalog.default
   private val key = Seq("catalog", "namespace", "name")
 
   // time-travel pin: 3 days before asOf
@@ -174,6 +180,27 @@ object MetaQueries extends QueryPack {
     // snapshot facts, identical to the parquet-fixture path
     "m24_rest_snapshots" -> ((s, _) => {
       restCat.snapshots(s).select(
+        col("catalog"), col("namespace"), col("name"), col("snapshot_id"),
+        col("ts"), col("op"), col("records_added"), col("size_change"),
+        coalesce(col("added_files"), lit(0L)).as("added_files_n"),
+        coalesce(col("total_size_bytes"), lit(0.0)).as("total_size_b"))
+    }),
+
+    // S2 — Glue catalog connect: listing + classification by the
+    // Iceberg-on-Glue convention (table_type=ICEBERG pointer) composed
+    // with the metadata-file load probe
+    "m25_glue_listing" -> ((s, _) => {
+      glueCat.listing(s)
+        .withColumn("full_name",
+          Normalize.fullName(col("namespace"), col("table_name")))
+        .withColumn("is_iceberg", col("table_type") === "iceberg")
+    }),
+
+    // S6/S7 through the Glue path: metadata files loaded from the
+    // warehouse pointer → normalized snapshot facts, identical to the
+    // parquet-fixture and REST paths for the glue-typed catalog
+    "m26_glue_snapshots" -> ((s, _) => {
+      glueCat.snapshots(s).select(
         col("catalog"), col("namespace"), col("name"), col("snapshot_id"),
         col("ts"), col("op"), col("records_added"), col("size_change"),
         coalesce(col("added_files"), lit(0L)).as("added_files_n"),
@@ -361,6 +388,14 @@ object MetaQueries extends QueryPack {
     "m23_rest_listing" -> ListingSql,
 
     "m24_rest_snapshots" -> SnapNormSql,
+
+    // the Glue client serves the glue-typed catalogs only; the oracle is
+    // the parquet-fixture SQL filtered the same way
+    "m25_glue_listing" ->
+      s"""SELECT * FROM ($ListingSql) WHERE catalog_name = 'c_glue'""",
+
+    "m26_glue_snapshots" ->
+      s"""SELECT * FROM ($SnapNormSql) WHERE catalog = 'c_glue'""",
 
     "m03_snapshot_filters" -> {
       val lo = MetaOps.dayMs(filterParams.dateStart.get, endOfDay = false).get

@@ -74,7 +74,25 @@ object RestWire {
       specs: Seq[SpecFx], snaps: Seq[SnapshotFx]): String = {
     val root = M.createObjectNode()
     root.put("metadata-location", s"${meta.location}/metadata/v1.metadata.json")
-    val md = root.putObject("metadata")
+    renderMetadataInto(root.putObject("metadata"), meta, schemas, specs, snaps)
+    root.toPrettyString
+  }
+
+  /** the standalone TableMetadata FILE (what `metadata_location` points
+    * at) — the same v2 object LoadTableResponse nests under `metadata`;
+    * the Glue path ([[GlueWire]]) loads it directly, which is exactly
+    * how an Iceberg Glue catalog works (Glue stores only the pointer).
+    */
+  def tableMetadataJson(meta: TableMetaFx, schemas: Seq[SchemaFx],
+      specs: Seq[SpecFx], snaps: Seq[SnapshotFx]): String = {
+    val root = M.createObjectNode()
+    renderMetadataInto(root, meta, schemas, specs, snaps)
+    root.toPrettyString
+  }
+
+  private def renderMetadataInto(md: ObjectNode, meta: TableMetaFx,
+      schemas: Seq[SchemaFx], specs: Seq[SpecFx],
+      snaps: Seq[SnapshotFx]): Unit = {
     md.put("format-version", 2)
     md.put("table-uuid", f"00000000-0000-0000-0000-${
       math.abs((meta.namespace + "." + meta.name).hashCode).toLong}%012d")
@@ -129,7 +147,7 @@ object RestWire {
         m.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
       }
     }
-    root.toPrettyString
+    ()
   }
 
   /** the connection registry (reference `AppConfig`, `src/config.rs:10-54`):
@@ -189,8 +207,20 @@ object RestWire {
     */
   def parseLoadTable(catalog: String, ns: String, table: String,
       json: String): (TableMetaFx, Seq[SchemaFx], Seq[SpecFx],
+      Seq[SnapshotFx]) =
+    parseMetadataNode(catalog, ns, table, M.readTree(json).path("metadata"))
+
+  /** standalone TableMetadata file → the same normalized rows (the Glue
+    * client's load path; see [[tableMetadataJson]])
+    */
+  def parseTableMetadata(catalog: String, ns: String, table: String,
+      json: String): (TableMetaFx, Seq[SchemaFx], Seq[SpecFx],
+      Seq[SnapshotFx]) =
+    parseMetadataNode(catalog, ns, table, M.readTree(json))
+
+  private def parseMetadataNode(catalog: String, ns: String, table: String,
+      md: JsonNode): (TableMetaFx, Seq[SchemaFx], Seq[SpecFx],
       Seq[SnapshotFx]) = {
-    val md = M.readTree(json).path("metadata")
     val curSchema = md.path("current-schema-id").asInt
     val curSnap =
       if (md.has("current-snapshot-id"))

@@ -162,8 +162,19 @@ object StreamOps {
     * join state) raise it via SPARK_GRAFT_STREAM_PARTS the same way a
     * deployment would size state stores to its key space.
     */
-  private def streamParts: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+  private def streamParts: String = {
+    // validated eagerly (r15 ADVICE): a non-numeric/non-positive value
+    // would otherwise surface only deep inside streaming query planning
+    val raw = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+    raw match {
+      case None => "4"
+      case Some(s) => s.toIntOption.filter(_ > 0) match {
+        case Some(n) => n.toString
+        case None => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_PARTS must be a positive integer, got '$s'")
+      }
+    }
+  }
 
   def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession

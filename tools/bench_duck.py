@@ -65,20 +65,37 @@ def main():
         # fixture dir — their oracles stay on the fixture too
         if remap_media and not name.startswith("st"):
             sql = sql.replace(MEDIA_FIXTURE, staged_media)
+        t0 = time.perf_counter()
         try:
             timed_run(sql)  # warm-up
         except Exception as e:
+            # distinguish a timeout from an instant SQL error (r15
+            # ADVICE): duckdb raises InterruptException on con.interrupt;
+            # anything else (missing table, syntax) failed on its own
+            elapsed = time.perf_counter() - t0
             med[name] = None
             mn[name] = None
-            print(f"DNF {name}: {type(e).__name__} after {timeout}s",
-                  file=sys.stderr)
+            kind = ("timeout" if isinstance(
+                e, duckdb.InterruptException) else "error")
+            print(f"DNF {name}: {type(e).__name__} ({kind}) "
+                  f"after {elapsed:.1f}s", file=sys.stderr)
             continue
-        runs = []
+        runs, capped = [], False
         for _ in range(3):
             try:
                 runs.append(timed_run(sql))
             except Exception:
                 runs.append(timeout)
+                capped = True
+        if capped:
+            # a timed run hitting the cap is a DNF too (r15 ADVICE):
+            # summing the cap value with n_dnf=0 let `dnf==[]` read as
+            # "every query finished" when it had not
+            med[name] = None
+            mn[name] = None
+            print(f"DNF {name}: timed run hit the {timeout}s cap",
+                  file=sys.stderr)
+            continue
         runs.sort()
         med[name] = round(runs[1], 4)
         mn[name] = round(runs[0], 4)
