@@ -72,11 +72,12 @@ object Bench {
     * caller explicitly wants a rewrite; concurrent restagers are
     * documented-unsupported).
     */
-  private[graft] def stagedAtomically(out: String)(write: String => Unit): String = {
+  private[graft] def stagedAtomically(out: String, force: Boolean = false)(
+      write: String => Unit): String = {
     import java.nio.file.{Files, Paths, Path, StandardCopyOption}
     val marker = Paths.get(s"$out/.staged")
-    if (sys.env.get("SPARK_GRAFT_RESTAGE").forall(_ != "1") &&
-        Files.exists(marker))
+    val restage = force || sys.env.get("SPARK_GRAFT_RESTAGE").contains("1")
+    if (!restage && Files.exists(marker))
       return out
     def rmTree(p: Path): Unit = {
       def rm(f: java.io.File): Unit = {
@@ -92,12 +93,12 @@ object Bench {
     rmTree(tmp)
     write(tmp.toString)
     Files.createFile(tmp.resolve(".staged"))
-    val force = sys.env.get("SPARK_GRAFT_RESTAGE").contains("1")
+
     var published = false
     var attempts = 0
     while (!published && attempts < 5) {
       attempts += 1
-      if (!force && Files.exists(marker)) {
+      if (!restage && Files.exists(marker)) {
         // a winner published a complete staging while we wrote ours —
         // discard our copy rather than deleting what it may be serving
         rmTree(tmp)
@@ -119,7 +120,7 @@ object Bench {
             case _: java.nio.file.NoSuchFileException => false
             case _: java.nio.file.FileSystemException => false
           }
-        if (moved && !force && Files.exists(trash.resolve(".staged"))) {
+        if (moved && !restage && Files.exists(trash.resolve(".staged"))) {
           try {
             Files.move(trash, outP, StandardCopyOption.ATOMIC_MOVE)
             rmTree(tmp)
@@ -203,7 +204,7 @@ object Bench {
     * the x80–x91 perceptual family) — used to stage the media table only
     * when a selected query will actually read it
     */
-  private[graft] val MediaNames = "^(x12|x13|x31|x39|x8[0-9]|x9[01])_".r
+  private[graft] val MediaNames = "^(x12|x13|x31|x39|x8[0-9]|x9[0-2])_".r
 
   /** stage the generated media table INTO an already-published run dir,
     * under its own atomic marker (media.parquet is written by
@@ -214,7 +215,18 @@ object Bench {
     */
   private def ensureMedia(spark: org.apache.spark.sql.SparkSession,
       runDir: String, n: Long): Unit = {
-    stagedAtomically(s"$runDir/media.parquet") { tmp =>
+    val target = s"$runDir/media.parquet"
+    // recipe-version guard (r16): the staged dir name carries no
+    // version, so a generator change (new media classes, new authored
+    // columns) would silently serve stale content forever — a staging
+    // whose .recipe stamp mismatches the current generator is
+    // force-restaged (same semantics as SPARK_GRAFT_RESTAGE for this
+    // one table)
+    val recipe = Paths.get(target, ".recipe")
+    val stale = Files.exists(Paths.get(target, ".staged")) &&
+      (!Files.exists(recipe) ||
+        Files.readString(recipe).trim != llm.MediaCorpus.RecipeVersion)
+    stagedAtomically(target, force = stale) { tmp =>
       llm.MediaCorpus.write(spark, tmp, n)
     }
     ()

@@ -140,6 +140,27 @@ object ImageCodec {
     img
   }
 
+  /** an 8-bit luma plane as a gray RGB image (r = g = b = luma) — the
+    * MJPEG encode path's bridge from raw-luma frames to the JDK JPEG
+    * encoder; decoding back through the BT.601 integer luma recovers
+    * the plane up to JPEG loss
+    */
+  def grayImage(luma: Array[Byte], w: Int, h: Int): BufferedImage = {
+    require(luma.length == w * h, "luma plane must be w*h bytes")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = luma(y * w + x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   /** uniform brightness shift with clamping (the near-dup fixture
     * variant; on [[gradImage]] output small shifts never clamp)
     */

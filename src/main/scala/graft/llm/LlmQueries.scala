@@ -339,7 +339,8 @@ object LlmQueries extends QueryPack {
     "x90_strip_text_audit" -> ((s, dir) => Multimodal.stripTextAudit(media(s, dir))),
     // media curation funnel: quality gate on every file, cross-modal
     // dedup keep among the survivors, per-(stage, kind) attrition
-    "x91_media_funnel" -> ((s, dir) => Multimodal.mediaCurationFunnel(media(s, dir)))
+    "x91_media_funnel" -> ((s, dir) => Multimodal.mediaCurationFunnel(media(s, dir))),
+    "x92_mjpeg_frames" -> ((s, dir) => Multimodal.mjpegFrames(media(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2708,6 +2709,21 @@ object LlmQueries extends QueryPack {
           SELECT 'dedup', kind, count(*),
             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
           FROM d GROUP BY 2""",
+
+    // MJPEG decode (the compressed-entry clips): the engine demuxes the
+    // 'jpeg' sample entry + per-sample stsz table and JDK-decodes every
+    // JPEG sample; the oracle reads the fixture's EXPECTED per-frame
+    // arrays, authored by the same demux+decode (the x12/x39
+    // discipline), filtered by the authored codec tag
+    "x92_mjpeg_frames" ->
+      s"""SELECT media_id, CAST(x.i - 1 AS INT) AS frame_idx,
+            fr_ts_ms[x.i] AS frame_ts_ms,
+            width AS fr_width, height AS fr_height,
+            fr_brightness[x.i] AS luma_mean,
+            fr_phash64[x.i] AS fphash64
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
+            unnest(generate_series(1, len(fr_brightness))) AS x(i)
+          WHERE codec = 'mjpeg'""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

@@ -167,8 +167,19 @@ object MediaCorpus {
     // cut base keeps its boundary inside the prefix), so containment
     // holds for every planted pair by construction
     val frames = if (variant) baseFrames.take(5) else baseFrames
-    Mp4Meta.encodeVideo(timescale = 1000, frameW = W, frameH = H,
-      frameDelta = 500, frames = frames)
+    // id ≡ 7 mod 19 (decided on the BASE id, so a planted variant stays
+    // in its base's codec and frame-hash containment remains exact):
+    // MJPEG clip — every sample a real JDK-encoded JPEG behind a 'jpeg'
+    // sample entry + per-sample stsz table, so x92's decode path prices
+    // at corpus scale
+    if (base % 19 == 7)
+      Mp4Meta.encodeVideoMjpeg(timescale = 1000, frameW = W, frameH = H,
+        frameDelta = 500,
+        jpegSamples = frames.map(fr =>
+          ImageCodec.encodeJpeg(ImageCodec.grayImage(fr, W, H))))
+    else
+      Mp4Meta.encodeVideo(timescale = 1000, frameW = W, frameH = H,
+        frameDelta = 500, frames = frames)
   }
 
   /** full fixture-schema row for a global media_id: payload + every
@@ -199,13 +210,16 @@ object MediaCorpus {
 
   private def videoRow(gid: Long, id: Long): Multimodal.MediaFx = {
     val bytes = mp4For(id)
-    val vt = Mp4Meta.decodeFrames(bytes).get
+    val mjpeg = Mp4Meta.decodeFrames(bytes).isEmpty
+    val vt = Mp4Meta.decodeFrames(bytes)
+      .orElse(Mp4Meta.decodeMjpegFrames(bytes)).get
     Multimodal.MediaFx(gid, "video", bytes, Some(vt.width), Some(vt.height),
       Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None, None,
       None, Some(vt.frames.indices.map(vt.frameTsMs)),
       Some(vt.frames.map(fr => fr.map(_ & 0xff).sum.toDouble / fr.length)),
       None, None,
-      Some(vt.frames.map(fr => PHash.ofLuma(fr, vt.width, vt.height))))
+      Some(vt.frames.map(fr => PHash.ofLuma(fr, vt.width, vt.height))),
+      codec = if (mjpeg) Some("mjpeg") else None)
   }
 
   /** media_id offsets giving each modality a DISJOINT id space; offsets
@@ -233,5 +247,17 @@ object MediaCorpus {
       .unionByName(spark.range(0, nVid, 1, parts)
         .map(id => videoRow(vidOff + id, id))(enc).toDF())
       .write.mode("overwrite").parquet(out)
+    // recipe stamp: Bench.ensureMedia force-restages a staged corpus
+    // whose recipe no longer matches (the staged dir name carries no
+    // version, so a generator change would otherwise silently serve
+    // stale content across rounds)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, ".recipe"), RecipeVersion)
+    ()
   }
+
+  /** bump when the generated corpus content changes (r16: MJPEG clip
+    * class at base ≡ 7 mod 19 + the codec column)
+    */
+  val RecipeVersion = "2"
 }

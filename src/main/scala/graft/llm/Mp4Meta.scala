@@ -80,14 +80,24 @@ object Mp4Meta {
     def frameTsMs(i: Int): Long = i * frameDelta * 1000L / timescale
   }
 
-  /** demux the fixture's raw-luma track: trak → mdia → {mdhd timescale,
-    * hdlr must be 'vide', minf → stbl → {stsd 'raw ' dimensions, stts
-    * (count, delta), stsz uniform size, stco chunk offset}}, then slice
-    * each frame straight out of the file bytes. None for non-MP4 input,
-    * a missing/non-video track, a compressed (non-'raw ') sample entry,
-    * or malformed tables — the honest "this needs a codec" signal.
+  /** demuxed-but-undecoded samples of the first video track: the codec
+    * 4cc from `stsd` plus each sample's raw byte slice, located by the
+    * sample tables — what a real demuxer hands a codec
     */
-  def decodeFrames(bytes: Array[Byte]): Option[VideoTrack] = {
+  case class VideoSamples(codec: String, width: Int, height: Int,
+      timescale: Long, frameDelta: Long, samples: IndexedSeq[Array[Byte]])
+
+  /** demux the first video track: trak → mdia → {mdhd timescale, hdlr
+    * must be 'vide', minf → stbl → {stsd format + dimensions, stts
+    * (count, delta), stsz, stco chunk offset}}, then slice each sample
+    * straight out of the file bytes. Handles both stsz shapes: a
+    * uniform sample_size (the raw-luma track) and the per-sample size
+    * TABLE (sample_size == 0 — how variable-size codecs like MJPEG
+    * store their samples). None for non-MP4 input, a missing/non-video
+    * track, or malformed tables; codec-agnostic — the caller decides
+    * which 4cc it can decode.
+    */
+  def demuxVideo(bytes: Array[Byte]): Option[VideoSamples] = {
     if (!isMp4(bytes)) return None
     try {
       val bb = ByteBuffer.wrap(bytes)
@@ -104,23 +114,84 @@ object Mp4Meta {
         (st, ste) <- findBox(bytes, mi, mie, "stbl")
         (sd, _) <- findBox(bytes, st, ste, "stsd")
         // first sample entry: [size][format 4cc] at content offset 8
-        if new String(bytes, sd + 12, 4, "US-ASCII") == "raw "
+        codec = new String(bytes, sd + 12, 4, "US-ASCII")
         w = bb.getShort(sd + 8 + 32).toInt & 0xffff
         h = bb.getShort(sd + 8 + 34).toInt & 0xffff
         (tt, _) <- findBox(bytes, st, ste, "stts")
         nFrames = bb.getInt(tt + 8)
         delta = bb.getInt(tt + 12).toLong & 0xffffffffL
-        (sz, _) <- findBox(bytes, st, ste, "stsz")
-        sampleSize = bb.getInt(sz + 4)
-        if sampleSize == w * h && nFrames > 0
+        if nFrames > 0
+        (sz, sze) <- findBox(bytes, st, ste, "stsz")
+        uniform = bb.getInt(sz + 4)
+        sizes <- if (uniform != 0) Some(IndexedSeq.fill(nFrames)(uniform))
+          else if (bb.getInt(sz + 8) == nFrames &&
+              sz + 12 + 4L * nFrames <= sze)
+            Some((0 until nFrames).map(i => bb.getInt(sz + 12 + 4 * i)))
+          else None
+        if sizes.forall(_ > 0)
         (co, _) <- findBox(bytes, st, ste, "stco")
         off = bb.getInt(co + 8)
-        if off + nFrames.toLong * sampleSize <= bytes.length
-      } yield VideoTrack(w, h, timescale, delta,
-        (0 until nFrames).map(i => java.util.Arrays.copyOfRange(bytes,
-          off + i * sampleSize, off + (i + 1) * sampleSize)))
+        if off + sizes.map(_.toLong).sum <= bytes.length
+      } yield {
+        val offs = sizes.scanLeft(off.toLong)(_ + _)
+        VideoSamples(codec, w, h, timescale, delta,
+          (0 until nFrames).map(i => java.util.Arrays.copyOfRange(bytes,
+            offs(i).toInt, offs(i + 1).toInt)))
+      }
     } catch { case _: Exception => None }
   }
+
+  /** the raw-luma track decode: demux + identity "codec" (each sample IS
+    * its w×h luma bytes). None for a compressed sample entry — the
+    * honest "this needs a codec" boundary (MJPEG crosses it via
+    * [[decodeMjpegFrames]]; H.264/AV1 stay behind the documented seam).
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[VideoTrack] =
+    demuxVideo(bytes).collect {
+      case vs if vs.codec == "raw " &&
+          vs.samples.forall(_.length == vs.width * vs.height) =>
+        VideoTrack(vs.width, vs.height, vs.timescale, vs.frameDelta,
+          vs.samples)
+    }
+
+  /** MJPEG track decode (r15 verdict task 5): a `'jpeg'` sample entry
+    * means every sample is a complete baseline-JPEG image — the classic
+    * MJPEG-in-MP4/QuickTime layout — and the JDK decodes JPEG natively
+    * ([[ImageCodec]]), so this closes a real slice of the
+    * compressed-video seam with zero new dependencies. Each decoded
+    * sample is converted to the same w×h 8-bit luma plane the raw track
+    * yields (integer BT.601: (299R+587G+114B)/1000, the [[PHash]]
+    * weights), so every downstream frame operator (brightness, pHash,
+    * scene cuts) is codec-agnostic. None when any sample fails to
+    * decode or mismatches the declared dimensions.
+    */
+  def decodeMjpegFrames(bytes: Array[Byte]): Option[VideoTrack] =
+    demuxVideo(bytes).filter(_.codec == "jpeg").flatMap { vs =>
+      val decoded = vs.samples.map { s =>
+        ImageCodec.decodeImage(s).filter(img =>
+          img.getWidth == vs.width && img.getHeight == vs.height)
+          .map { img =>
+            val luma = new Array[Byte](vs.width * vs.height)
+            var y = 0
+            while (y < vs.height) {
+              var x = 0
+              while (x < vs.width) {
+                val rgb = img.getRGB(x, y)
+                luma(y * vs.width + x) = ((299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000)
+                  .toByte
+                x += 1
+              }
+              y += 1
+            }
+            luma
+          }
+      }
+      if (decoded.forall(_.isDefined))
+        Some(VideoTrack(vs.width, vs.height, vs.timescale, vs.frameDelta,
+          decoded.map(_.get)))
+      else None
+    }
 
   private def box(tpe: String, content: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + content.length)
@@ -172,7 +243,30 @@ object Mp4Meta {
       frameDelta: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
     require(frames.nonEmpty && frames.forall(_.length == frameW * frameH),
       "every frame must be frameW*frameH luma bytes")
+    encodeTrack(timescale, frameW, frameH, frameDelta, "raw ", depth = 8,
+      frames)
+  }
+
+  /** fixture with a REAL MJPEG video track: a `'jpeg'` sample entry and
+    * per-sample stsz sizes (sample_size = 0 + table — the
+    * variable-size-codec shape), each sample a complete baseline JPEG.
+    * Round-trips through [[decodeMjpegFrames]].
+    */
+  def encodeVideoMjpeg(timescale: Int, frameW: Int, frameH: Int,
+      frameDelta: Int, jpegSamples: Seq[Array[Byte]]): Array[Byte] = {
+    require(jpegSamples.nonEmpty, "at least one JPEG sample")
+    encodeTrack(timescale, frameW, frameH, frameDelta, "jpeg", depth = 24,
+      jpegSamples)
+  }
+
+  private def encodeTrack(timescale: Int, frameW: Int, frameH: Int,
+      frameDelta: Int, format: String, depth: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
     val duration = frames.length.toLong * frameDelta
+    val uniformSize = frames.map(_.length).distinct match {
+      case Seq(one) if format == "raw " => one
+      case _ => 0 // per-sample size table (the variable-size shape)
+    }
     val vf = u32(0) // version 0 + zero flags
     def buildMoov(mdatContentOffset: Int): Array[Byte] = {
       val tkhdContent = {
@@ -199,8 +293,8 @@ object Mp4Meta {
       val hdlrContent = vf ++ u32(0) ++ "vide".getBytes("US-ASCII") ++
         new Array[Byte](12) ++ Array[Byte](0) // empty null-term name
       val sampleEntry = {
-        val bb = ByteBuffer.allocate(86) // VisualSampleEntry, 'raw '
-        bb.putInt(86).put("raw ".getBytes("US-ASCII"))
+        val bb = ByteBuffer.allocate(86) // VisualSampleEntry
+        bb.putInt(86).put(format.getBytes("US-ASCII"))
         bb.position(bb.position() + 6) // reserved
         bb.putShort(1) // data_reference_index
         bb.position(bb.position() + 16) // pre_defined/reserved
@@ -209,15 +303,19 @@ object Mp4Meta {
           .putInt(0)
           .putShort(1) // frame_count per sample
         bb.position(bb.position() + 32) // compressorname
-        bb.putShort(8) // depth: 8-bit luma
+        bb.putShort(depth.toShort) // 8 = luma plane, 24 = color codec
           .putShort(0xffff.toShort) // pre_defined -1
         bb.array()
       }
+      val stszContent =
+        if (uniformSize != 0) vf ++ u32(uniformSize) ++ u32(frames.length)
+        else vf ++ u32(0) ++ u32(frames.length) ++
+          frames.toArray.flatMap(f => u32(f.length))
       val stbl = box("stbl",
         box("stsd", vf ++ u32(1) ++ sampleEntry) ++
           box("stts", vf ++ u32(1) ++ u32(frames.length) ++ u32(frameDelta)) ++
           box("stsc", vf ++ u32(1) ++ u32(1) ++ u32(frames.length) ++ u32(1)) ++
-          box("stsz", vf ++ u32(frameW * frameH) ++ u32(frames.length)) ++
+          box("stsz", stszContent) ++
           box("stco", vf ++ u32(1) ++ u32(mdatContentOffset)))
       val mdia = box("mdia",
         box("mdhd", mdhdContent) ++ box("hdlr", hdlrContent) ++

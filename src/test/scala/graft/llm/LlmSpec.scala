@@ -1114,6 +1114,68 @@ class MultimodalSpec extends SparkSpec {
       Mp4Meta.decodeFrames(bytes.take(cut)))
   }
 
+  test("MP4 MJPEG track: 'jpeg' entry + stsz table decode via the JDK") {
+    val (w, h) = (16, 12)
+    // smooth gradient frames (JPEG-friendly): decoded luma stays within
+    // a few codes of the source, and the per-sample sizes differ so the
+    // stsz TABLE path is actually exercised
+    val lumas = (0 until 4).map(f =>
+      Array.tabulate(w * h)(j =>
+        (40 + 10 * f + (j % w) * 8 + (j / w) * 3).min(255).toByte))
+    val samples = lumas.map(l =>
+      ImageCodec.encodeJpeg(ImageCodec.grayImage(l, w, h)))
+    val bytes = Mp4Meta.encodeVideoMjpeg(timescale = 1000, frameW = w,
+      frameH = h, frameDelta = 250, jpegSamples = samples)
+    assert(Mp4Meta.isMp4(bytes))
+    // the demuxer hands back the EXACT jpeg sample bytes
+    val Some(vs) = Mp4Meta.demuxVideo(bytes)
+    assert(vs.codec == "jpeg" && vs.width == w && vs.height == h)
+    assert(vs.samples.length == 4)
+    (0 until 4).foreach(f => assert(vs.samples(f).sameElements(samples(f))))
+    // the raw path refuses a compressed entry; the mjpeg path decodes it
+    assert(Mp4Meta.decodeFrames(bytes).isEmpty)
+    val Some(vt) = Mp4Meta.decodeMjpegFrames(bytes)
+    assert(vt.width == w && vt.height == h && vt.frames.length == 4)
+    assert(vt.frameDelta == 250 && vt.frameTsMs(2) == 500)
+    // decoded luma ≈ source luma (JPEG loss bounded on smooth content)
+    lumas.zip(vt.frames).foreach { case (src, dec) =>
+      val meanErr = src.zip(dec).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / src.length
+      assert(meanErr < 4.0, s"mean abs luma error $meanErr")
+    }
+    // truncated payloads never crash either demux path
+    (0 until bytes.length by 97).foreach { cut =>
+      Mp4Meta.demuxVideo(bytes.take(cut))
+      Mp4Meta.decodeMjpegFrames(bytes.take(cut))
+    }
+  }
+
+  test("x92: mjpegFrames reproduces the authored MJPEG frame stats") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    val got = Multimodal.mjpegFrames(df).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) ->
+        (r.getAs[Double]("luma_mean"), r.getAs[Long]("fphash64"),
+          r.getAs[Long]("frame_ts_ms"))).toMap
+    val exp = Multimodal.mediaRows.filter(_.codec.contains("mjpeg"))
+    assert(exp.nonEmpty)
+    val expN = exp.map(_.fr_brightness.get.size).sum
+    assert(got.size == expN)
+    exp.foreach { m =>
+      m.fr_brightness.get.zipWithIndex.foreach { case (b, i) =>
+        val (gb, gh, gts) = got((m.media_id, i))
+        assert(gb == b, s"media ${m.media_id} frame $i brightness")
+        assert(gh == m.fr_phash64.get(i))
+        assert(gts == m.fr_ts_ms.get(i))
+      }
+    }
+    // raw clips contribute nothing to the mjpeg-only query
+    assert(!got.keys.exists(k =>
+      Multimodal.mediaRows.exists(m => m.media_id == k._1 &&
+        m.codec.isEmpty)))
+  }
+
   test("videoFrames reproduces the authored per-frame luma statistics") {
     val s = spark
     import s.implicits._
