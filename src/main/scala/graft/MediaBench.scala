@@ -295,6 +295,19 @@ object MediaBench {
           hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
           hashes("vid_hash"), imgTau = 3, imgBands = 4)
         .write.format("noop").mode("overwrite").save()),
+      // r16 (r15 verdict task 6): the AUTO-selected geometry — the
+      // x93 policy measured at the ladder corpora, so the auto pick can
+      // be compared against the measured-best manual geometry at each
+      // point (the selection agg rides inside the timed run — it IS
+      // part of the auto funnel's cost)
+      "funnel_auto" -> (() => {
+        val (nBands, tau) = Multimodal.autoBandGeometry(
+          hashes("img_hash"), "phash64")
+        Multimodal.mediaCurationFunnelFrom(
+          hashes("stats"), hashes("img_hash"), hashes("aud_fp"),
+          hashes("vid_hash"), imgTau = tau, imgBands = nBands)
+          .write.format("noop").mode("overwrite").save()
+      }),
       // the st22 streaming perceptual gate at amplified upload volume:
       // catalog = stored hashes of the lower id half, uploads = the
       // upper half decoded + hashed IN-FLIGHT (no SQL twin exists for

@@ -340,7 +340,9 @@ object LlmQueries extends QueryPack {
     // media curation funnel: quality gate on every file, cross-modal
     // dedup keep among the survivors, per-(stage, kind) attrition
     "x91_media_funnel" -> ((s, dir) => Multimodal.mediaCurationFunnel(media(s, dir))),
-    "x92_mjpeg_frames" -> ((s, dir) => Multimodal.mjpegFrames(media(s, dir)))
+    "x92_mjpeg_frames" -> ((s, dir) => Multimodal.mjpegFrames(media(s, dir))),
+    "x93_funnel_autogeo" -> ((s, dir) =>
+      Multimodal.mediaCurationFunnelAuto(media(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -658,6 +660,87 @@ object LlmQueries extends QueryPack {
             ($gateCase = 'pass') AS keep
           FROM sig"""
     }
+
+  /** sequential funnel oracle: the x88 rule CASE gates every file, the
+    * x86 closure reruns restricted to the survivors (a dropped file
+    * can't represent a cluster), per-(stage, kind) attrition rollup —
+    * shared by x91 (fixed geometry) and x93 (auto geometry, which at
+    * every budget-fitting corpus resolves to the same 8-band/tau-7
+    * funnel by construction)
+    */
+  private val FunnelSql: String = s"""WITH RECURSIVE m AS (
+            SELECT * FROM read_parquet('$MEDIA/media.parquet/*.parquet')),
+          q AS (
+            SELECT media_id, kind,
+              (CASE
+                WHEN px_brightness IS NULL AND amp_mean IS NULL
+                  AND duration_ms IS NULL THEN 'undecodable'
+                WHEN kind = 'image'
+                  AND width * height < ${Multimodal.MinImageArea}
+                  THEN 'too_small'
+                WHEN kind = 'image'
+                  AND (px_brightness < ${Multimodal.ExposureLo}
+                    OR px_brightness > ${Multimodal.ExposureHi})
+                  THEN 'exposure'
+                WHEN kind = 'audio' AND amp_mean < ${Multimodal.SilenceAmp}
+                  THEN 'silence'
+                WHEN kind = 'audio' AND amp_mean > ${Multimodal.HotAmp}
+                  THEN 'clipping_risk'
+                WHEN kind = 'video' AND duration_ms < ${Multimodal.MinClipMs}
+                  THEN 'too_short'
+                ELSE 'pass' END = 'pass') AS keep
+            FROM m),
+          s AS (
+            SELECT m.* FROM m JOIN q ON q.media_id = m.media_id
+            WHERE q.keep),
+          ip AS (
+            SELECT a.media_id AS da, b.media_id AS db
+            FROM s a JOIN s b ON a.media_id < b.media_id
+            WHERE a.phash64 IS NOT NULL AND b.phash64 IS NOT NULL
+              AND bit_count(xor(a.phash64, b.phash64)) <= 7),
+          ap AS (
+            SELECT a.media_id AS da, b.media_id AS db
+            FROM s a JOIN s b ON a.media_id < b.media_id
+            WHERE a.audiofp64 IS NOT NULL AND b.audiofp64 IS NOT NULL
+              AND bit_count(xor(a.audiofp64, b.audiofp64)) <= 7),
+          fh AS (
+            SELECT DISTINCT media_id, fr_phash64[x.i] AS h
+            FROM s, unnest(generate_series(1, len(fr_phash64))) AS x(i)
+            WHERE fr_phash64 IS NOT NULL),
+          nn AS (SELECT media_id, count(*) AS nh FROM fh GROUP BY 1),
+          ov AS (
+            SELECT a.media_id AS da, b.media_id AS db, count(*) AS o
+            FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
+            GROUP BY 1, 2),
+          vp AS (
+            SELECT o.da, o.db FROM ov o
+            JOIN nn na ON na.media_id = o.da
+            JOIN nn nb ON nb.media_id = o.db
+            WHERE CAST(o.o AS DOUBLE) / least(na.nh, nb.nh) >= 0.5),
+          cand AS (
+            SELECT * FROM ip UNION ALL SELECT * FROM ap
+            UNION ALL SELECT * FROM vp),
+          edges AS (
+            SELECT da AS src, db AS dst FROM cand
+            UNION SELECT db, da FROM cand),
+          reach(media_id, lbl) AS (
+            SELECT media_id, media_id FROM s
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r
+              ON r.media_id = e.dst),
+          comp AS (SELECT media_id, min(lbl) AS cluster_id
+                   FROM reach GROUP BY 1),
+          d AS (
+            SELECT c.media_id, s2.kind,
+              (c.media_id = c.cluster_id) AS keep
+            FROM comp c JOIN s s2 ON s2.media_id = c.media_id)
+          SELECT 'quality' AS stage, kind, count(*) AS n_in,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM q GROUP BY 2
+          UNION ALL
+          SELECT 'dedup', kind, count(*),
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+          FROM d GROUP BY 2"""
 
   override val oracles: Map[String, String] = Map(
     "x01_exact_dedup" ->
@@ -2635,80 +2718,7 @@ object LlmQueries extends QueryPack {
     // sequential funnel: the x88 rule CASE gates every file, the x86
     // closure reruns restricted to the survivors (a dropped file can't
     // represent a cluster), per-(stage, kind) attrition rollup
-    "x91_media_funnel" ->
-      s"""WITH RECURSIVE m AS (
-            SELECT * FROM read_parquet('$MEDIA/media.parquet/*.parquet')),
-          q AS (
-            SELECT media_id, kind,
-              (CASE
-                WHEN px_brightness IS NULL AND amp_mean IS NULL
-                  AND duration_ms IS NULL THEN 'undecodable'
-                WHEN kind = 'image'
-                  AND width * height < ${Multimodal.MinImageArea}
-                  THEN 'too_small'
-                WHEN kind = 'image'
-                  AND (px_brightness < ${Multimodal.ExposureLo}
-                    OR px_brightness > ${Multimodal.ExposureHi})
-                  THEN 'exposure'
-                WHEN kind = 'audio' AND amp_mean < ${Multimodal.SilenceAmp}
-                  THEN 'silence'
-                WHEN kind = 'audio' AND amp_mean > ${Multimodal.HotAmp}
-                  THEN 'clipping_risk'
-                WHEN kind = 'video' AND duration_ms < ${Multimodal.MinClipMs}
-                  THEN 'too_short'
-                ELSE 'pass' END = 'pass') AS keep
-            FROM m),
-          s AS (
-            SELECT m.* FROM m JOIN q ON q.media_id = m.media_id
-            WHERE q.keep),
-          ip AS (
-            SELECT a.media_id AS da, b.media_id AS db
-            FROM s a JOIN s b ON a.media_id < b.media_id
-            WHERE a.phash64 IS NOT NULL AND b.phash64 IS NOT NULL
-              AND bit_count(xor(a.phash64, b.phash64)) <= 7),
-          ap AS (
-            SELECT a.media_id AS da, b.media_id AS db
-            FROM s a JOIN s b ON a.media_id < b.media_id
-            WHERE a.audiofp64 IS NOT NULL AND b.audiofp64 IS NOT NULL
-              AND bit_count(xor(a.audiofp64, b.audiofp64)) <= 7),
-          fh AS (
-            SELECT DISTINCT media_id, fr_phash64[x.i] AS h
-            FROM s, unnest(generate_series(1, len(fr_phash64))) AS x(i)
-            WHERE fr_phash64 IS NOT NULL),
-          nn AS (SELECT media_id, count(*) AS nh FROM fh GROUP BY 1),
-          ov AS (
-            SELECT a.media_id AS da, b.media_id AS db, count(*) AS o
-            FROM fh a JOIN fh b ON a.h = b.h AND a.media_id < b.media_id
-            GROUP BY 1, 2),
-          vp AS (
-            SELECT o.da, o.db FROM ov o
-            JOIN nn na ON na.media_id = o.da
-            JOIN nn nb ON nb.media_id = o.db
-            WHERE CAST(o.o AS DOUBLE) / least(na.nh, nb.nh) >= 0.5),
-          cand AS (
-            SELECT * FROM ip UNION ALL SELECT * FROM ap
-            UNION ALL SELECT * FROM vp),
-          edges AS (
-            SELECT da AS src, db AS dst FROM cand
-            UNION SELECT db, da FROM cand),
-          reach(media_id, lbl) AS (
-            SELECT media_id, media_id FROM s
-            UNION
-            SELECT e.src, r.lbl FROM edges e JOIN reach r
-              ON r.media_id = e.dst),
-          comp AS (SELECT media_id, min(lbl) AS cluster_id
-                   FROM reach GROUP BY 1),
-          d AS (
-            SELECT c.media_id, s2.kind,
-              (c.media_id = c.cluster_id) AS keep
-            FROM comp c JOIN s s2 ON s2.media_id = c.media_id)
-          SELECT 'quality' AS stage, kind, count(*) AS n_in,
-            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-          FROM q GROUP BY 2
-          UNION ALL
-          SELECT 'dedup', kind, count(*),
-            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-          FROM d GROUP BY 2""",
+    "x91_media_funnel" -> FunnelSql,
 
     // MJPEG decode (the compressed-entry clips): the engine demuxes the
     // 'jpeg' sample entry + per-sample stsz table and JDK-decodes every
@@ -2724,6 +2734,13 @@ object LlmQueries extends QueryPack {
           FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
             unnest(generate_series(1, len(fr_brightness))) AS x(i)
           WHERE codec = 'mjpeg'""",
+
+    // the auto-geometry funnel: at any corpus whose widest-ladder pair
+    // work fits the budget the selection returns (8 bands, tau 7) and
+    // the funnel EQUALS x91's — the oracle is x91's SQL verbatim; the
+    // selection boundary itself is spec-pinned (MultimodalSpec) and
+    // priced at 275k/550k by MediaBench's funnel_auto point
+    "x93_funnel_autogeo" -> FunnelSql,
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

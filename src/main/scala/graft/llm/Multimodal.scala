@@ -1087,6 +1087,70 @@ object Multimodal {
     hammingNearDupFrom(hashed, hashCol, tau, nBands,
       autoCap(hashed, hashCol, nBands, budgetPairs))
 
+  /** band-geometry ladder, widest recall first: 8×8-bit bands are exact
+    * for τ ≤ 7; 4×16-bit bands are exact for τ ≤ 3 but have 256× the
+    * bucket space, so their pair work stays in regime ~256× longer
+    * (the funnel-ladder knee sits near 300k images — measured,
+    * MediaBench r15)
+    */
+  val BandGeometries: Seq[(Int, Int)] = Seq((8, 7), (4, 3))
+
+  /** work-budget-driven band-geometry selection (r15 forward note 3 /
+    * verdict task 6 — the [[autoCap]] policy applied to the GEOMETRY
+    * knob): walk the ladder from widest recall to narrowest and pick
+    * the first geometry whose exact banded candidate work Σ_bucket
+    * d·(d−1)/2 (one tiny two-row agg over the stored hash artifact —
+    * the observed histogram, not the uniform n/2^bits guess, so a
+    * clustered corpus switches EARLIER) fits the budget; the narrowest
+    * geometry is the unconditional fallback. τ changes with the
+    * geometry — that is the semantic trade the caller opts into by
+    * using the auto entry point, which is why this ships as its own
+    * query (x93) rather than a new default for x91.
+    */
+  def autoBandGeometry(hashed: DataFrame, hashCol: String,
+      budgetPairs: Long = 200000000L,
+      ladder: Seq[(Int, Int)] = BandGeometries): (Int, Int) = {
+    require(ladder.nonEmpty)
+    val works = ladder.init.map { case (nBands, tau) =>
+      val bpb = 64 / nBands
+      val mask = (1L << bpb) - 1
+      val w = hashed.filter(col(hashCol).isNotNull)
+        .select(col(hashCol).as("h"),
+          explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+        .select(col("band"),
+          expr(s"(h >> (band * $bpb)) & ${mask}L").as("bucket"))
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("d"))
+        .agg(sum(col("d") * (col("d") - 1) / 2).as("w"))
+        .collect()(0)
+      ((nBands, tau), Option(w.get(0)).fold(0.0)(_.toString.toDouble))
+    }
+    works.collectFirst {
+      case (geo, w) if w <= budgetPairs.toDouble => geo
+    }.getOrElse(ladder.last)
+  }
+
+  /** x93 — the curation funnel with the image band geometry picked by
+    * [[autoBandGeometry]] from the stored image-hash artifact: at tame
+    * corpus sizes this IS [[mediaCurationFunnel]] (the ladder's widest
+    * geometry fits the budget); past the knee it switches to the
+    * 4×16-bit/τ≤3 production geometry instead of silently paying
+    * out-of-regime pair work
+    */
+  def mediaCurationFunnelAuto(media: DataFrame,
+      budgetPairs: Long = 200000000L): DataFrame = {
+    val x = mediaExtractAll(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val imgHash = x.select(col("media_id"), col("kind"), col("phash64"))
+    val (nBands, tau) = autoBandGeometry(imgHash, "phash64", budgetPairs)
+    mediaCurationFunnelFrom(
+      x.select(col("media_id"), col("kind"), col("dec_width"),
+        col("dec_height"), col("dec_brightness"), col("dec_duration_ms"),
+        col("dec_sample_rate"), col("dec_amp_mean")),
+      imgHash,
+      x.select(col("media_id"), col("kind"), col("audiofp64")),
+      vidHashOf(x), imgTau = tau, imgBands = nBands)
+  }
+
   /** the generic exact banded hamming-≤τ self-join over any
     * (media_id, `hashCol`: 64-bit code) table — multi-index hashing with
     * the house oversized-bucket re-shard cap (scale notes on

@@ -1176,6 +1176,45 @@ class MultimodalSpec extends SparkSpec {
         m.codec.isEmpty)))
   }
 
+  test("autoBandGeometry: budget boundary picks the ladder step") {
+    val s = spark
+    import s.implicits._
+    // a corpus of n DISTINCT hashes that collide on every 8-bit band
+    // (same low 32 bits pattern per band value class) is the worst case
+    // for 8×8; build n hashes sharing each 8-bit band value but
+    // differing in the 16-bit view. Simplest adversary: all-equal
+    // hashes — every band collides for BOTH geometries, so work is
+    // n·(n−1)/2 per band × nBands... instead use hashes equal in each
+    // 8-bit band but DISTINCT in 16-bit bands: h = b<<8 | b gives equal
+    // 8-bit bands across b? Keep it direct: equal hashes everywhere
+    // exercise the fallback; a tiny corpus exercises the first step.
+    val tiny = (0L until 10L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("media_id", "phash64")
+    assert(Multimodal.autoBandGeometry(tiny, "phash64",
+      budgetPairs = 1000L) == (8, 7))
+    // 200 copies of one hash: 8×8 work = 8 bands · C(200,2) = 159200
+    // pairs > budget 100k → the selection walks to 4×16; its work
+    // (4 · C(200,2) = 79600) also exceeds, but the narrowest step is
+    // the unconditional fallback
+    val clustered = (0L until 200L).map(i => (i, 0x1234567890abcdefL))
+      .toDF("media_id", "phash64")
+    assert(Multimodal.autoBandGeometry(clustered, "phash64",
+      budgetPairs = 100000L) == (4, 3))
+    // same clustered corpus, roomy budget → stays at the widest step
+    assert(Multimodal.autoBandGeometry(clustered, "phash64",
+      budgetPairs = 1000000L) == (8, 7))
+  }
+
+  test("x93 funnel_autogeo equals x91 at a budget-fitting corpus") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.mediaRows.toDS().toDF()
+    def canon(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map(_.mkString("|")).toSet
+    assert(canon(Multimodal.mediaCurationFunnelAuto(df)) ==
+      canon(Multimodal.mediaCurationFunnel(df)))
+  }
+
   test("videoFrames reproduces the authored per-frame luma statistics") {
     val s = spark
     import s.implicits._
