@@ -478,6 +478,37 @@ class SimilaritySpec extends SparkSpec {
     assert(edges.forall { case (a, b) => edges.contains((b, a)) })
   }
 
+  test("knnGraph plan: per-group top-k bounds everything past one exchange") {
+    // the bounded-memory candidate path (r15 verdict task 2): the
+    // in-group rank window must ride the (band, bucket) hash the
+    // re-shard window already established — NO exchange between the
+    // vector-carrying group agg and the local WindowGroupLimit — so the
+    // only full-volume shuffle in the whole graph build is the bucket
+    // table's. Pinned off the executed plan so a regression back to the
+    // global-pair-volume shape (OOM at ×30 in an 8 GiB JVM) fails here
+    // instead of in an amplified run.
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val e = embDf((0L until 12L).map(i =>
+      (i, v(1, 0.01 * i.toDouble, 0.02, 0.03), 0)))
+    val df = Similarity.knnGraph(e, k = 2, nBands = 2, bitsPerBand = 4,
+      dim = 4)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the local (band, bucket, sub, src) group limit exists...
+    assert(plan.contains("WindowGroupLimit [band"),
+      s"missing per-group rank bound in:\n$plan")
+    // ...and no exchange separates it from the group agg: the only
+    // hash exchanges are the bucket-table one plus the two POST-BOUND
+    // merges ((src, dst) dedup, (src) final rank)
+    // AQE appends the pre-adaptive "== Initial Plan ==" section — pin
+    // the FINAL plan's shuffle set only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning\\(([^,)#]+)".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toList
+    assert(exchanges.sorted == List("band", "src", "src"),
+      s"unexpected shuffle set $exchanges in:\n$finalPlan")
+  }
+
   test("cosine: self-similarity 1.0, opposite -1.0, orthogonal 0.0") {
     val df = embDf(Seq(
       (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
