@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** st07 floor decomposition (r15 verdict task 3 — "retire the last weak
+  * entry with a matched-semantics price"): the stream-stream interval
+  * join's wall has been flat across ×10→×30 volume, implicating the
+  * micro-batch/state floor rather than the join. This main prices the
+  * floor's components directly at one corpus:
+  *
+  *   - `st07_parts{N}`   — the full stateful join at state-store
+  *                         parallelism N (one state store per shuffle
+  *                         partition; the runToTable deployment knob)
+  *   - `st07_rocksdb`    — the same join on the RocksDB state-store
+  *                         provider (rocksdbjni ships with Spark)
+  *   - `stateless_pass`  — the SAME events source through a stateless
+  *                         projection to the same AvailableNow memory
+  *                         sink: the micro-batch machinery with ZERO
+  *                         state — the irreducible streaming floor
+  *   - `batch_iejoin`    — the identical interval join as a plain batch
+  *                         query (noop sink): the pure join compute the
+  *                         DuckDB twin races
+  *
+  * floor(st07) ≈ stateless_pass + state-store overhead + batch work;
+  * whatever the twin beats is the machinery an unbounded deployment
+  * pays for exactly-once stateful semantics, priced per component
+  * instead of asserted. One warm-up + 3 timed runs each, median + min.
+  *
+  * Usage: runMain graft.StreamFloor [sfDir]
+  */
+object StreamFloor {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      "/tmp/graft_bench_staged/_root_testdata_sf0.1_p2")
+    val spark = core.GraftSession.builder("graft-streamfloor", "32")
+      .config("spark.driver.maxResultSize", "8g").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(label: String)(body: => Unit): Unit = {
+      body // warm-up
+      val runs = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$label%-16s med ${runs(1)}%.3f s  min ${runs.head}%.3f s")
+    }
+
+
+    // the stateful join at several state-store parallelisms (the env
+    // knob is read once per process, so parts are passed via conf by
+    // re-running this main externally; within one process we measure
+    // the default plus rocksdb + the floors)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+    timed(s"st07_parts$parts") {
+      stream.StreamOps.clickPurchaseJoin(spark, dir).count()
+      ()
+    }
+
+    // micro-batch count for the record (the chunked-twin comparison
+    // needs Spark's actual K): newest st07 checkpoint's offsets log
+    locally {
+      val root = java.nio.file.Paths.get(
+        if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp")
+      val st = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        val ck = st.iterator().asScala.filter(p =>
+          p.getFileName.toString.startsWith("graft-ckpt-st_click_purchase-"))
+          .toSeq.sortBy(p =>
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        ck.lastOption.foreach { d =>
+          val n = java.nio.file.Files.list(d.resolve("offsets")).count()
+          println(s"st07 micro-batches: $n")
+        }
+      } finally st.close()
+    }
+
+    // RocksDB state store provider (same join, same parts)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    timed(s"st07_rocksdb_p$parts") {
+      stream.StreamOps.clickPurchaseJoin(spark, dir).count()
+      ()
+    }
+    prevProvider.fold(spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass"))(v =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+
+    // stateless micro-batch floor: same source, no state, same sink.
+    // Two variants isolate the memory-sink collect from the machinery:
+    // _full lands every event in the sink (upper bound); _gate scans
+    // everything but sinks ~0.1% (st07's own output is sparse, so this
+    // is the closer twin of its sink volume)
+    timed("stateless_full") {
+      val ev = stream.StreamOps.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      stream.StreamOps.runToTable(ev, "st_floor_pass", "append").count()
+      ()
+    }
+    timed("stateless_gate") {
+      val ev = stream.StreamOps.eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .filter(pmod(col("user_id"), lit(1000)) === 0)
+      stream.StreamOps.runToTable(ev, "st_floor_gate", "append").count()
+      ()
+    }
+
+    // the pure batch interval join (what the DuckDB twin races)
+    timed("batch_iejoin") {
+      val ev = core.Tables.load(spark, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("value"))
+      c.join(p, col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("click_ts"),
+          col("purchase_id"), col("purchase_ts"), col("value"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    spark.stop()
+  }
+}
