@@ -204,7 +204,7 @@ object Bench {
     * the x80–x91 perceptual family) — used to stage the media table only
     * when a selected query will actually read it
     */
-  private[graft] val MediaNames = "^(x12|x13|x31|x39|x8[0-9]|x9[0-2])_".r
+  private[graft] val MediaNames = "^(x12|x13|x31|x39|x8[0-9]|x9[0-3])_".r
 
   /** stage the generated media table INTO an already-published run dir,
     * under its own atomic marker (media.parquet is written by

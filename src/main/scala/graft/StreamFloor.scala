@@ -73,8 +73,12 @@ object StreamFloor {
           .toSeq.sortBy(p =>
             java.nio.file.Files.getLastModifiedTime(p).toMillis)
         ck.lastOption.foreach { d =>
-          val n = java.nio.file.Files.list(d.resolve("offsets")).count()
-          println(s"st07 micro-batches: $n")
+          val off = d.resolve("offsets")
+          if (java.nio.file.Files.isDirectory(off)) {
+            val s2 = java.nio.file.Files.list(off)
+            try println(s"st07 micro-batches: ${s2.count()}")
+            finally s2.close()
+          }
         }
       } finally st.close()
     }

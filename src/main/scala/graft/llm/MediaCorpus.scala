@@ -210,9 +210,9 @@ object MediaCorpus {
 
   private def videoRow(gid: Long, id: Long): Multimodal.MediaFx = {
     val bytes = mp4For(id)
-    val mjpeg = Mp4Meta.decodeFrames(bytes).isEmpty
-    val vt = Mp4Meta.decodeFrames(bytes)
-      .orElse(Mp4Meta.decodeMjpegFrames(bytes)).get
+    val raw = Mp4Meta.decodeFrames(bytes) // demux once, not per branch
+    val mjpeg = raw.isEmpty
+    val vt = raw.orElse(Mp4Meta.decodeMjpegFrames(bytes)).get
     Multimodal.MediaFx(gid, "video", bytes, Some(vt.width), Some(vt.height),
       Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None, None,
       None, Some(vt.frames.indices.map(vt.frameTsMs)),

@@ -123,15 +123,22 @@ object Mp4Meta {
         if nFrames > 0
         (sz, sze) <- findBox(bytes, st, ste, "stsz")
         uniform = bb.getInt(sz + 4)
-        sizes <- if (uniform != 0) Some(IndexedSeq.fill(nFrames)(uniform))
-          else if (bb.getInt(sz + 8) == nFrames &&
-              sz + 12 + 4L * nFrames <= sze)
-            Some((0 until nFrames).map(i => bb.getInt(sz + 12 + 4 * i)))
+        // bounds-check BEFORE materializing anything: a corrupt stts
+        // count with a nonzero uniform size must return None, not
+        // allocate nFrames elements (OutOfMemoryError escapes the
+        // Exception catch — found in review)
+        sizes <- if (uniform != 0) {
+          if (uniform > 0 && nFrames.toLong * uniform <= bytes.length)
+            Some(IndexedSeq.fill(nFrames)(uniform))
           else None
+        } else if (bb.getInt(sz + 8) == nFrames &&
+            sz + 12 + 4L * nFrames <= sze)
+          Some((0 until nFrames).map(i => bb.getInt(sz + 12 + 4 * i)))
+        else None
         if sizes.forall(_ > 0)
         (co, _) <- findBox(bytes, st, ste, "stco")
         off = bb.getInt(co + 8)
-        if off + sizes.map(_.toLong).sum <= bytes.length
+        if off >= 0 && off + sizes.map(_.toLong).sum <= bytes.length
       } yield {
         val offs = sizes.scanLeft(off.toLong)(_ + _)
         VideoSamples(codec, w, h, timescale, delta,

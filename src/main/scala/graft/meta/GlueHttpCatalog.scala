@@ -48,10 +48,19 @@ class GlueHttpCatalog(
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
 
+  // memoized per profile (review finding: re-reading the INI on every
+  // signed call is wasted synchronous I/O — the file is static config)
+  private val credsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, SigV4.Credentials]
+
   /** env first, then the profile section of the credentials file —
     * the head of the SDK's published default chain
     */
-  private[meta] def credentials(cfg: ConfigFx): SigV4.Credentials = {
+  private[meta] def credentials(cfg: ConfigFx): SigV4.Credentials =
+    credsMemo.getOrElseUpdate(
+      cfg.config.getOrElse("profile", "default"), credentialsUncached(cfg))
+
+  private def credentialsUncached(cfg: ConfigFx): SigV4.Credentials = {
     (env.get("AWS_ACCESS_KEY_ID"), env.get("AWS_SECRET_ACCESS_KEY")) match {
       case (Some(ak), Some(sk)) =>
         return SigV4.Credentials(ak, sk, env.get("AWS_SESSION_TOKEN"))
@@ -91,7 +100,11 @@ class GlueHttpCatalog(
     (r.statusCode(), r.body())
   }
 
-  /** one signed Glue JSON-RPC call; None for the not-found error class */
+  /** one signed Glue JSON-RPC call; None for the not-found error class.
+    * The signed canonical path is the ENDPOINT's base path (review
+    * finding: signing "/" while posting to a path-bearing endpoint_url
+    * like a localstack gateway would 403 at any verifying server).
+    */
   private def glueCall(cfg: ConfigFx, target: String,
       body: String): Option[String] = {
     val props = GlueWire.effectiveProps(cfg)
@@ -102,12 +115,15 @@ class GlueHttpCatalog(
     val payload = body.getBytes(UTF_8)
     val host = uri.getHost +
       (if (uri.getPort > 0) s":${uri.getPort}" else "")
-    val signed = SigV4.sign("POST", "/", Seq.empty,
+    val basePath = Option(uri.getPath).getOrElse("")
+      .stripSuffix("/") + "/"
+    val signed = SigV4.sign("POST", basePath, Seq.empty,
       Map("host" -> host,
         "content-type" -> "application/x-amz-json-1.1",
         "x-amz-target" -> target),
       payload, credentials(cfg), region, "glue", amzDate())
-    val b = HttpRequest.newBuilder(URI.create(endpoint.stripSuffix("/") + "/"))
+    val b = HttpRequest.newBuilder(URI.create(
+        s"${uri.getScheme}://$host$basePath"))
       .timeout(Duration.ofSeconds(30))
       .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
     signed.filterNot(_._1 == "host") // HttpClient sets Host itself
@@ -135,8 +151,11 @@ class GlueHttpCatalog(
     val path = s"/$bucket/$key"
     val signed = SigV4.sign("GET", path, Seq.empty, Map("host" -> host),
       Array.emptyByteArray, credentials(cfg), region, "s3", amzDate())
-    val b = HttpRequest.newBuilder(
-        URI.create(endpoint.stripSuffix("/") + path))
+    // the REQUEST path must be the same percent-encoded form the
+    // signature canonicalized (review finding: a key with a space threw
+    // from URI.create; '+' signed one path and sent another → 403)
+    val b = HttpRequest.newBuilder(URI.create(
+        endpoint.stripSuffix("/") + SigV4.uriEncodePath(path)))
       .timeout(Duration.ofSeconds(30)).GET()
     signed.filterNot(_._1 == "host")
       .foreach { case (k, v) => b.header(k, v) }
@@ -152,15 +171,7 @@ class GlueHttpCatalog(
     glueCall(cfg, "AWSGlue.GetDatabases", "{}")
   override protected def tablesDoc(cfg: ConfigFx,
       db: String): Option[String] =
-    glueCall(cfg, "AWSGlue.GetTables",
-      s"""{"DatabaseName": ${quote(db)}}""")
+    glueCall(cfg, "AWSGlue.GetTables", GlueWire.getTablesRequestJson(db))
   override protected def metadataDoc(cfg: ConfigFx,
       location: String): Option[String] = s3Get(cfg, location)
-
-  private def quote(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 }

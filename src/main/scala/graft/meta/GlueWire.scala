@@ -73,6 +73,15 @@ object GlueWire {
     root.toPrettyString
   }
 
+  /** the GetTables request body — rendered through the same Jackson
+    * mapper as every other payload (no hand-rolled JSON escaping)
+    */
+  def getTablesRequestJson(db: String): String = {
+    val root = M.createObjectNode()
+    root.put("DatabaseName", db)
+    root.toString
+  }
+
   // ---- parse (the client side the engine runs) -------------------------
 
   def parseDatabases(json: String): Seq[String] =
