@@ -2737,10 +2737,15 @@ object LlmQueries extends QueryPack {
 
     // the auto-geometry funnel: at any corpus whose widest-ladder pair
     // work fits the budget the selection returns (8 bands, tau 7) and
-    // the funnel EQUALS x91's — the oracle is x91's SQL verbatim; the
-    // selection boundary itself is spec-pinned (MultimodalSpec) and
-    // priced at 275k/550k by MediaBench's funnel_auto point
-    "x93_funnel_autogeo" -> FunnelSql,
+    // the funnel EQUALS x91's — the oracle is x91's SQL plus the
+    // selected-geometry literals the Spark side stamps on every row
+    // (r16 ADVICE: past the budget knee the engine switches to (4,3)
+    // and the geo columns make that boundary crossing diagnosable
+    // instead of an unexplained row mismatch); the selection boundary
+    // itself is spec-pinned (MultimodalSpec) and priced at 275k/550k
+    // by MediaBench's funnel_auto point
+    "x93_funnel_autogeo" ->
+      s"""SELECT f.*, 8 AS geo_bands, 7 AS geo_tau FROM ($FunnelSql) f""",
 
     // budget-constrained quality selection: the x22 quality score, the
     // global greedy ranked prefix under a token budget — the oracle IS

@@ -18,6 +18,40 @@ import java.nio.ByteBuffer
   * no vmhd/dinf (the walker tolerates their absence) — the seam where
   * a compressed codec would plug in is the per-frame byte slice.
   */
+/** The inter-frame-codec seam (r16 verdict task 7): the one boundary a
+  * pure-JDK build genuinely cannot cross is entropy-coded inter-frame
+  * video — H.264/AV1 need motion compensation plus CABAC/range
+  * decoding, and nothing in the JDK implements them (confirmed:
+  * `javax.imageio` is still-image only, JavaFX/JMF are not on a server
+  * classpath). This trait is the drop-in contract for a real decoder
+  * library at that boundary:
+  *
+  *   - INPUT: one demuxed sample exactly as [[Mp4Meta.demuxVideo]]
+  *     slices it out of `mdat` — the container work (sample-table walk,
+  *     byte-range cut, timing) is already done on this side of the seam;
+  *   - OUTPUT: the row-major `width`×`height` 8-bit luma plane, the one
+  *     shape every downstream frame operator consumes (per-frame
+  *     brightness, DCT pHash, scene-cut deltas are all pure functions
+  *     of this plane).
+  *
+  * A JNI/FFI H.264/AV1 decoder implements these two members and joins
+  * [[Mp4Meta.decoders]]; no operator, query, or schema changes —
+  * proven by Mp4MetaSpec, which wires a stand-in compressed-codec
+  * decoder through [[Mp4Meta.decodeTrack]] and re-derives the MJPEG
+  * path ([[Mp4Meta.MjpegDecoder]] is exactly such a plug-in).
+  */
+trait FrameDecoder {
+  /** the stsd sample-entry 4ccs this decoder accepts (e.g. "avc1") */
+  def codecs: Set[String]
+
+  /** decode ONE demuxed sample to its luma plane; None on a decode
+    * failure or a dimension mismatch (a track with any failing sample
+    * is rejected whole rather than served truncated)
+    */
+  def decodeLuma(sample: Array[Byte], width: Int,
+      height: Int): Option[Array[Byte]]
+}
+
 object Mp4Meta {
 
   def isMp4(bytes: Array[Byte]): Boolean =
@@ -148,57 +182,89 @@ object Mp4Meta {
     } catch { case _: Exception => None }
   }
 
-  /** the raw-luma track decode: demux + identity "codec" (each sample IS
-    * its w×h luma bytes). None for a compressed sample entry — the
-    * honest "this needs a codec" boundary (MJPEG crosses it via
-    * [[decodeMjpegFrames]]; H.264/AV1 stay behind the documented seam).
-    */
-  def decodeFrames(bytes: Array[Byte]): Option[VideoTrack] =
-    demuxVideo(bytes).collect {
-      case vs if vs.codec == "raw " &&
-          vs.samples.forall(_.length == vs.width * vs.height) =>
-        VideoTrack(vs.width, vs.height, vs.timescale, vs.frameDelta,
-          vs.samples)
-    }
+  /** the identity "codec": a `'raw '` sample IS its w×h luma plane */
+  object RawLumaDecoder extends FrameDecoder {
+    val codecs: Set[String] = Set("raw ")
+    def decodeLuma(sample: Array[Byte], width: Int,
+        height: Int): Option[Array[Byte]] =
+      Some(sample).filter(_.length == width * height)
+  }
 
-  /** MJPEG track decode (r15 verdict task 5): a `'jpeg'` sample entry
-    * means every sample is a complete baseline-JPEG image — the classic
+  /** MJPEG (r15 verdict task 5): a `'jpeg'` sample entry means every
+    * sample is a complete baseline-JPEG image — the classic
     * MJPEG-in-MP4/QuickTime layout — and the JDK decodes JPEG natively
     * ([[ImageCodec]]), so this closes a real slice of the
     * compressed-video seam with zero new dependencies. Each decoded
-    * sample is converted to the same w×h 8-bit luma plane the raw track
+    * sample converts to the same w×h 8-bit luma plane the raw track
     * yields (integer BT.601: (299R+587G+114B)/1000, the [[PHash]]
-    * weights), so every downstream frame operator (brightness, pHash,
-    * scene cuts) is codec-agnostic. None when any sample fails to
-    * decode or mismatches the declared dimensions.
+    * weights). Structurally this IS a [[FrameDecoder]] plug-in — the
+    * proof the seam contract is the right shape.
     */
-  def decodeMjpegFrames(bytes: Array[Byte]): Option[VideoTrack] =
-    demuxVideo(bytes).filter(_.codec == "jpeg").flatMap { vs =>
-      val decoded = vs.samples.map { s =>
-        ImageCodec.decodeImage(s).filter(img =>
-          img.getWidth == vs.width && img.getHeight == vs.height)
-          .map { img =>
-            val luma = new Array[Byte](vs.width * vs.height)
-            var y = 0
-            while (y < vs.height) {
-              var x = 0
-              while (x < vs.width) {
-                val rgb = img.getRGB(x, y)
-                luma(y * vs.width + x) = ((299 * ((rgb >> 16) & 0xff) +
-                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000)
-                  .toByte
-                x += 1
-              }
-              y += 1
+  object MjpegDecoder extends FrameDecoder {
+    val codecs: Set[String] = Set("jpeg")
+    def decodeLuma(sample: Array[Byte], width: Int,
+        height: Int): Option[Array[Byte]] =
+      ImageCodec.decodeImage(sample).filter(img =>
+        img.getWidth == width && img.getHeight == height)
+        .map { img =>
+          val luma = new Array[Byte](width * height)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val rgb = img.getRGB(x, y)
+              luma(y * width + x) = ((299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000)
+                .toByte
+              x += 1
             }
-            luma
+            y += 1
           }
-      }
-      if (decoded.forall(_.isDefined))
+          luma
+        }
+  }
+
+  /** the decoder stack the engine ships: raw luma + MJPEG are what the
+    * JDK can honestly decode; an H.264/AV1 library decoder drops in by
+    * being passed to [[decodeTrack]] alongside these (see
+    * [[FrameDecoder]] for the contract)
+    */
+  val decoders: Seq[FrameDecoder] = Seq(RawLumaDecoder, MjpegDecoder)
+
+  /** codec dispatch over demuxed samples: the first decoder claiming
+    * the track's 4cc decodes every sample; a track with any failing
+    * sample is rejected whole (None), never served truncated. This is
+    * the ONLY place sample bytes meet a codec — every operator above it
+    * consumes [[VideoTrack]] luma planes and never sees the 4cc.
+    */
+  def decodeTrack(vs: VideoSamples,
+      available: Seq[FrameDecoder] = decoders): Option[VideoTrack] =
+    available.find(_.codecs(vs.codec)).flatMap { d =>
+      val frames = vs.samples.map(d.decodeLuma(_, vs.width, vs.height))
+      if (frames.forall(_.isDefined))
         Some(VideoTrack(vs.width, vs.height, vs.timescale, vs.frameDelta,
-          decoded.map(_.get)))
+          frames.map(_.get)))
       else None
     }
+
+  /** the raw-luma track decode — [[decodeTrack]] restricted to the
+    * identity codec; None for any compressed sample entry
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[VideoTrack] =
+    demuxVideo(bytes).flatMap(decodeTrack(_, Seq(RawLumaDecoder)))
+
+  /** the MJPEG track decode — [[decodeTrack]] restricted to the JDK
+    * JPEG plug-in; None when any sample fails to decode or mismatches
+    * the declared dimensions
+    */
+  def decodeMjpegFrames(bytes: Array[Byte]): Option[VideoTrack] =
+    demuxVideo(bytes).flatMap(decodeTrack(_, Seq(MjpegDecoder)))
+
+  /** every codec the shipped stack can decode, one entry point — what
+    * [[graft.llm.Multimodal]]'s frame operators call
+    */
+  def decodeAnyFrames(bytes: Array[Byte]): Option[VideoTrack] =
+    demuxVideo(bytes).flatMap(decodeTrack(_))
 
   private def box(tpe: String, content: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + content.length)
@@ -266,7 +332,10 @@ object Mp4Meta {
       jpegSamples)
   }
 
-  private def encodeTrack(timescale: Int, frameW: Int, frameH: Int,
+  // private[llm]: Mp4MetaSpec builds a stand-in compressed-codec track
+  // (an 'avc1' sample entry) to prove a drop-in FrameDecoder needs no
+  // operator changes
+  private[llm] def encodeTrack(timescale: Int, frameW: Int, frameH: Int,
       frameDelta: Int, format: String, depth: Int,
       frames: Seq[Array[Byte]]): Array[Byte] = {
     val duration = frames.length.toLong * frameDelta

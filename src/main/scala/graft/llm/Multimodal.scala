@@ -593,14 +593,14 @@ object Multimodal {
       }).toDF()
   }
 
-  /** codec dispatch off the stsd sample entry: the raw-luma slice, then
-    * the MJPEG JDK decode ([[Mp4Meta.decodeMjpegFrames]]) — every frame
-    * operator downstream is codec-agnostic; None only for genuinely
-    * compressed codecs (H.264/AV1), the documented library seam
+  /** codec dispatch off the stsd sample entry via the shipped decoder
+    * stack ([[Mp4Meta.decoders]]: raw luma, then the MJPEG JDK decode)
+    * — every frame operator downstream is codec-agnostic; None only for
+    * genuinely compressed inter-frame codecs (H.264/AV1), the
+    * [[graft.llm.FrameDecoder]] seam a library decoder plugs into
     */
   private def anyVideoTrack(payload: Array[Byte]): Option[Mp4Meta.VideoTrack] =
-    Mp4Meta.decodeFrames(payload)
-      .orElse(Mp4Meta.decodeMjpegFrames(payload))
+    Mp4Meta.decodeAnyFrames(payload)
 
   /** x92 — the MJPEG-only decode path: per-frame luma stats + pHash for
     * clips whose track needs the JPEG codec (the [[videoFrames]] shape
@@ -1142,6 +1142,11 @@ object Multimodal {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val imgHash = x.select(col("media_id"), col("kind"), col("phash64"))
     val (nBands, tau) = autoBandGeometry(imgHash, "phash64", budgetPairs)
+    // the selected geometry rides on every output row (r16 ADVICE):
+    // past the budget knee the funnel legitimately switches to the
+    // narrow geometry and its rows diverge from the wide-geometry
+    // oracle — these columns turn that boundary crossing into a
+    // visible, diagnosable value instead of an unexplained mismatch
     mediaCurationFunnelFrom(
       x.select(col("media_id"), col("kind"), col("dec_width"),
         col("dec_height"), col("dec_brightness"), col("dec_duration_ms"),
@@ -1149,6 +1154,8 @@ object Multimodal {
       imgHash,
       x.select(col("media_id"), col("kind"), col("audiofp64")),
       vidHashOf(x), imgTau = tau, imgBands = nBands)
+      .withColumn("geo_bands", lit(nBands))
+      .withColumn("geo_tau", lit(tau))
   }
 
   /** the generic exact banded hamming-≤τ self-join over any

@@ -32,8 +32,15 @@ abstract class GlueClientCatalog extends MetaCatalog {
   protected def registry: Seq[ConfigFx]
 
   // ---- the transport seam: one method per Glue read --------------------
-  protected def databasesDoc(cfg: ConfigFx): Option[String]
-  protected def tablesDoc(cfg: ConfigFx, db: String): Option[String]
+  // The two listing reads take the page's continuation token (None =
+  // first page): real Glue caps GetDatabases/GetTables at 100 entries
+  // and continues via NextToken, and the paging loop ([[Paging]]) lives
+  // HERE so both the file-backed and live transports serve complete
+  // listings (r16 verdict task 1).
+  protected def databasesDoc(cfg: ConfigFx,
+      nextToken: Option[String]): Option[String]
+  protected def tablesDoc(cfg: ConfigFx, db: String,
+      nextToken: Option[String]): Option[String]
   protected def metadataDoc(cfg: ConfigFx, location: String): Option[String]
 
   private case class Parsed(
@@ -49,10 +56,13 @@ abstract class GlueClientCatalog extends MetaCatalog {
       // transport never signs a request)
       GlueWire.effectiveProps(cfg)
       val cat = cfg.name
-      val dbs = databasesDoc(cfg)
-        .map(GlueWire.parseDatabases).getOrElse(Seq.empty)
+      val dbs = Paging.collect(s"$cat GetDatabases",
+        databasesDoc(cfg, _), GlueWire.parseDatabases,
+        GlueWire.parseNextToken)
       val tables: Seq[GlueTableFx] = dbs.flatMap { db =>
-        tablesDoc(cfg, db).map(GlueWire.parseTables).getOrElse(Seq.empty)
+        Paging.collect(s"$cat GetTables($db)",
+          tablesDoc(cfg, db, _), GlueWire.parseTables,
+          GlueWire.parseNextToken)
       }
       // the probe: an Iceberg pointer whose metadata file loads
       // classifies "iceberg"; a non-pointer entry or a dangling pointer
@@ -124,10 +134,17 @@ class GluePayloadCatalog(dir: String) extends GlueClientCatalog {
     RestWire.parseCatalogs(
       payload("catalogs.json").getOrElse("""{"catalogs":[]}"""))
 
-  override protected def databasesDoc(cfg: ConfigFx): Option[String] =
-    payload(s"${cfg.name}/databases.json")
-  override protected def tablesDoc(cfg: ConfigFx, db: String): Option[String] =
-    payload(s"${cfg.name}/tables/$db.json")
+  // continuation pages live next to the first page, keyed by token
+  // (a fixture tree can therefore express a paginated server; the
+  // single-file layout is unchanged for unpaginated fixtures)
+  override protected def databasesDoc(cfg: ConfigFx,
+      nextToken: Option[String]): Option[String] =
+    payload(nextToken.fold(s"${cfg.name}/databases.json")(t =>
+      s"${cfg.name}/databases.$t.json"))
+  override protected def tablesDoc(cfg: ConfigFx, db: String,
+      nextToken: Option[String]): Option[String] =
+    payload(nextToken.fold(s"${cfg.name}/tables/$db.json")(t =>
+      s"${cfg.name}/tables/$db.$t.json"))
   override protected def metadataDoc(cfg: ConfigFx,
       location: String): Option[String] =
     payload(s"${cfg.name}/metadata/${GlueWire.locationKey(location)}.json")

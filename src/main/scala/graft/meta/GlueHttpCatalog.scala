@@ -100,6 +100,37 @@ class GlueHttpCatalog(
     (r.statusCode(), r.body())
   }
 
+  /** transport robustness (r16 verdict task 2): one bounded retry on a
+    * 5xx or a connection-level IOException, matching SDK default
+    * behavior for transient endpoint hiccups. `attempt` SIGNS anew on
+    * every call — a retried request carries a fresh `x-amz-date` and a
+    * fresh signature, so a retry after a delay can never replay a
+    * stale-dated request into a clock-skew 403. A 403 gets a clear
+    * signature/skew diagnosis instead of a bare status (SigV4 servers
+    * reject requests whose x-amz-date drifts >5 min from server time).
+    */
+  private def sendSigned(what: String, attempt: () => HttpRequest):
+      (Int, String) = {
+    def once(): Either[Throwable, (Int, String)] =
+      try Right(send(attempt()))
+      catch { case e: java.io.IOException => Left(e) }
+    val first = once()
+    val result = first match {
+      case Right((code, _)) if code >= 500 => once()
+      case Left(_) => once()
+      case ok => ok
+    }
+    result match {
+      case Right((403, body)) => sys.error(
+        s"$what -> HTTP 403 (signature rejected: wrong credentials, a " +
+          s"mis-canonicalized request, or >5 min clock skew): " +
+          s"${body.take(200)}")
+      case Right(r) => r
+      case Left(e) => throw new RuntimeException(
+        s"$what: connection failed twice: ${e.getMessage}", e)
+    }
+  }
+
   /** one signed Glue JSON-RPC call; None for the not-found error class.
     * The signed canonical path is the ENDPOINT's base path (review
     * finding: signing "/" while posting to a path-bearing endpoint_url
@@ -117,18 +148,25 @@ class GlueHttpCatalog(
       (if (uri.getPort > 0) s":${uri.getPort}" else "")
     val basePath = Option(uri.getPath).getOrElse("")
       .stripSuffix("/") + "/"
-    val signed = SigV4.sign("POST", basePath, Seq.empty,
-      Map("host" -> host,
-        "content-type" -> "application/x-amz-json-1.1",
-        "x-amz-target" -> target),
-      payload, credentials(cfg), region, "glue", amzDate())
-    val b = HttpRequest.newBuilder(URI.create(
-        s"${uri.getScheme}://$host$basePath"))
-      .timeout(Duration.ofSeconds(30))
-      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
-    signed.filterNot(_._1 == "host") // HttpClient sets Host itself
-      .foreach { case (k, v) => b.header(k, v) }
-    send(b.build()) match {
+    // the wire path is the single-encoded form of the raw base path;
+    // SigV4.sign canonicalizes it ONCE MORE for a non-S3 service (the
+    // spec's double-encoding rule) — matching what a verifying server
+    // derives from the path it receives
+    def mk(): HttpRequest = {
+      val signed = SigV4.sign("POST", basePath, Seq.empty,
+        Map("host" -> host,
+          "content-type" -> "application/x-amz-json-1.1",
+          "x-amz-target" -> target),
+        payload, credentials(cfg), region, "glue", amzDate())
+      val b = HttpRequest.newBuilder(URI.create(
+          s"${uri.getScheme}://$host${SigV4.uriEncodePath(basePath)}"))
+        .timeout(Duration.ofSeconds(30))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+      signed.filterNot(_._1 == "host") // HttpClient sets Host itself
+        .foreach { case (k, v) => b.header(k, v) }
+      b.build()
+    }
+    sendSigned(target, () => mk()) match {
       case (200, resp) => Some(resp)
       case (400, resp) if resp.contains("EntityNotFoundException") => None
       case (code, resp) => sys.error(
@@ -149,17 +187,21 @@ class GlueHttpCatalog(
     val eu = URI.create(endpoint)
     val host = eu.getHost + (if (eu.getPort > 0) s":${eu.getPort}" else "")
     val path = s"/$bucket/$key"
-    val signed = SigV4.sign("GET", path, Seq.empty, Map("host" -> host),
-      Array.emptyByteArray, credentials(cfg), region, "s3", amzDate())
     // the REQUEST path must be the same percent-encoded form the
     // signature canonicalized (review finding: a key with a space threw
-    // from URI.create; '+' signed one path and sent another → 403)
-    val b = HttpRequest.newBuilder(URI.create(
-        endpoint.stripSuffix("/") + SigV4.uriEncodePath(path)))
-      .timeout(Duration.ofSeconds(30)).GET()
-    signed.filterNot(_._1 == "host")
-      .foreach { case (k, v) => b.header(k, v) }
-    send(b.build()) match {
+    // from URI.create; '+' signed one path and sent another → 403);
+    // S3 is the one service SigV4 canonicalizes single-encoded
+    def mk(): HttpRequest = {
+      val signed = SigV4.sign("GET", path, Seq.empty, Map("host" -> host),
+        Array.emptyByteArray, credentials(cfg), region, "s3", amzDate())
+      val b = HttpRequest.newBuilder(URI.create(
+          endpoint.stripSuffix("/") + SigV4.uriEncodePath(path)))
+        .timeout(Duration.ofSeconds(30)).GET()
+      signed.filterNot(_._1 == "host")
+        .foreach { case (k, v) => b.header(k, v) }
+      b.build()
+    }
+    sendSigned(s"GET $endpoint$path", () => mk()) match {
       case (200, resp) => Some(resp)
       case (404, _) => None
       case (code, resp) => sys.error(
@@ -167,11 +209,14 @@ class GlueHttpCatalog(
     }
   }
 
-  override protected def databasesDoc(cfg: ConfigFx): Option[String] =
-    glueCall(cfg, "AWSGlue.GetDatabases", "{}")
-  override protected def tablesDoc(cfg: ConfigFx,
-      db: String): Option[String] =
-    glueCall(cfg, "AWSGlue.GetTables", GlueWire.getTablesRequestJson(db))
+  override protected def databasesDoc(cfg: ConfigFx,
+      nextToken: Option[String]): Option[String] =
+    glueCall(cfg, "AWSGlue.GetDatabases",
+      GlueWire.getDatabasesRequestJson(nextToken))
+  override protected def tablesDoc(cfg: ConfigFx, db: String,
+      nextToken: Option[String]): Option[String] =
+    glueCall(cfg, "AWSGlue.GetTables",
+      GlueWire.getTablesRequestJson(db, nextToken))
   override protected def metadataDoc(cfg: ConfigFx,
       location: String): Option[String] = s3Get(cfg, location)
 }

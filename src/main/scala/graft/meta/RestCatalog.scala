@@ -33,8 +33,15 @@ abstract class RestClientCatalog extends MetaCatalog {
   protected def registry: Seq[ConfigFx]
 
   // ---- the transport seam: one method per REST endpoint ----------------
-  protected def namespacesDoc(cfg: ConfigFx): Option[String]
-  protected def tablesDoc(cfg: ConfigFx, ns: String): Option[String]
+  // The two listing endpoints take the page's continuation token (None
+  // = first page): the Iceberg REST spec paginates listings via the
+  // `pageToken` query parameter / `next-page-token` response field, and
+  // the paging loop ([[Paging]]) lives HERE so both transports serve
+  // complete listings (r16 verdict task 1).
+  protected def namespacesDoc(cfg: ConfigFx,
+      pageToken: Option[String]): Option[String]
+  protected def tablesDoc(cfg: ConfigFx, ns: String,
+      pageToken: Option[String]): Option[String]
   protected def loadTableDoc(cfg: ConfigFx, ns: String, t: String): Option[String]
 
   private case class Parsed(
@@ -46,11 +53,13 @@ abstract class RestClientCatalog extends MetaCatalog {
     val configs = registry
     val acc = configs.map { cfg =>
       val cat = cfg.name
-      val nss = namespacesDoc(cfg)
-        .map(RestWire.parseNamespaces).getOrElse(Seq.empty)
+      val nss = Paging.collect(s"$cat namespaces",
+        namespacesDoc(cfg, _), RestWire.parseNamespaces,
+        RestWire.parseNextPageToken)
       val idents = nss.flatMap { ns =>
-        tablesDoc(cfg, ns)
-          .map(RestWire.parseTableIdents).getOrElse(Seq.empty)
+        Paging.collect(s"$cat tables($ns)",
+          tablesDoc(cfg, ns, _), RestWire.parseTableIdents,
+          RestWire.parseNextPageToken)
       }
       val loaded = idents.flatMap { case (ns, t) =>
         loadTableDoc(cfg, ns, t)
@@ -112,10 +121,15 @@ class RestPayloadCatalog(dir: String) extends RestClientCatalog {
     RestWire.parseCatalogs(
       payload("catalogs.json").getOrElse("""{"catalogs":[]}"""))
 
-  override protected def namespacesDoc(cfg: ConfigFx): Option[String] =
-    payload(s"${cfg.name}/namespaces.json")
-  override protected def tablesDoc(cfg: ConfigFx, ns: String): Option[String] =
-    payload(s"${cfg.name}/tables/$ns.json")
+  // continuation pages live next to the first page, keyed by token
+  override protected def namespacesDoc(cfg: ConfigFx,
+      pageToken: Option[String]): Option[String] =
+    payload(pageToken.fold(s"${cfg.name}/namespaces.json")(t =>
+      s"${cfg.name}/namespaces.$t.json"))
+  override protected def tablesDoc(cfg: ConfigFx, ns: String,
+      pageToken: Option[String]): Option[String] =
+    payload(pageToken.fold(s"${cfg.name}/tables/$ns.json")(t =>
+      s"${cfg.name}/tables/$ns.$t.json"))
   override protected def loadTableDoc(cfg: ConfigFx, ns: String,
       t: String): Option[String] =
     payload(s"${cfg.name}/load/$ns.$t.json")
@@ -148,28 +162,49 @@ class RestHttpCatalog(override protected val registry: Seq[ConfigFx])
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
 
-  private def get(cfg: ConfigFx, path: String): Option[String] = {
+  /** one bounded retry on a 5xx or a connection-level IOException —
+    * transport robustness matching the Glue client (r16 verdict task 2)
+    */
+  private def get(cfg: ConfigFx, path: String,
+      pageToken: Option[String] = None): Option[String] = {
     val base = cfg.config.getOrElse("uri",
       sys.error(s"catalog ${cfg.name}: no uri in registry config"))
-    val b = HttpRequest.newBuilder(URI.create(base.stripSuffix("/") + path))
+    val q = pageToken.fold("")(t => "?pageToken=" +
+      java.net.URLEncoder.encode(t, java.nio.charset.StandardCharsets.UTF_8))
+    val b = HttpRequest.newBuilder(
+        URI.create(base.stripSuffix("/") + path + q))
       .timeout(Duration.ofSeconds(30)).GET()
     cfg.config.get("auth_token")
       .foreach(t => b.header("Authorization", s"Bearer $t"))
-    val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    r.statusCode() match {
-      case 200 => Some(r.body())
-      case 404 => None
-      case code => sys.error(s"GET $base$path -> HTTP $code")
+    val req = b.build()
+    def once(): Either[Throwable, (Int, String)] =
+      try {
+        val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+        Right((r.statusCode(), r.body()))
+      } catch { case e: java.io.IOException => Left(e) }
+    val result = once() match {
+      case Right((code, _)) if code >= 500 => once()
+      case Left(_) => once()
+      case ok => ok
+    }
+    result match {
+      case Right((200, body)) => Some(body)
+      case Right((404, _)) => None
+      case Right((code, _)) => sys.error(s"GET $base$path$q -> HTTP $code")
+      case Left(e) => throw new RuntimeException(
+        s"GET $base$path$q: connection failed twice: ${e.getMessage}", e)
     }
   }
 
   private def rest(cfg: ConfigFx)(req: => Option[String]): Option[String] =
     if (cfg.catalog_type == "rest") req else None
 
-  override protected def namespacesDoc(cfg: ConfigFx): Option[String] =
-    rest(cfg)(get(cfg, "/v1/namespaces"))
-  override protected def tablesDoc(cfg: ConfigFx, ns: String): Option[String] =
-    rest(cfg)(get(cfg, s"/v1/namespaces/$ns/tables"))
+  override protected def namespacesDoc(cfg: ConfigFx,
+      pageToken: Option[String]): Option[String] =
+    rest(cfg)(get(cfg, "/v1/namespaces", pageToken))
+  override protected def tablesDoc(cfg: ConfigFx, ns: String,
+      pageToken: Option[String]): Option[String] =
+    rest(cfg)(get(cfg, s"/v1/namespaces/$ns/tables", pageToken))
   override protected def loadTableDoc(cfg: ConfigFx, ns: String,
       t: String): Option[String] =
     rest(cfg)(get(cfg, s"/v1/namespaces/$ns/tables/$t"))

@@ -40,14 +40,21 @@ object RestWire {
 
   // ---- render (the fixture-authoring / server side) --------------------
 
-  def namespacesJson(nss: Seq[String]): String = {
+  /** `nextPageToken` when this page is NOT the last — the REST spec's
+    * `next-page-token` field on every listing response (servers that
+    * paginate return it until the final page)
+    */
+  def namespacesJson(nss: Seq[String],
+      nextPageToken: Option[String] = None): String = {
     val root = M.createObjectNode()
     val arr = root.putArray("namespaces")
     nss.foreach(ns => arr.addArray().add(ns))
+    nextPageToken.foreach(root.put("next-page-token", _))
     root.toPrettyString
   }
 
-  def tableIdentsJson(ns: String, names: Seq[String]): String = {
+  def tableIdentsJson(ns: String, names: Seq[String],
+      nextPageToken: Option[String] = None): String = {
     val root = M.createObjectNode()
     val arr = root.putArray("identifiers")
     names.foreach { n =>
@@ -55,6 +62,7 @@ object RestWire {
       o.putArray("namespace").add(ns)
       o.put("name", n)
     }
+    nextPageToken.foreach(root.put("next-page-token", _))
     root.toPrettyString
   }
 
@@ -174,6 +182,17 @@ object RestWire {
         iterFields(c.path("config"))
           .map { case (k, v) => k -> v.asText }.toMap)
     }
+
+  /** the listing response's continuation token — `None` on the last
+    * page (the spec's `next-page-token`; null and empty both mean the
+    * listing is complete, matching reference-SDK behavior of iterating
+    * to exhaustion, `/root/reference/src/catalog.rs:261-286`)
+    */
+  def parseNextPageToken(json: String): Option[String] = {
+    val t = M.readTree(json).path("next-page-token")
+    if (t.isMissingNode || t.isNull || t.asText.isEmpty) None
+    else Some(t.asText)
+  }
 
   def parseNamespaces(json: String): Seq[String] = {
     val arr = M.readTree(json).path("namespaces")

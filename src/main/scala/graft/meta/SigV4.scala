@@ -81,9 +81,19 @@ object SigV4 {
     val canonQuery = query
       .map { case (k, v) => uriEncode(k) -> uriEncode(v) }
       .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    // the spec's one service asymmetry: every service EXCEPT S3
+    // canonicalizes the path double-encoded (the wire carries the
+    // single-encoded form; the server re-encodes what it receives), S3
+    // canonicalizes the single-encoded form verbatim. `path` here is
+    // the RAW (decoded) path — callers send uriEncodePath(path) on the
+    // wire, so both sides derive the same canonical form.
+    val canonPath = {
+      val once = uriEncodePath(if (path.isEmpty) "/" else path)
+      if (service == "s3") once else uriEncodePath(once)
+    }
     val canonicalRequest = Seq(
       method.toUpperCase,
-      uriEncodePath(if (path.isEmpty) "/" else path),
+      canonPath,
       canonQuery,
       canonHeaders.map { case (k, v) => s"$k:$v\n" }.mkString,
       signedHeaderNames,

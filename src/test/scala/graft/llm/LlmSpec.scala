@@ -1181,6 +1181,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("FrameDecoder seam: a drop-in codec decodes an avc1 track, zero operator changes") {
+    val (w, h) = (8, 6)
+    val lumas = (0 until 3).map(f =>
+      Array.tabulate(w * h)(j => (f * 50 + j).toByte))
+    // stand-in "compression": XOR-0x5A of the luma plane — any
+    // bijection works; the point is that the SHIPPED stack cannot
+    // decode it and a plugged-in decoder can, through the same entry
+    // point every operator already uses
+    val samples = lumas.map(_.map(b => (b ^ 0x5a).toByte))
+    val bytes = Mp4Meta.encodeTrack(timescale = 1000, frameW = w,
+      frameH = h, frameDelta = 100, format = "avc1", depth = 24,
+      frames = samples)
+    // the demuxer is codec-agnostic: 4cc + exact sample bytes come back
+    val Some(vs) = Mp4Meta.demuxVideo(bytes)
+    assert(vs.codec == "avc1" && vs.samples.length == 3)
+    (0 until 3).foreach(f => assert(vs.samples(f).sameElements(samples(f))))
+    // the shipped stack refuses the compressed entry — the honest seam
+    assert(Mp4Meta.decodeAnyFrames(bytes).isEmpty)
+    assert(Mp4Meta.decodeTrack(vs).isEmpty)
+    // ... and a drop-in FrameDecoder (what a JNI H.264 binding would
+    // be) crosses it with no changes above decodeTrack
+    object Avc1Standin extends FrameDecoder {
+      val codecs: Set[String] = Set("avc1")
+      def decodeLuma(sample: Array[Byte], width: Int,
+          height: Int): Option[Array[Byte]] =
+        Some(sample.map(b => (b ^ 0x5a).toByte))
+          .filter(_.length == width * height)
+    }
+    val Some(vt) = Mp4Meta.decodeTrack(vs, Mp4Meta.decoders :+ Avc1Standin)
+    assert(vt.width == w && vt.height == h && vt.frameDelta == 100)
+    vt.frames.zip(lumas).foreach { case (got, exp) =>
+      assert(got.sameElements(exp))
+    }
+    // a failing sample rejects the TRACK, never serves it truncated
+    val bad = vs.copy(samples = vs.samples.updated(1, Array[Byte](1, 2)))
+    assert(Mp4Meta.decodeTrack(bad, Seq(Avc1Standin)).isEmpty)
+    // the MJPEG decoder is exactly such a plug-in: routing it through
+    // the same decodeTrack entry point reproduces decodeMjpegFrames
+    val jpegLumas = (0 until 2).map(f =>
+      Array.tabulate(w * h)(j => (60 + 12 * f + (j % w) * 6).toByte))
+    val clip = Mp4Meta.encodeVideoMjpeg(1000, w, h, 250, jpegLumas.map(l =>
+      ImageCodec.encodeJpeg(ImageCodec.grayImage(l, w, h))))
+    val direct = Mp4Meta.decodeMjpegFrames(clip).get
+    val viaSeam = Mp4Meta.decodeTrack(Mp4Meta.demuxVideo(clip).get,
+      Seq(Mp4Meta.MjpegDecoder)).get
+    assert(direct.frames.length == viaSeam.frames.length)
+    direct.frames.zip(viaSeam.frames).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+  }
+
   test("x92: mjpegFrames reproduces the authored MJPEG frame stats") {
     val s = spark
     import s.implicits._
@@ -1242,7 +1293,12 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.mediaRows.toDS().toDF()
     def canon(d: org.apache.spark.sql.DataFrame): Set[String] =
       d.collect().map(_.mkString("|")).toSet
-    assert(canon(Multimodal.mediaCurationFunnelAuto(df)) ==
+    val auto = Multimodal.mediaCurationFunnelAuto(df)
+    // the stamped geometry columns name the selected ladder step —
+    // in-regime that is the widest (8 bands, τ7)
+    assert(auto.select("geo_bands", "geo_tau").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((8, 7)))
+    assert(canon(auto.drop("geo_bands", "geo_tau")) ==
       canon(Multimodal.mediaCurationFunnel(df)))
   }
 

@@ -61,9 +61,25 @@ class GlueHttpCatalogSpec extends SparkSpec with BeforeAndAfterAll {
           if (v == null) return false
           s"$h:${v.trim}\n"
         }.mkString
+        // the spec's service asymmetry, derived independently on the
+        // server side: S3 canonicalizes the wire path verbatim; every
+        // other service re-encodes the path it RECEIVED (so the
+        // canonical form is the double-encoding of the raw path)
+        val rawPath = ex.getRequestURI.getRawPath
+        val canonPath =
+          if (svc == "s3") rawPath
+          else rawPath.split("/", -1).map { seg =>
+            seg.getBytes(UTF_8).map { b =>
+              if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+                (b >= '0' && b <= '9') ||
+                b == '-' || b == '_' || b == '.' || b == '~')
+                b.toChar.toString
+              else f"%%${b & 0xff}%02X"
+            }.mkString
+          }.mkString("/")
         val canonical = Seq(
           ex.getRequestMethod.toUpperCase,
-          ex.getRequestURI.getRawPath,
+          canonPath,
           Option(ex.getRequestURI.getRawQuery).getOrElse(""),
           headerLines, signedHeaders, sha(payload)).mkString("\n")
         val sts = Seq("AWS4-HMAC-SHA256", amzDate,
@@ -94,18 +110,75 @@ class GlueHttpCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     ex.close()
   }
 
+  // ---- paged golden listings -------------------------------------------
+  // The server ALWAYS paginates (r16 verdict task 1 "done" shape):
+  // GetDatabases splits into 3 pages with the last partial, GetTables
+  // into 2 pages per database with >1 table — so the main end-to-end
+  // frame-equality test only passes if the client walks NextToken to
+  // exhaustion. Page splitting is server-side only; the golden payload
+  // files stay single-page for the m25/m26 payload-catalog path.
+  private def pagesOf[T](chunks: Seq[Seq[T]],
+      render: (Seq[T], Option[String]) => String,
+      pfx: String): Map[Option[String], String] =
+    chunks.zipWithIndex.map { case (c, i) =>
+      val self = if (i == 0) None else Some(s"$pfx$i")
+      val next =
+        if (i == chunks.length - 1) None else Some(s"$pfx${i + 1}")
+      self -> render(c, next)
+    }.toMap
+
+  private lazy val dbPages: Map[Option[String], String] = {
+    val dbs = GlueWire.parseDatabases(
+      new String(fileBody("c_glue/databases.json").get, UTF_8))
+    require(dbs.size >= 2, s"paged-spec shape needs >=2 dbs, got $dbs")
+    // 3 pages, the middle one EMPTY-but-continuing (legal Glue
+    // behavior: a page may carry a NextToken and no entries — a client
+    // that treats an empty page as terminal truncates), the last one
+    // partial
+    pagesOf(Seq(dbs.take(1), Seq.empty[String], dbs.drop(1)),
+      (c: Seq[String], t: Option[String]) => GlueWire.getDatabasesJson(c, t),
+      "dbp")
+  }
+
+  private def tablePages(db: String): Option[Map[Option[String], String]] =
+    fileBody(s"c_glue/tables/$db.json").map { b =>
+      val ts = GlueWire.parseTables(new String(b, UTF_8))
+      val chunks =
+        if (ts.size >= 2) Seq(ts.take(1), ts.drop(1)) else Seq(ts)
+      pagesOf(chunks,
+        (c: Seq[GlueWire.GlueTableFx], t: Option[String]) =>
+          GlueWire.getTablesJson(c, t), s"tbp-$db-")
+    }
+
+  // tokens observed per target — proves multiple pages were walked
+  private val served =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  private def note(target: String, tok: Option[String]): Unit = {
+    served.updateWith(target)(old =>
+      Some(old.getOrElse(Set.empty) + tok.getOrElse("<first>")))
+    ()
+  }
+
   private def handleGlue(ex: HttpExchange): Unit = {
     val payload = ex.getRequestBody.readAllBytes()
     if (!verify(ex, payload, "glue")) { respond(ex, 403, None); return }
     val target = ex.getRequestHeaders.getFirst("X-Amz-Target")
+    val body = new String(payload, UTF_8)
+    val reqToken = "\"NextToken\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(body).map(_.group(1))
     target match {
       case "AWSGlue.GetDatabases" =>
-        respond(ex, 200, fileBody("c_glue/databases.json"))
+        note(target, reqToken)
+        dbPages.get(reqToken) match {
+          case Some(page) => respond(ex, 200, Some(page.getBytes(UTF_8)))
+          case None => respond(ex, 400, None) // unknown token
+        }
       case "AWSGlue.GetTables" =>
         val db = "\"DatabaseName\"\\s*:\\s*\"([^\"]+)\"".r
-          .findFirstMatchIn(new String(payload, UTF_8)).map(_.group(1))
-        db.flatMap(d => fileBody(s"c_glue/tables/$d.json")) match {
-          case Some(b) => respond(ex, 200, Some(b))
+          .findFirstMatchIn(body).map(_.group(1))
+        note(s"$target:${db.getOrElse("?")}", reqToken)
+        db.flatMap(tablePages).flatMap(_.get(reqToken)) match {
+          case Some(page) => respond(ex, 200, Some(page.getBytes(UTF_8)))
           case None => respond(ex, 400, Some(
             """{"__type":"EntityNotFoundException","Message":"nope"}"""
               .getBytes(UTF_8)))
@@ -194,6 +267,70 @@ class GlueHttpCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       rows(glueOnly(fix.partitionSpecs(spark), "catalog")))
     assert(rows(http.tableMeta(spark)) ==
       rows(glueOnly(fix.tableMeta(spark), "catalog")))
+  }
+
+  test("listings assemble across NextToken pages; every page is walked") {
+    served.clear()
+    assert(cat().listing(spark).count() == 4)
+    // 3 GetDatabases pages: first (no token), the empty middle, the
+    // partial last — all three tokens observed server-side
+    assert(served("AWSGlue.GetDatabases") == Set("<first>", "dbp1", "dbp2"))
+    // each database's GetTables walked both pages
+    assert(served("AWSGlue.GetTables:ml").size == 2)
+    assert(served("AWSGlue.GetTables:tmp").size == 2)
+  }
+
+  test("a 5xx is retried once and the retry is re-signed with a fresh x-amz-date") {
+    val dates = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val flaky = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    flaky.createContext("/", { (ex: HttpExchange) =>
+      val payload = ex.getRequestBody.readAllBytes()
+      dates.add(ex.getRequestHeaders.getFirst("x-amz-date"))
+      if (!failedOnce.getAndSet(true))
+        respond(ex, 500, Some("transient".getBytes(UTF_8)))
+      else if (!verify(ex, payload, "glue")) respond(ex, 403, None)
+      else ex.getRequestHeaders.getFirst("X-Amz-Target") match {
+        case "AWSGlue.GetDatabases" =>
+          respond(ex, 200, fileBody("c_glue/databases.json"))
+        case _ =>
+          val db = "\"DatabaseName\"\\s*:\\s*\"([^\"]+)\"".r
+            .findFirstMatchIn(new String(payload, UTF_8)).map(_.group(1))
+          respond(ex, 200, db.flatMap(d => fileBody(s"c_glue/tables/$d.json")))
+      }
+    })
+    flaky.start()
+    try {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val c = new GlueHttpCatalog(
+        Seq(ConfigFx("c_glue", "glue", cfg.config + ("endpoint_url" ->
+          s"http://127.0.0.1:${flaky.getAddress.getPort}"))),
+        credsFile = credsPath, env = Map.empty,
+        amzDate = () => f"20260816T${n.incrementAndGet()}%06dZ")
+      assert(c.listing(spark).count() == 4)
+      // the 500'd attempt and its retry carry DIFFERENT x-amz-date
+      // values (and the retry's signature verified, or it would 403)
+      assert(dates.size >= 2 && dates.get(0) != dates.get(1))
+    } finally flaky.stop(0)
+  }
+
+  test("a dead endpoint fails after the bounded retry with a clear message") {
+    // no listener on the port: both attempts throw connect exceptions
+    val c = new GlueHttpCatalog(
+      Seq(ConfigFx("c_glue", "glue",
+        cfg.config + ("endpoint_url" -> "http://127.0.0.1:9"))),
+      credsFile = credsPath, env = Map.empty)
+    val e = intercept[RuntimeException] { c.listing(spark).count() }
+    assert(e.getMessage.contains("connection failed twice"))
+  }
+
+  test("a path-bearing endpoint with reserved chars double-encodes the canonical path") {
+    // '/gw v1' (sent single-encoded as /gw%20v1) only verifies if the
+    // client canonicalized the DOUBLE-encoded form — the server-side
+    // recomputation re-encodes the received path per the spec
+    val c2 = ConfigFx("c_glue", "glue", cfg.config + ("endpoint_url" ->
+      s"http://127.0.0.1:${glueServer.getAddress.getPort}/gw%20v1"))
+    assert(cat(c2).listing(spark).count() == 4)
   }
 
   test("a wrong secret is refused by the server-side recomputation") {

@@ -87,6 +87,9 @@ def main():
             except Exception:
                 runs.append(timeout)
                 capped = True
+                # the query is already a DNF — running the remaining
+                # repeats would just burn the full cap again (r16 ADVICE)
+                break
         if capped:
             # a timed run hitting the cap is a DNF too (r15 ADVICE):
             # summing the cap value with n_dnf=0 let `dnf==[]` read as
