@@ -78,10 +78,20 @@ object MediaBench {
     if (id % 5 == 4) (id - 1, true) else (id, false)
 
   /** PNG payload: unique texture, or a +6 brightness-shifted re-encode
-    * of the previous id's pixels (the x80 invariance class)
+    * of the previous id's pixels (the x80 invariance class).
+    *
+    * `mega` plants the adversarial MEGA-CLUSTER (r16 verdict task 4):
+    * every id ≡ 2 (mod 5) — 20% of the corpus, disjoint from the
+    * planted-variant rule — renders ONE fixed texture, so 20% of files
+    * share a single pHash and every band geometry has one fully
+    * degenerate bucket. This is the corpus shape where a naive
+    * work-budget policy would blow up: the auto geometry pick and the
+    * re-shard cap must together keep the funnel's wall at the
+    * measured-best manual geometry.
     */
-  def pngFor(id: Long): Array[Byte] = {
-    val (base, variant) = baseOf(id)
+  def pngFor(id: Long, mega: Boolean = false): Array[Byte] = {
+    val (base0, variant) = baseOf(id)
+    val base = if (mega && id % 5 == 2) 0x4d454741L else base0
     val lum = lumaFrame(base, 0)
     val img = new java.awt.image.BufferedImage(W, H,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -146,18 +156,19 @@ object MediaBench {
     * recipe-version lesson — a recipe change renames the dir).
     */
   def stageMedia(spark: SparkSession, n: Long, vidX: Int = 1,
-      audX: Int = 1): String = {
+      audX: Int = 1, mega: Boolean = false): String = {
     val out =
       s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v2" +
         (if (vidX > 1) s"_vx$vidX" else "") +
-        (if (audX > 1) s"_ax$audX" else "")
+        (if (audX > 1) s"_ax$audX" else "") +
+        (if (mega) "_mc" else "")
     Bench.stagedAtomically(out) { tmp =>
       import spark.implicits._
       val nAud = math.max(8L, n / 4) * audX
       val nVid = math.max(8L, n / 8) * vidX
       val (audOff, vidOff) = offsets(n, audX)
       spark.range(0, n, 1, 32)
-        .map(id => (id, "image", pngFor(id), Some(W), Some(H),
+        .map(id => (id, "image", pngFor(id, mega), Some(W), Some(H),
           None: Option[Long], None: Option[Int]))
         .toDF("media_id", "kind", "payload", "width", "height",
           "duration_ms", "sample_rate")
@@ -187,6 +198,9 @@ object MediaBench {
     // audio-heavy corpus knob (r14, the nd_aud design-scale point):
     // multiplies the WAV count (default n/4) without paying 4n images
     val audX = sys.env.getOrElse("SPARK_GRAFT_MEDIA_AUD_X", "1").toInt
+    // adversarial clustered corpus (r16 verdict task 4): 20% of images
+    // share one pHash — see pngFor's mega doc
+    val mega = sys.env.get("SPARK_GRAFT_MEDIA_MEGA").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = core.GraftSession.builder("graft-media-bench", cpus)
       // harness-only maxResultSize raise — see the Bench.main note
@@ -201,11 +215,12 @@ object MediaBench {
     // metadata/hash tables keep the default.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
 
-    val dir = stageMedia(spark, n, vidX, audX)
+    val dir = stageMedia(spark, n, vidX, audX, mega)
     val hdir =
       s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/hashes_n$n" +
         (if (vidX > 1) s"_vx$vidX" else "") +
-        (if (audX > 1) s"_ax$audX" else "")
+        (if (audX > 1) s"_ax$audX" else "") +
+        (if (mega) "_mc" else "")
     def payload(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
     def hashes(t: String): DataFrame = spark.read.parquet(s"$hdir/$t.parquet")
 
@@ -468,6 +483,12 @@ object MediaBench {
     // exists from an earlier run
     val audAutoCap = scala.util.Try(
       Multimodal.autoCap(hashes("aud_fp"), "audiofp64", 4)).getOrElse(-1)
+    // record the geometry the auto policy picked on THIS corpus, so the
+    // BASELINE point is self-describing (mega-cluster runs must show
+    // the narrow pick)
+    val autoGeo = scala.util.Try(
+      Multimodal.autoBandGeometry(hashes("img_hash"), "phash64"))
+      .map { case (b, t) => s"${b}x$t" }.getOrElse("n/a")
 
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -479,7 +500,8 @@ object MediaBench {
       s""""pairs":${pairs.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")},""" +
       s""""planted_recall":${jm(recall)},""" +
-      s""""auto_cap_aud":$audAutoCap,""" +
+      s""""auto_cap_aud":$audAutoCap,"mega":$mega,""" +
+      s""""auto_geo":"$autoGeo",""" +
       (if (capCurve.nonEmpty)
         s""""cap_curve_aud":${capCurve.map { case (c, p, r) =>
           s""""$c":{"pairs":$p,"recall":${r3(r)}}""" }

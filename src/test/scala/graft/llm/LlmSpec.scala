@@ -1287,6 +1287,26 @@ class MultimodalSpec extends SparkSpec {
       budgetPairs = 1000000L) == (8, 7))
   }
 
+  test("autoBandGeometry: ONE degenerate band forces the switch, tame bands don't mask it") {
+    val s = spark
+    import s.implicits._
+    // low byte constant, upper 56 bits well-spread: band 0 of the 8×8
+    // geometry holds EVERY row in one bucket (n(n−1)/2 ≈ 500k pairs)
+    // while bands 1–7 are tame — the degenerate-band adversary (r16
+    // verdict task 4). Because the policy sums the observed histogram
+    // (not a per-band average), the one hot band alone must trip the
+    // budget; the 4×16 geometry's first band absorbs the constant byte
+    // into 16-bit buckets and stays in regime.
+    val rnd = new scala.util.Random(42)
+    val hs = (0 until 1000).map(i => (i.toLong, rnd.nextLong() & ~0xffL))
+      .toDF("media_id", "phash64")
+    assert(Multimodal.autoBandGeometry(hs, "phash64",
+      budgetPairs = 100000L) == (4, 3))
+    // budget above the degenerate band's exact pair work → wide is fine
+    assert(Multimodal.autoBandGeometry(hs, "phash64",
+      budgetPairs = 1000000L) == (8, 7))
+  }
+
   test("x93 funnel_autogeo equals x91 at a budget-fitting corpus") {
     val s = spark
     import s.implicits._
