@@ -929,10 +929,14 @@ object Multimodal {
   def mediaDedupKeepFrom(idsKinds: DataFrame, imgHash: DataFrame,
       audFp: DataFrame, vidHash: DataFrame,
       imgTau: Int = 7, imgBands: Int = 8): DataFrame = {
-    val pairs = imageNearDupFrom(imgHash, imgTau, imgBands)
-      .select(col("id_a"), col("id_b"))
-      .unionAll(hammingNearDupFrom(audFp, "audiofp64", 7, 8,
-        Dedup.MaxBucket).select(col("id_a"), col("id_b")))
+    // r17: the two hamming modalities feed CC through [[hammingCcEdges]]
+    // (exact-hash collapse + star edges + rep-space banded join) — same
+    // components as the full pair lists, bounded on mega-cluster
+    // corpora where the pair LIST is quadratic-per-bucket even under
+    // the re-shard cap. The per-pair LISTINGS (x81/x83) keep their
+    // full-pair contract; only the edge set CC consumes changed shape.
+    val pairs = hammingCcEdges(imgHash, "phash64", imgTau, imgBands)
+      .unionAll(hammingCcEdges(audFp, "audiofp64", 7, 8))
       .unionAll(videoNearDupFrom(vidHash).select(col("id_a"), col("id_b")))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val ids = idsKinds.select(col("media_id").as("doc_id"))
@@ -1111,11 +1115,17 @@ object Multimodal {
       budgetPairs: Long = 200000000L,
       ladder: Seq[(Int, Int)] = BandGeometries): (Int, Int) = {
     require(ladder.nonEmpty)
+    // r17: the histogram runs over DISTINCT hash values — the
+    // representative space [[hammingCcEdges]] actually joins — so an
+    // exact-duplicate mega-cluster (one hash shared by 20% of files)
+    // costs the estimate nothing, exactly as it costs the execution
+    // nothing; the estimate stays exact for the work the funnel pays
     val works = ladder.init.map { case (nBands, tau) =>
       val bpb = 64 / nBands
       val mask = (1L << bpb) - 1
       val w = hashed.filter(col(hashCol).isNotNull)
-        .select(col(hashCol).as("h"),
+        .select(col(hashCol).as("h")).distinct()
+        .select(col("h"),
           explode(sequence(lit(0), lit(nBands - 1))).as("band"))
         .select(col("band"),
           expr(s"(h >> (band * $bpb)) & ${mask}L").as("bucket"))
@@ -1218,6 +1228,44 @@ object Multimodal {
         expr("bit_count(ph_a ^ ph_b)"))
       .filter(col("hamming") <= tau)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** CC-EDGE generator for the banded hamming join (r17 — found by the
+    * mega-cluster OOM: 20% of a 137k corpus sharing ONE pHash makes
+    * every band bucket degenerate, and even under the re-shard cap the
+    * full pair list costs Σ d·cap/2 ≈ 10⁸ edges per band — enough to
+    * kill an 8 GiB JVM before CC starts). The keep gate never needed
+    * the pair LIST — it needs edges whose connected components equal
+    * the full τ-pair graph's, and identical hashes are trivially one
+    * component. So: collapse to one REPRESENTATIVE per distinct hash
+    * value (min id), attach every other member by a STAR edge (d−1
+    * edges instead of d(d−1)/2), and run the banded τ-join over the
+    * representative space only, where a mega-cluster is ONE row.
+    *
+    * Components are exactly the full graph's: (⊇) any τ-pair (a,b)
+    * either shares a hash — star-connected through the rep — or its
+    * two hash values h_a ≠ h_b are within τ, so the rep pair
+    * (rep(h_a), rep(h_b)) is in the banded join and a—rep(h_a)—
+    * rep(h_b)—b connects; (⊆) every emitted edge joins ids whose
+    * hashes are within τ (stars at hamming 0, rep pairs by the τ
+    * filter), so it's an edge of the full graph too. Bonus: the
+    * re-shard cap now drops candidates only among DISTINCT hash
+    * values, so exact-duplicate volume can no longer cost recall.
+    * Spec-pinned against the full-pair CC (MultimodalSpec).
+    */
+  def hammingCcEdges(hashed: DataFrame, hashCol: String, tau: Int,
+      nBands: Int, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val h = hashed.filter(col(hashCol).isNotNull)
+      .select(col("media_id"), col(hashCol).as("h"))
+    val reps = h.groupBy(col("h")).agg(min(col("media_id")).as("rep"))
+    val stars = h.join(reps, Seq("h"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("media_id").as("id_b"))
+    val repPairs = hammingNearDupFrom(
+      reps.select(col("rep").as("media_id"), col("h").as(hashCol)),
+      hashCol, tau, nBands, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    stars.unionAll(repPairs)
   }
 
   /** decoded feature record (what a real decoder would emit) */

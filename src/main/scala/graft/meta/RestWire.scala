@@ -183,6 +183,32 @@ object RestWire {
           .map { case (k, v) => k -> v.asText }.toMap)
     }
 
+  /** `GET /v1/config` response (the spec's CatalogConfig): server-set
+    * `defaults` (lower precedence than client config) and `overrides`
+    * (higher precedence) — the one property the client needs is
+    * `prefix`, which re-roots every other endpoint at
+    * `/v1/{prefix}/...` (multi-tenant REST catalogs)
+    */
+  def configJson(defaults: Map[String, String],
+      overrides: Map[String, String]): String = {
+    val root = M.createObjectNode()
+    val d = root.putObject("defaults")
+    defaults.toSeq.sortBy(_._1).foreach { case (k, v) => d.put(k, v) }
+    val o = root.putObject("overrides")
+    overrides.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    root.toPrettyString
+  }
+
+  /** merged (defaults ++ overrides) map of a CatalogConfig response —
+    * the two-level precedence collapses to one map here because the
+    * client consults it only for server-owned keys (`prefix`)
+    */
+  def parseConfig(json: String): Map[String, String] = {
+    val root = M.readTree(json)
+    (iterFields(root.path("defaults")) ++ iterFields(root.path("overrides")))
+      .map { case (k, v) => k -> v.asText }.toMap
+  }
+
   /** the listing response's continuation token — `None` on the last
     * page (the spec's `next-page-token`; null and empty both mean the
     * listing is complete, matching reference-SDK behavior of iterating

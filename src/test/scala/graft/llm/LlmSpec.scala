@@ -1274,17 +1274,58 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "phash64")
     assert(Multimodal.autoBandGeometry(tiny, "phash64",
       budgetPairs = 1000L) == (8, 7))
-    // 200 copies of one hash: 8×8 work = 8 bands · C(200,2) = 159200
-    // pairs > budget 100k → the selection walks to 4×16; its work
-    // (4 · C(200,2) = 79600) also exceeds, but the narrowest step is
-    // the unconditional fallback
+    // 200 copies of ONE hash (r17 semantics): the histogram runs over
+    // DISTINCT hash values — the representative space hammingCcEdges
+    // actually joins — so an exact-duplicate cluster collapses to a
+    // single row, costs the estimate nothing, and the selection STAYS
+    // at the widest geometry even under a tiny budget (the execution
+    // pays d−1 star edges, not d(d−1)/2 pairs)
     val clustered = (0L until 200L).map(i => (i, 0x1234567890abcdefL))
       .toDF("media_id", "phash64")
     assert(Multimodal.autoBandGeometry(clustered, "phash64",
+      budgetPairs = 1000L) == (8, 7))
+    // NEAR-duplicates (distinct values, shared band buckets) are the
+    // work that remains after the collapse: 200 hashes differing only
+    // in their top byte collide in 7 of 8 bands → 7 · C(200,2) ≈ 139k
+    // pairs > budget 100k → switch; the 4×16 bands split them apart
+    val nearClustered = (0L until 200L)
+      .map(i => (i, 0x00345678_90abcdefL | (i << 56)))
+      .toDF("media_id", "phash64")
+    assert(Multimodal.autoBandGeometry(nearClustered, "phash64",
       budgetPairs = 100000L) == (4, 3))
-    // same clustered corpus, roomy budget → stays at the widest step
-    assert(Multimodal.autoBandGeometry(clustered, "phash64",
+    // same near-clustered corpus, roomy budget → stays wide
+    assert(Multimodal.autoBandGeometry(nearClustered, "phash64",
       budgetPairs = 1000000L) == (8, 7))
+  }
+
+  test("hammingCcEdges: star+rep edges give exactly the full pair graph's components") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // three exact-dup groups; A and B's hash values are within τ of
+    // each other (a cross-group near-dup link), C and the loner are far
+    val hA = 0x0123456789abcdefL
+    val hB = hA ^ 0x3L // hamming 2 — pairs with every A member
+    val hC = 0x7777000011112222L
+    val rows = (0L until 5L).map(i => (i, hA)) ++
+      (10L until 14L).map(i => (i, hB)) ++
+      (20L until 23L).map(i => (i, hC)) ++ Seq((30L, 0xffL))
+    val df = rows.toDF("media_id", "phash64")
+    val full = Multimodal.hammingNearDupFrom(df, "phash64", 7, 8, 2000)
+    val cc = Multimodal.hammingCcEdges(df, "phash64", 7, 8, 2000)
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      graft.llm.Dedup.clustersFromPairs(
+          df.select(col("media_id").as("doc_id")),
+          edges.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))))
+        .toMap
+    // identical components, cluster ids, and sizes — the keep verdict
+    // cannot tell the two edge sets apart
+    assert(comps(full.select(col("id_a"), col("id_b"))) == comps(cc))
+    // ... at a fraction of the edges: stars are d−1 per exact group
+    // where the pair list pays d(d−1)/2 (+ the A×B cross product)
+    assert(cc.count() < full.count())
   }
 
   test("autoBandGeometry: ONE degenerate band forces the switch, tame bands don't mask it") {
