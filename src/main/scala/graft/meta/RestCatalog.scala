@@ -149,18 +149,40 @@ object RestPayloadCatalog {
   * contribute nothing here — that transport needs the AWS SDK, which
   * stays the one documented seam (SURVEY §0, offline build).
   *
-  * Spec-true simplifications: the `/v1/{prefix}` path prefix is empty
-  * (a server without a `prefix` in its `/v1/config` response), and
-  * namespace identifiers are single-level, so no `%1F` multipart
-  * encoding is needed. RestHttpCatalogSpec drives this client against a
-  * real localhost HTTP server serving the golden wire payloads —
-  * auth header, 404 probe, and error path included.
+  * r17: the client fetches `GET /v1/config` once per catalog (with the
+  * `warehouse` query param when configured) and adopts the server's
+  * `prefix` — every other endpoint then lives at `/v1/{prefix}/...`,
+  * the multi-tenant REST-catalog layout; a server without the config
+  * endpoint (404) serves unprefixed paths as before. Remaining
+  * spec-true simplification: namespace identifiers are single-level,
+  * so no `%1F` multipart encoding is needed. RestHttpCatalogSpec
+  * drives this client against real localhost HTTP servers serving the
+  * golden wire payloads — auth header, 404 probe, pagination, retry,
+  * prefix adoption, and error path included.
   */
 class RestHttpCatalog(override protected val registry: Seq[ConfigFx])
     extends RestClientCatalog {
 
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
+
+  // one /v1/config fetch per catalog (the reference SDK does this at
+  // client construction); "" = unprefixed, "p/" = every endpoint under
+  // /v1/p/. Memoized — listings would otherwise re-pay it per endpoint.
+  private val prefixMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def prefixOf(cfg: ConfigFx): String =
+    prefixMemo.getOrElseUpdate(cfg.name, {
+      val q = cfg.config.get("warehouse").map(w => "?warehouse=" +
+        java.net.URLEncoder.encode(w,
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")
+      get(cfg, s"/v1/config$q") match {
+        case Some(body) => RestWire.parseConfig(body).get("prefix")
+          .filter(_.nonEmpty).map(_.stripSuffix("/") + "/").getOrElse("")
+        case None => "" // no config endpoint — a bare single-tenant server
+      }
+    })
 
   /** one bounded retry on a 5xx or a connection-level IOException —
     * transport robustness matching the Glue client (r16 verdict task 2)
@@ -201,13 +223,14 @@ class RestHttpCatalog(override protected val registry: Seq[ConfigFx])
 
   override protected def namespacesDoc(cfg: ConfigFx,
       pageToken: Option[String]): Option[String] =
-    rest(cfg)(get(cfg, "/v1/namespaces", pageToken))
+    rest(cfg)(get(cfg, s"/v1/${prefixOf(cfg)}namespaces", pageToken))
   override protected def tablesDoc(cfg: ConfigFx, ns: String,
       pageToken: Option[String]): Option[String] =
-    rest(cfg)(get(cfg, s"/v1/namespaces/$ns/tables", pageToken))
+    rest(cfg)(get(cfg, s"/v1/${prefixOf(cfg)}namespaces/$ns/tables",
+      pageToken))
   override protected def loadTableDoc(cfg: ConfigFx, ns: String,
       t: String): Option[String] =
-    rest(cfg)(get(cfg, s"/v1/namespaces/$ns/tables/$t"))
+    rest(cfg)(get(cfg, s"/v1/${prefixOf(cfg)}namespaces/$ns/tables/$t"))
 }
 
 /** Renders the golden fixture population ([[FixtureGen]]) as Iceberg

@@ -188,6 +188,48 @@ class RestHttpCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(served("tables:sales").size == 2)
   }
 
+  test("the /v1/config prefix re-roots every endpoint (multi-tenant server)") {
+    // this server serves data ONLY under /v1/t1/... — a client that
+    // skipped config adoption would 404 every listing and read empty
+    val TablesR = "/v1/t1/namespaces/([^/]+)/tables".r
+    val LoadR = "/v1/t1/namespaces/([^/]+)/tables/([^/]+)".r
+    @volatile var configQuery: String = null
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: HttpExchange) =>
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!auth.contains(s"Bearer $Token")) ex.sendResponseHeaders(401, -1)
+      else {
+        val resp: Option[Array[Byte]] = ex.getRequestURI.getPath match {
+          case "/v1/config" =>
+            configQuery = ex.getRequestURI.getRawQuery
+            Some(RestWire.configJson(Map("clients" -> "4"),
+              Map("prefix" -> "t1")).getBytes("UTF-8"))
+          case "/v1/t1/namespaces" => body("c_rest/namespaces.json")
+          case LoadR(ns, t) => body(s"c_rest/load/$ns.$t.json")
+          case TablesR(ns) => body(s"c_rest/tables/$ns.json")
+          case _ => None // unprefixed data paths do NOT exist here
+        }
+        resp match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length.toLong)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+      }
+      ex.close()
+    })
+    srv.start()
+    try {
+      val c = new RestHttpCatalog(Seq(ConfigFx("c_rest", "rest", Map(
+        "uri" -> s"http://127.0.0.1:${srv.getAddress.getPort}",
+        "warehouse" -> "s3://warehouse", "auth_token" -> Token))))
+      assert(rows(c.listing(spark)) ===
+        rows(fix.listing(spark).filter(col("catalog_name") === "c_rest")))
+      // the config request carried the configured warehouse
+      assert(configQuery == "warehouse=s3%3A%2F%2Fwarehouse")
+    } finally srv.stop(0)
+  }
+
   test("a 5xx is retried once; a dead endpoint fails with a clear message") {
     val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
