@@ -518,22 +518,50 @@ object Similarity {
     * shared evidence of [[assignToCommunities]] (best-match donation)
     * and [[graphRefreshCycle]] (delta edge append). Delta-proportional:
     * batch × per-bucket collisions, never batch × corpus.
+    *
+    * r17 BOUNDED-MEMORY shape (the r16 vectors-inline kNN-candidate
+    * surgery applied to the probe path — x78/x79 at ×100 amplified
+    * volume died building the candidate-pair hash relation in the
+    * former distinct-then-join-back plan): the CORPUS groups per
+    * (band, bucket, sub) carry their (cand_id, vector) entries inline,
+    * ≤ maxBucket rows ≈ 1 MB per group after re-sharding; each batch
+    * band row ships its own query vector and verifies by exact cosine
+    * IN PLACE against its bucket's groups, and only τ-qualifying
+    * matches ever shuffle (into the pure-dedup max()). Match set
+    * identical to the former shape: the probe equi-joins EVERY sub of
+    * its bucket (re-sharding splits groups — it never drops probe
+    * targets, and singleton corpus buckets stay probe-able, which is
+    * why this does NOT reuse [[reShard]]'s bsz>1 pair-generation
+    * filter), cosine is identical per co-bucket occurrence, and
+    * max() over (vec_id, cand_id) is pure dedup.
     */
   private[llm] def probeVerified(corpus: DataFrame, batch: DataFrame,
-      minCos: Double, nBands: Int, bitsPerBand: Int, dim: Int): DataFrame = {
+      minCos: Double, nBands: Int, bitsPerBand: Int, dim: Int,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-    val cbr = vecBandRows(corpus, nBands, bitsPerBand, dim)
-      .select(col("vec_id").as("cand_id"), col("band"), col("bucket"))
-    val bbr = vecBandRows(batch, nBands, bitsPerBand, dim)
-    val cand = bbr.join(noStaticBroadcast(cbr), Seq("band", "bucket"))
-      .select(col("vec_id"), col("cand_id")).distinct()
-    val bv = batch.select(col("vec_id"), asDouble(col("embedding")).as("qv"))
-    val cv = corpus.select(col("vec_id").as("cand_id"),
-      asDouble(col("embedding")).as("cvv"))
-    noStaticBroadcast(cand).join(bv, Seq("vec_id")).join(cv, Seq("cand_id"))
-      .select(col("vec_id"), col("cand_id"),
-        call_function("cosine_sim", col("qv"), col("cvv")).as("cos"))
+    val cv = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cvv"))
+    val wsz = Window.partitionBy(col("band"), col("bucket"))
+    val sharded = vecBandRows(corpus, nBands, bitsPerBand, dim)
+      .withColumn("bsz", count(lit(1)).over(wsz))
+      .withColumn("nsh",
+        ceil(col("bsz").cast("double") / maxBucket).cast("int"))
+      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
+        pmod(conv(substring(md5(concat_ws("#", col("bucket"),
+          col("vec_id"))), 1, 7), 16, 10).cast("long"),
+          col("nsh")).cast("int")))
+    val groups = sharded.join(cv, Seq("vec_id"))
+      .groupBy(col("band"), col("bucket"), col("sub"))
+      .agg(collect_list(struct(col("vec_id").as("cand_id"),
+        col("cvv"))).as("cs"))
+    val bq = vecBandRows(batch, nBands, bitsPerBand, dim)
+      .join(batch.select(col("vec_id"),
+        asDouble(col("embedding")).as("qv")), Seq("vec_id"))
+    bq.join(groups, Seq("band", "bucket"))
+      .select(col("vec_id"), col("qv"), explode(col("cs")).as("c"))
+      .select(col("vec_id"), col("c.cand_id").as("cand_id"),
+        call_function("cosine_sim", col("qv"), col("c.cvv")).as("cos"))
       .filter(col("cos") >= minCos)
+      .groupBy(col("vec_id"), col("cand_id")).agg(max(col("cos")).as("cos"))
   }
 
   /** the incremental graph-maintenance cycle END-TO-END (r11 verdict
@@ -679,22 +707,12 @@ object Similarity {
     * drop list.
     */
   def embIngestGate(corpus: DataFrame, batch: DataFrame, minCos: Double,
-      nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
-    graft.functions.CosineSim.register(corpus.sparkSession)
-    val cb = vecBandRows(corpus, nBands, bitsPerBand, dim)
-      .select(col("band"), col("bucket"), col("vec_id").as("corpus_id"))
-    val nb = vecBandRows(batch, nBands, bitsPerBand, dim)
-    val cand = nb.join(noStaticBroadcast(cb), Seq("band", "bucket"))
-      .select(col("vec_id"), col("corpus_id")).distinct()
-    val bv = batch.select(col("vec_id"),
-      asDouble(col("embedding")).as("bv"))
-    val cv = corpus.select(col("vec_id").as("corpus_id"),
-      asDouble(col("embedding")).as("cv"))
-    noStaticBroadcast(cand).join(bv, Seq("vec_id")).join(cv, Seq("corpus_id"))
-      .select(col("vec_id"), col("corpus_id"),
-        call_function("cosine_sim", col("bv"), col("cv")).as("cos"))
-      .filter(col("cos") >= minCos)
-  }
+      nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64): DataFrame =
+    // the r17 bounded-memory probe (see [[probeVerified]] — this gate
+    // is the same batch-vs-corpus shape, so the ×100 hash-relation
+    // failure mode applied here too)
+    probeVerified(corpus, batch, minCos, nBands, bitsPerBand, dim)
+      .select(col("vec_id"), col("cand_id").as("corpus_id"), col("cos"))
 
   /** int8 scalar quantization: per-vector affine code
     * `round(v * 127 / max|v|)` — the 4×-smaller representation a 100 TB
