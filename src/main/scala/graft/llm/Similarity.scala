@@ -540,9 +540,16 @@ object Similarity {
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
     val cv = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cvv"))
-    val wsz = Window.partitionBy(col("band"), col("bucket"))
-    val sharded = vecBandRows(corpus, nBands, bitsPerBand, dim)
-      .withColumn("bsz", count(lit(1)).over(wsz))
+    val cbr = vecBandRows(corpus, nBands, bitsPerBand, dim)
+    // bucket sizes via a map-side-combinable AGG joined back (the r15
+    // hammingNearDupFrom surgery — a whole-partition count WINDOW would
+    // shuffle AND SORT every corpus band row); the size table is
+    // bounded by the OCCUPIED bucket count (≤ nBands·2^bitsPerBand),
+    // broadcast-safe by construction at bpb ≤ 16
+    val bsz = cbr.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    val bszSide = if (bitsPerBand <= 16) broadcast(bsz) else bsz
+    val sharded = cbr.join(bszSide, Seq("band", "bucket"))
       .withColumn("nsh",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
       .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
