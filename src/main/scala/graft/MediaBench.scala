@@ -155,13 +155,21 @@ object MediaBench {
     * `_v2`: disjoint per-modality id spaces (the ArtifactStore
     * recipe-version lesson — a recipe change renames the dir).
     */
+  /** the corpus-knob suffix shared by the staged-payload and
+    * hash-artifact dirs — ONE definition (r17 review: two hand-kept
+    * copies meant a knob added to one but not the other would silently
+    * read hashes extracted from a DIFFERENT corpus)
+    */
+  private def knobSuffix(vidX: Int, audX: Int, mega: Boolean): String =
+    (if (vidX > 1) s"_vx$vidX" else "") +
+      (if (audX > 1) s"_ax$audX" else "") +
+      (if (mega) "_mc" else "")
+
   def stageMedia(spark: SparkSession, n: Long, vidX: Int = 1,
       audX: Int = 1, mega: Boolean = false): String = {
     val out =
       s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v2" +
-        (if (vidX > 1) s"_vx$vidX" else "") +
-        (if (audX > 1) s"_ax$audX" else "") +
-        (if (mega) "_mc" else "")
+        knobSuffix(vidX, audX, mega)
     Bench.stagedAtomically(out) { tmp =>
       import spark.implicits._
       val nAud = math.max(8L, n / 4) * audX
@@ -218,9 +226,7 @@ object MediaBench {
     val dir = stageMedia(spark, n, vidX, audX, mega)
     val hdir =
       s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/hashes_n$n" +
-        (if (vidX > 1) s"_vx$vidX" else "") +
-        (if (audX > 1) s"_ax$audX" else "") +
-        (if (mega) "_mc" else "")
+        knobSuffix(vidX, audX, mega)
     def payload(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
     def hashes(t: String): DataFrame = spark.read.parquet(s"$hdir/$t.parquet")
 

@@ -45,17 +45,35 @@ object StageCensus {
 
     case class Census(name: String, wall: Double, jobs: Int, stages: Int,
         tasks: Int)
-    val rows = qs.flatMap { case (name, fn) =>
-      try {
-        runOnce(name, fn, None) // warm: codegen + file-listing caches
-        val wall = runOnce(name, fn, Some(s"census-$name"))
-        val jobIds = tracker.getJobIdsForGroup(s"census-$name")
+    // the statusTracker is fed by the ASYNC listener bus: a sub-second
+    // query's action returns before its events drain, so a raw read
+    // undercounts exactly the class this census measures (r17 review).
+    // Poll until two consecutive reads agree (bounded).
+    def settledCounts(group: String): (Int, Int, Int) = {
+      def read(): (Int, Int, Int) = {
+        val jobIds = tracker.getJobIdsForGroup(group)
         val stageIds = jobIds.flatMap(id =>
           tracker.getJobInfo(id).map(_.stageIds().toSeq).getOrElse(Seq.empty))
           .distinct
         val tasks = stageIds.flatMap(sid =>
           tracker.getStageInfo(sid).map(_.numTasks())).sum
-        Some(Census(name, wall, jobIds.length, stageIds.length, tasks))
+        (jobIds.length, stageIds.length, tasks)
+      }
+      var prev = (-1, -1, -1)
+      var cur = read()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(100); cur = read(); spins += 1
+      }
+      cur
+    }
+
+    val rows = qs.flatMap { case (name, fn) =>
+      try {
+        runOnce(name, fn, None) // warm: codegen + file-listing caches
+        val wall = runOnce(name, fn, Some(s"census-$name"))
+        val (jobs, stages, tasks) = settledCounts(s"census-$name")
+        Some(Census(name, wall, jobs, stages, tasks))
       } catch {
         case e: Exception =>
           Console.err.println(s"FAILED $name: ${e.getMessage}"); None

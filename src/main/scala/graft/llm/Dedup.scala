@@ -127,6 +127,17 @@ object Dedup {
     */
   val MaxBucket = 2000
 
+  /** deterministic sub-shard assignment for an oversized bucket:
+    * md5(bucketKey # rowKey) mod `nsh` — ONE definition shared by
+    * every banded candidate generator (r17 review: the incantation had
+    * grown four hand-copies, and any drift in the hash scheme would
+    * silently desync pair generation between paths)
+    */
+  def subShard(bucketKey: Column, rowKey: Column, nsh: Column): Column =
+    when(nsh <= 1, lit(0)).otherwise(
+      pmod(conv(substring(md5(concat_ws("#", bucketKey, rowKey)), 1, 7),
+        16, 10).cast("long"), nsh).cast("int"))
+
   /** candidate near-dup pairs: docs sharing any band bucket. Pair
     * generation happens INSIDE each bucket — never an all-pairs join —
     * and is BOUNDED (r2 verdict): a bucket larger than `maxBucket` is
@@ -156,9 +167,7 @@ object Dedup {
       .filter(col("bsz") > 1)
       .withColumn("nsh",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
-      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
-        pmod(conv(substring(md5(concat_ws("#", col("bh"), col("doc_id"))),
-          1, 7), 16, 10).cast("long"), col("nsh")).cast("int")))
+      .withColumn("sub", subShard(col("bh"), col("doc_id"), col("nsh")))
     sharded.groupBy(col("band"), col("bh"), col("sub"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)

@@ -1208,10 +1208,8 @@ object Multimodal {
     val sharded = bands.join(bszSide, Seq("band", "bucket"))
       .withColumn("nsh",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
-      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
-        pmod(conv(substring(md5(concat_ws("#", col("bucket"),
-          col("media_id"))), 1, 7), 16, 10).cast("long"),
-          col("nsh")).cast("int")))
+      .withColumn("sub",
+        Dedup.subShard(col("bucket"), col("media_id"), col("nsh")))
     val buckets = sharded.groupBy(col("band"), col("bucket"), col("sub"))
       .agg(sort_array(collect_list(struct(col("media_id"),
         col("phash64")))).as("vs"))

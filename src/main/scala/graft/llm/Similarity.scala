@@ -202,10 +202,8 @@ object Similarity {
       .filter(col("bsz") > 1)
       .withColumn("nsh",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
-      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
-        pmod(conv(substring(md5(concat_ws("#", col("bucket"),
-          col("vec_id"))), 1, 7), 16, 10).cast("long"),
-          col("nsh")).cast("int")))
+      .withColumn("sub",
+        Dedup.subShard(col("bucket"), col("vec_id"), col("nsh")))
   }
 
   private def lshNearDupFrom(e: DataFrame, bb: DataFrame, minCos: Double,
@@ -534,6 +532,16 @@ object Similarity {
     * why this does NOT reuse [[reShard]]'s bsz>1 pair-generation
     * filter), cosine is identical per co-bucket occurrence, and
     * max() over (vec_id, cand_id) is pure dedup.
+    *
+    * Join strategies are deliberately UNPINNED here (r17 review
+    * considered re-adding the `shuffle_hash` hints and rejected it):
+    * the old hints existed to stop a candidate-pair HASH BUILD, and no
+    * candidate-scaled relation in this plan feeds a hash build at all
+    * — the vectors-inline groups resolve to sort-merge joins (spill
+    * to disk at any scale; plan-audited at sf0.1: no BroadcastExchange
+    * over any agg-derived subtree) and the bounded bsz table is the
+    * one explicit broadcast. Measured end-to-end at ×100 amplified
+    * volume in the default 8 GiB JVM (BASELINE r17).
     */
   private[llm] def probeVerified(corpus: DataFrame, batch: DataFrame,
       minCos: Double, nBands: Int, bitsPerBand: Int, dim: Int,
@@ -552,10 +560,8 @@ object Similarity {
     val sharded = cbr.join(bszSide, Seq("band", "bucket"))
       .withColumn("nsh",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
-      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
-        pmod(conv(substring(md5(concat_ws("#", col("bucket"),
-          col("vec_id"))), 1, 7), 16, 10).cast("long"),
-          col("nsh")).cast("int")))
+      .withColumn("sub",
+        Dedup.subShard(col("bucket"), col("vec_id"), col("nsh")))
     val groups = sharded.join(cv, Seq("vec_id"))
       .groupBy(col("band"), col("bucket"), col("sub"))
       .agg(collect_list(struct(col("vec_id").as("cand_id"),
@@ -1131,9 +1137,8 @@ object Similarity {
       .withColumn("csz", count(lit(1)).over(wsz))
       .withColumn("nsh",
         ceil(col("csz").cast("double") / maxCluster).cast("int"))
-      .withColumn("sub", when(col("nsh") <= 1, lit(0)).otherwise(
-        pmod(conv(substring(md5(concat_ws("#", col("cid"), col("vec_id"))),
-          1, 7), 16, 10).cast("long"), col("nsh")).cast("int")))
+      .withColumn("sub",
+        Dedup.subShard(col("cid"), col("vec_id"), col("nsh")))
       .select(col("vec_id"), col("v"), col("cid"), col("sub"))
     val lo = sharded.select(col("cid").as("cid_l"), col("sub").as("sub_l"),
       col("vec_id").as("lo_id"), col("v").as("lv"))

@@ -100,36 +100,24 @@ class GlueHttpCatalog(
     (r.statusCode(), r.body())
   }
 
-  /** transport robustness (r16 verdict task 2): one bounded retry on a
-    * 5xx or a connection-level IOException, matching SDK default
-    * behavior for transient endpoint hiccups. `attempt` SIGNS anew on
-    * every call — a retried request carries a fresh `x-amz-date` and a
-    * fresh signature, so a retry after a delay can never replay a
-    * stale-dated request into a clock-skew 403. A 403 gets a clear
-    * signature/skew diagnosis instead of a bare status (SigV4 servers
-    * reject requests whose x-amz-date drifts >5 min from server time).
+  /** transport robustness (r16 verdict task 2): the shared bounded
+    * retry ([[HttpRetry.sendTwice]]) over a request thunk that SIGNS
+    * anew on every call — a retried request carries a fresh
+    * `x-amz-date` and a fresh signature, so a retry after a delay can
+    * never replay a stale-dated request into a clock-skew 403. A 403
+    * gets a clear signature/skew diagnosis instead of a bare status
+    * (SigV4 servers reject requests whose x-amz-date drifts >5 min
+    * from server time).
     */
   private def sendSigned(what: String, attempt: () => HttpRequest):
-      (Int, String) = {
-    def once(): Either[Throwable, (Int, String)] =
-      try Right(send(attempt()))
-      catch { case e: java.io.IOException => Left(e) }
-    val first = once()
-    val result = first match {
-      case Right((code, _)) if code >= 500 => once()
-      case Left(_) => once()
-      case ok => ok
-    }
-    result match {
-      case Right((403, body)) => sys.error(
+      (Int, String) =
+    HttpRetry.sendTwice(what, () => send(attempt())) match {
+      case (403, body) => sys.error(
         s"$what -> HTTP 403 (signature rejected: wrong credentials, a " +
           s"mis-canonicalized request, or >5 min clock skew): " +
           s"${body.take(200)}")
-      case Right(r) => r
-      case Left(e) => throw new RuntimeException(
-        s"$what: connection failed twice: ${e.getMessage}", e)
+      case r => r
     }
-  }
 
   /** one signed Glue JSON-RPC call; None for the not-found error class.
     * The signed canonical path is the ENDPOINT's base path (review

@@ -199,22 +199,13 @@ class RestHttpCatalog(override protected val registry: Seq[ConfigFx])
     cfg.config.get("auth_token")
       .foreach(t => b.header("Authorization", s"Bearer $t"))
     val req = b.build()
-    def once(): Either[Throwable, (Int, String)] =
-      try {
-        val r = client.send(req, HttpResponse.BodyHandlers.ofString())
-        Right((r.statusCode(), r.body()))
-      } catch { case e: java.io.IOException => Left(e) }
-    val result = once() match {
-      case Right((code, _)) if code >= 500 => once()
-      case Left(_) => once()
-      case ok => ok
-    }
-    result match {
-      case Right((200, body)) => Some(body)
-      case Right((404, _)) => None
-      case Right((code, _)) => sys.error(s"GET $base$path$q -> HTTP $code")
-      case Left(e) => throw new RuntimeException(
-        s"GET $base$path$q: connection failed twice: ${e.getMessage}", e)
+    HttpRetry.sendTwice(s"GET $base$path$q", () => {
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }) match {
+      case (200, body) => Some(body)
+      case (404, _) => None
+      case (code, _) => sys.error(s"GET $base$path$q -> HTTP $code")
     }
   }
 
