@@ -62,7 +62,11 @@ object StageCensus {
       var prev = (-1, -1, -1)
       var cur = read()
       var spins = 0
-      while (cur != prev && spins < 50) {
+      // (0,0,0) is always UNSETTLED (r17 advice): every censused query
+      // runs ≥ 1 job, so two consecutive zero reads mean the bus hasn't
+      // surfaced the first job yet — not a stable answer. Keep polling
+      // until a NONZERO read stabilizes or the spin budget expires.
+      while ((cur != prev || cur == ((0, 0, 0))) && spins < 50) {
         prev = cur; Thread.sleep(100); cur = read(); spins += 1
       }
       cur

@@ -1221,11 +1221,17 @@ object Multimodal {
           .as("b"))
       .select(col("id_a"), col("ph_a"), col("b.media_id").as("id_b"),
         col("b.phash64").as("ph_b"))
-      .distinct()
+      // r18: τ-filter BEFORE the cross-band dedup — bit_count is a
+      // projection, so filtering first means the distinct's exchange
+      // shuffles only τ-matches instead of every candidate pair.
+      // Output identical: filter commutes with distinct, and hamming
+      // is a function of the (one-hash-per-media) input ids, so
+      // deduping (id_a, id_b, hamming) deduplicates exactly the pairs.
       .withColumn("hamming",
         expr("bit_count(ph_a ^ ph_b)"))
       .filter(col("hamming") <= tau)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** CC-EDGE generator for the banded hamming join (r17 — found by the
@@ -1240,27 +1246,45 @@ object Multimodal {
     * edges instead of d(d−1)/2), and run the banded τ-join over the
     * representative space only, where a mega-cluster is ONE row.
     *
-    * Components are exactly the full graph's: (⊇) any τ-pair (a,b)
-    * either shares a hash — star-connected through the rep — or its
-    * two hash values h_a ≠ h_b are within τ, so the rep pair
-    * (rep(h_a), rep(h_b)) is in the banded join and a—rep(h_a)—
-    * rep(h_b)—b connects; (⊆) every emitted edge joins ids whose
-    * hashes are within τ (stars at hamming 0, rep pairs by the τ
-    * filter), so it's an edge of the full graph too. Bonus: the
-    * re-shard cap now drops candidates only among DISTINCT hash
-    * values, so exact-duplicate volume can no longer cost recall.
-    * Spec-pinned against the full-pair CC (MultimodalSpec).
+    * Components are exactly the full graph's WHEN NO DISTINCT-HASH
+    * bucket exceeds maxBucket (r17 advice — the honest statement of
+    * the cap regime): (⊇) any τ-pair (a,b) either shares a hash —
+    * star-connected through the rep — or its two hash values
+    * h_a ≠ h_b are within τ, so the rep pair (rep(h_a), rep(h_b)) is
+    * in the banded join and a—rep(h_a)—rep(h_b)—b connects; (⊆) every
+    * emitted edge joins ids whose hashes are within τ (stars at
+    * hamming 0, rep pairs by the τ filter), so it's an edge of the
+    * full graph too. The ⊇ step assumes the banded join emits every
+    * τ-close REP pair, which the re-shard cap can break once a single
+    * band bucket holds > maxBucket DISTINCT hash values: the rep-space
+    * join and the full-pair join then drop DIFFERENT cross-sub
+    * candidates, so capped-regime components may diverge from the
+    * full-pair graph's (both remain sound — every edge is a true
+    * τ-edge — and both are banded-recall approximations in that
+    * regime). What the collapse buys unconditionally: exact-DUPLICATE
+    * volume can no longer cost recall or blow up the pair list, since
+    * the cap now applies to distinct hash values only. Both regimes
+    * spec-pinned (MultimodalSpec: equality below the cap; soundness +
+    * star-completeness above it).
     */
   def hammingCcEdges(hashed: DataFrame, hashCol: String, tau: Int,
       nBands: Int, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val h = hashed.filter(col(hashCol).isNotNull)
       .select(col("media_id"), col(hashCol).as("h"))
-    val reps = h.groupBy(col("h")).agg(min(col("media_id")).as("rep"))
-    val stars = h.join(reps, Seq("h"))
-      .filter(col("media_id") =!= col("rep"))
+    // r18 fusion: ONE hash-keyed window derives both the star edges
+    // and the representative set — the former min-agg + join-back
+    // shuffled h twice (agg exchange + join exchange of the full
+    // frame). These are the per-media rows (media_id, h), NOT the
+    // band-exploded volume the text side's window warning is about,
+    // so the partition-key sort is cheap; the shuffled frame is shared
+    // by both branches via exchange reuse.
+    val wRep = Window.partitionBy(col("h"))
+    val withRep = h.withColumn("rep", min(col("media_id")).over(wRep))
+    val stars = withRep.filter(col("media_id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("media_id").as("id_b"))
     val repPairs = hammingNearDupFrom(
-      reps.select(col("rep").as("media_id"), col("h").as(hashCol)),
+      withRep.filter(col("media_id") === col("rep"))
+        .select(col("media_id"), col("h").as(hashCol)),
       hashCol, tau, nBands, maxBucket)
       .select(col("id_a"), col("id_b"))
     stars.unionAll(repPairs)

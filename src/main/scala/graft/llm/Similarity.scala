@@ -247,12 +247,32 @@ object Similarity {
     // (spec-pinned, incl. null-element / length-mismatch / NaN rows).
     // The coalesce reproduces the HOF fold's null-array behavior
     // (every `when` on a null projection fell to '0').
+    vecBucketsV(e, nBands, bitsPerBand, dim)
+      .select(col("vec_id"), col("band"), col("bucket"))
+  }
+
+  /** [[vecBuckets]] with the vector riding INLINE on each band row —
+    * (vec_id, v, band, bucket). r18 fusion: the probe/kNN group
+    * aggregations consumed thin band rows and then joined the vectors
+    * back by vec_id, paying an exchange PAIR (band rows + vectors, both
+    * hashed by vec_id) before the group exchange; with v carried from
+    * the band projection the vectors ride ONE exchange into the group
+    * agg and the vec_id join disappears. Subtrees that consume band
+    * rows without v (the bsz count agg, [[vecBandKeys]]) column-prune
+    * it away, so the thin consumers cost nothing extra — which is also
+    * why [[vecBuckets]] is implemented on top of this (one source of
+    * truth for the bucket expression, pruning restores the thin plan).
+    */
+  private def vecBucketsV(e: DataFrame, nBands: Int, bitsPerBand: Int,
+      dim: Int): DataFrame = {
     graft.functions.HyperplaneBuckets.register(e.sparkSession)
     val zeroRow = array(Seq.fill(nBands)(lit("0" * bitsPerBand)): _*)
     val buckets = coalesce(call_function("hyperplane_buckets", col("v"),
       lit(nBands), lit(bitsPerBand), lit(dim)), zeroRow)
-    e.select(col("vec_id"), posexplode(buckets).as(Seq("p", "bucket")))
-      .select(col("vec_id"), (col("p") + 1).as("band"), col("bucket"))
+    e.select(col("vec_id"), col("v"),
+        posexplode(buckets).as(Seq("p", "bucket")))
+      .select(col("vec_id"), col("v"), (col("p") + 1).as("band"),
+        col("bucket"))
   }
 
   /** bucketed kNN-GRAPH construction — the neighbor-graph artifact a
@@ -275,7 +295,7 @@ object Similarity {
     graft.functions.CosineSim.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("v"))
-    val bb = vecBuckets(e, nBands, bitsPerBand, dim)
+    val bb = vecBucketsV(e, nBands, bitsPerBand, dim)
     // BOUNDED-MEMORY candidate path (r15 verdict task 2 — the x72-at-×30
     // >8 GiB footnote): the former plan exploded the full candidate-pair
     // volume, deduped it globally, joined the vectors back in twice, and
@@ -295,8 +315,13 @@ object Similarity {
     // Cosine is re-evaluated per co-bucket occurrence (≤ 2·nBands× per
     // pair) instead of once after a global dedup — flops traded for the
     // shuffles, the right side of the bargain at every scale measured.
+    // r18: the vectors ride the band rows from the projection
+    // ([[vecBucketsV]]) instead of joining back by vec_id — and because
+    // reShard's window already hash-partitions by (band, bucket), the
+    // (band, bucket, sub) grouping's clustering is SATISFIED by that
+    // partitioning (sub refines bucket), so the agg runs in place: one
+    // full-volume exchange where the former plan paid three.
     val groups = reShard(bb, maxBucket)
-      .join(e, Seq("vec_id"))
       .groupBy(col("band"), col("bucket"), col("sub"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v"))))
         .as("vs"))
@@ -547,8 +572,12 @@ object Similarity {
       minCos: Double, nBands: Int, bitsPerBand: Int, dim: Int,
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-    val cv = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cvv"))
-    val cbr = vecBandRows(corpus, nBands, bitsPerBand, dim)
+    // r18 fusion: vectors ride the band rows from the projection
+    // ([[vecBucketsV]]) on BOTH sides — the former plan joined them
+    // back by vec_id (an exchange pair per side); the bsz count below
+    // column-prunes v away, so the thin subtree is unchanged.
+    val cbr = vecBucketsV(corpus.select(col("vec_id"),
+      asDouble(col("embedding")).as("v")), nBands, bitsPerBand, dim)
     // bucket sizes via a map-side-combinable AGG joined back (the r15
     // hammingNearDupFrom surgery — a whole-partition count WINDOW would
     // shuffle AND SORT every corpus band row); the size table is
@@ -562,13 +591,13 @@ object Similarity {
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
       .withColumn("sub",
         Dedup.subShard(col("bucket"), col("vec_id"), col("nsh")))
-    val groups = sharded.join(cv, Seq("vec_id"))
+    val groups = sharded
       .groupBy(col("band"), col("bucket"), col("sub"))
       .agg(collect_list(struct(col("vec_id").as("cand_id"),
-        col("cvv"))).as("cs"))
-    val bq = vecBandRows(batch, nBands, bitsPerBand, dim)
-      .join(batch.select(col("vec_id"),
-        asDouble(col("embedding")).as("qv")), Seq("vec_id"))
+        col("v").as("cvv"))).as("cs"))
+    val bq = vecBucketsV(batch.select(col("vec_id"),
+        asDouble(col("embedding")).as("v")), nBands, bitsPerBand, dim)
+      .withColumnRenamed("v", "qv")
     bq.join(groups, Seq("band", "bucket"))
       .select(col("vec_id"), col("qv"), explode(col("cs")).as("c"))
       .select(col("vec_id"), col("c.cand_id").as("cand_id"),

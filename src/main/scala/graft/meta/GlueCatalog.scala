@@ -136,15 +136,22 @@ class GluePayloadCatalog(dir: String) extends GlueClientCatalog {
 
   // continuation pages live next to the first page, keyed by token
   // (a fixture tree can therefore express a paginated server; the
-  // single-file layout is unchanged for unpaginated fixtures)
+  // single-file layout is unchanged for unpaginated fixtures).
+  // The server-issued token is SANITIZED with locationKey's
+  // reserved-char collapse before entering the path (r17 advice): a
+  // token containing '/' or '\' could otherwise escape the catalog's
+  // subtree of the fixture dir ('..' without a separator cannot
+  // traverse, so the collapse is sufficient).
+  private def tok(t: String): String =
+    t.replaceAll("[^A-Za-z0-9._-]", "_")
   override protected def databasesDoc(cfg: ConfigFx,
       nextToken: Option[String]): Option[String] =
     payload(nextToken.fold(s"${cfg.name}/databases.json")(t =>
-      s"${cfg.name}/databases.$t.json"))
+      s"${cfg.name}/databases.${tok(t)}.json"))
   override protected def tablesDoc(cfg: ConfigFx, db: String,
       nextToken: Option[String]): Option[String] =
     payload(nextToken.fold(s"${cfg.name}/tables/$db.json")(t =>
-      s"${cfg.name}/tables/$db.$t.json"))
+      s"${cfg.name}/tables/$db.${tok(t)}.json"))
   override protected def metadataDoc(cfg: ConfigFx,
       location: String): Option[String] =
     payload(s"${cfg.name}/metadata/${GlueWire.locationKey(location)}.json")

@@ -169,11 +169,14 @@ class RestHttpCatalog(override protected val registry: Seq[ConfigFx])
   // one /v1/config fetch per catalog (the reference SDK does this at
   // client construction); "" = unprefixed, "p/" = every endpoint under
   // /v1/p/. Memoized — listings would otherwise re-pay it per endpoint.
+  // keyed by (name, uri), not name alone (r17 advice): two registry
+  // entries sharing a name but pointing at different servers must not
+  // reuse each other's /v1/config prefix.
   private val prefixMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def prefixOf(cfg: ConfigFx): String =
-    prefixMemo.getOrElseUpdate(cfg.name, {
+    prefixMemo.getOrElseUpdate((cfg.name, cfg.config.getOrElse("uri", "")), {
       val q = cfg.config.get("warehouse").map(w => "?warehouse=" +
         java.net.URLEncoder.encode(w,
           java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")

@@ -1328,6 +1328,47 @@ class MultimodalSpec extends SparkSpec {
     assert(cc.count() < full.count())
   }
 
+  test("hammingCcEdges capped regime (> maxBucket DISTINCT hashes): sound + star-complete") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // r17 advice: when a single band bucket holds MORE DISTINCT hash
+    // values than maxBucket, the rep-space banded join and the full
+    // pair join drop DIFFERENT cross-sub candidates, so component
+    // EQUALITY is only promised below the cap (the scaladoc's honest
+    // statement). This pins what still holds above it:
+    //   (a) soundness — every emitted edge is a true τ-edge;
+    //   (b) star-completeness — exact-dup members always land in their
+    //       representative's component (stars are cap-independent).
+    // 40 distinct hashes differing only in the top byte (7 of 8 bands
+    // degenerate), 3 exact copies each, maxBucket = 8 ≪ 40.
+    val base = 0x00345678_90abcdefL
+    val rows = for {
+      g <- 0L until 40L; m <- 0L until 3L
+    } yield (g * 10 + m, base | (g << 56))
+    val df = rows.toDF("media_id", "phash64")
+    val cc = Multimodal.hammingCcEdges(df, "phash64", 7, 8, maxBucket = 8)
+    val hashOf = rows.map { case (id, h) => id -> h }.toMap
+    val edges = cc.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(edges.nonEmpty)
+    // (a) every edge joins ids whose hashes are within τ
+    assert(edges.forall { case (a, b) =>
+      java.lang.Long.bitCount(hashOf(a) ^ hashOf(b)) <= 7
+    })
+    // (b) each exact-dup group is one component regardless of the cap
+    val clusters = graft.llm.Dedup.clustersFromPairs(
+        df.select(col("media_id").as("doc_id")),
+        cc.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_id")).toMap
+    (0L until 40L).foreach { g =>
+      val members = (0L until 3L).map(m => clusters(g * 10 + m))
+      assert(members.distinct.size == 1,
+        s"exact-dup group $g split across components")
+    }
+  }
+
   test("autoBandGeometry: ONE degenerate band forces the switch, tame bands don't mask it") {
     val s = spark
     import s.implicits._
