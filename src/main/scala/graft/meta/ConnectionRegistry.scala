@@ -35,10 +35,14 @@ class ConnectionRegistry(path: Path) {
   /** name-uniqueness invariant (`config.rs:100-103`) */
   def isNameUnique(name: String): Boolean = !catalogs.exists(_.name == name)
 
-  /** P14 — display view with credentials masked (`config.rs:107-124`) */
+  /** P14 — display view with credentials masked (`config.rs:107-124`);
+    * r18: the OAuth2 `credential` key (client secret) masks like
+    * auth_token.
+    */
   def sanitizedForDisplay: Seq[ConfigFx] = catalogs.map { c =>
     c.copy(config = c.config.map {
-      case ("auth_token", v) if v.nonEmpty => "auth_token" -> "***HIDDEN***"
+      case (k @ ("auth_token" | "credential"), v) if v.nonEmpty =>
+        k -> "***HIDDEN***"
       case kv => kv
     })
   }

@@ -196,6 +196,16 @@ object MetaQueries extends QueryPack {
         .withColumn("is_iceberg", col("table_type") === "iceberg")
     }),
 
+    // S1 multi-level namespaces (r18): the hierarchical-walk fixture —
+    // depth-3 nesting enumerated via the ?parent= recursion, dotted
+    // display names, and the 404-probe classification on a nested leaf
+    "m27_rest_nested" -> ((s, _) => {
+      new RestPayloadCatalog(RestNestedFixtureGen.DefaultDir).listing(s)
+        .withColumn("full_name",
+          Normalize.fullName(col("namespace"), col("table_name")))
+        .withColumn("is_iceberg", col("table_type") === "iceberg")
+    }),
+
     // S6/S7 through the Glue path: metadata files loaded from the
     // warehouse pointer → normalized snapshot facts, identical to the
     // parquet-fixture and REST paths for the glue-typed catalog
@@ -386,6 +396,10 @@ object MetaQueries extends QueryPack {
     "m02_snapshot_normalize" -> SnapNormSql,
 
     "m23_rest_listing" -> ListingSql,
+    "m27_rest_nested" ->
+      s"""SELECT *, namespace || '.' || table_name AS full_name,
+          table_type = 'iceberg' AS is_iceberg
+          FROM read_parquet('$F/catalog_listing_nested.parquet/*.parquet')""",
 
     "m24_rest_snapshots" -> SnapNormSql,
 
@@ -602,7 +616,7 @@ object MetaQueries extends QueryPack {
 
     "m20_config_sanitize" ->
       s"""SELECT name, catalog_type, e.key AS key,
-            CASE WHEN e.key = 'auth_token' AND e.value != ''
+            CASE WHEN e.key IN ('auth_token', 'credential') AND e.value != ''
                  THEN '***HIDDEN***' ELSE e.value END AS value
           FROM (SELECT name, catalog_type, unnest(map_entries(config)) AS e
                 FROM read_parquet('$F/app_config.parquet/*.parquet'))""",

@@ -62,11 +62,13 @@ object Normalize {
   def fullName(ns: Column, name: Column): Column = concat_ws(".", ns, name)
 
   /** P14 — credential masking for display (`config.rs:107-124`):
-    * auth_token becomes ***HIDDEN*** unless empty.
+    * auth_token becomes ***HIDDEN*** unless empty; r18 extends the
+    * same rule to the OAuth2 `credential` key (client secret), which
+    * the r18 token flow introduces to the registry vocabulary.
     */
   def maskSecret(key: Column, value: Column): Column =
-    when(key === "auth_token" && value =!= "", lit("***HIDDEN***"))
-      .otherwise(value)
+    when(key.isin("auth_token", "credential") && value =!= "",
+      lit("***HIDDEN***")).otherwise(value)
 
   /** The normalized snapshot projection (S7): typed columns derived once.
     * P1 ms→timestamp is deterministic (no wall-clock overflow fallback —

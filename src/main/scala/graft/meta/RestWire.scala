@@ -48,7 +48,12 @@ object RestWire {
       nextPageToken: Option[String] = None): String = {
     val root = M.createObjectNode()
     val arr = root.putArray("namespaces")
-    nss.foreach(ns => arr.addArray().add(ns))
+    // the dotted display form splits back into spec levels (r18
+    // multi-level support — the write-side inverse of
+    // [[parseNamespaces]]'s join; single-level output is unchanged)
+    nss.foreach { ns =>
+      val a = arr.addArray(); ns.split('.').foreach(a.add); ()
+    }
     nextPageToken.foreach(root.put("next-page-token", _))
     root.toPrettyString
   }
@@ -59,7 +64,8 @@ object RestWire {
     val arr = root.putArray("identifiers")
     names.foreach { n =>
       val o = arr.addObject()
-      o.putArray("namespace").add(ns)
+      val a = o.putArray("namespace")
+      ns.split('.').foreach(a.add)
       o.put("name", n)
     }
     nextPageToken.foreach(root.put("next-page-token", _))
@@ -207,6 +213,16 @@ object RestWire {
     val root = M.readTree(json)
     (iterFields(root.path("defaults")) ++ iterFields(root.path("overrides")))
       .map { case (k, v) => k -> v.asText }.toMap
+  }
+
+  /** the OAuth2 token-endpoint response's `access_token` (client
+    * credentials flow, r18) — `None` when the field is absent/empty so
+    * the client can fail with a message naming the endpoint.
+    */
+  def parseAccessToken(json: String): Option[String] = {
+    val t = M.readTree(json).path("access_token")
+    if (t.isMissingNode || t.isNull || t.asText.isEmpty) None
+    else Some(t.asText)
   }
 
   /** the listing response's continuation token — `None` on the last

@@ -56,6 +56,19 @@ class RestCatalogSpec extends SparkSpec {
     assert(rows(rest.appConfig(spark)) == rows(fix.appConfig(spark)))
   }
 
+  test("multi-level namespaces enumerate via the parent walk (payload transport)") {
+    // the r18 nested fixture: depth-3 hierarchy, an intermediate
+    // namespace with children but no tables, a flat sibling, and one
+    // unloadable leaf table — the walk must find all four tables with
+    // dotted display namespaces and probe-classify the leaf unknown
+    val nested = new RestPayloadCatalog(RestNestedFixtureGen.DefaultDir)
+    val got = nested.listing(spark).collect().map(r =>
+      Model.ListingFx(r.getAs[String]("catalog_name"),
+        r.getAs[String]("catalog_type"), r.getAs[String]("namespace"),
+        r.getAs[String]("table_name"), r.getAs[String]("table_type"))).toSet
+    assert(got == RestNestedFixtureGen.expected.toSet)
+  }
+
   test("wire payloads are re-parseable after a render round trip") {
     // render the parsed model back out and parse again — fixed point
     val key = ("c_rest", "sales", "orders_hot")

@@ -76,6 +76,17 @@ class RestHttpCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     ()
   }
 
+  /** the golden routes served UNPAGED (single-page responses, no
+    * next-page-token) — for the auth-focused servers where pagination
+    * is not the behavior under test
+    */
+  private def routeUnpaged(path: String): Option[Array[Byte]] = path match {
+    case "/v1/namespaces" => body("c_rest/namespaces.json")
+    case LoadRe(ns, t) => body(s"c_rest/load/$ns.$t.json")
+    case TablesRe(ns) => body(s"c_rest/tables/$ns.json")
+    case _ => None
+  }
+
   /** the REST route table over c_rest's payload files, listings paged */
   private def route(path: String,
       pageToken: Option[String]): Option[Array[Byte]] = path match {
@@ -227,6 +238,151 @@ class RestHttpCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         rows(fix.listing(spark).filter(col("catalog_name") === "c_rest")))
       // the config request carried the configured warehouse
       assert(configQuery == "warehouse=s3%3A%2F%2Fwarehouse")
+    } finally srv.stop(0)
+  }
+
+  test("OAuth2 client credentials: one mint, form-encoded, memoized across the walk") {
+    val mints = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var mintForm: String = null
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/v1/oauth/tokens" &&
+          ex.getRequestMethod == "POST") {
+        mints.incrementAndGet()
+        mintForm = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val b = """{"access_token":"minted-xyz","token_type":"bearer"}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b)
+      } else {
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        if (!auth.contains("Bearer minted-xyz")) ex.sendResponseHeaders(401, -1)
+        else routeUnpaged(ex.getRequestURI.getPath) match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length.toLong)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+      }
+      ex.close()
+    })
+    srv.start()
+    try {
+      val c = new RestHttpCatalog(Seq(ConfigFx("c_rest", "rest", Map(
+        "uri" -> s"http://127.0.0.1:${srv.getAddress.getPort}",
+        "warehouse" -> "s3://warehouse",
+        "credential" -> "cid:sec"))))
+      assert(rows(c.listing(spark)) ===
+        rows(fix.listing(spark).filter(col("catalog_name") === "c_rest")))
+      // the whole walk (config + namespaces + tables + loads) minted ONCE
+      assert(mints.get() == 1)
+      val form = mintForm.split("&").toSet
+      assert(form == Set("grant_type=client_credentials",
+        "client_id=cid", "client_secret=sec", "scope=catalog"))
+    } finally srv.stop(0)
+  }
+
+  test("a 401 on a minted token re-mints once and the request retries") {
+    val mints = new java.util.concurrent.atomic.AtomicInteger(0)
+    // tok-1 is valid for exactly ONE data request (expiry mid-walk);
+    // every later request must carry the re-minted tok-2
+    val tok1Budget = new java.util.concurrent.atomic.AtomicInteger(1)
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/v1/oauth/tokens" &&
+          ex.getRequestMethod == "POST") {
+        val t = s"tok-${mints.incrementAndGet()}"
+        val b = s"""{"access_token":"$t"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b)
+      } else {
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        val ok = auth match {
+          case Some("Bearer tok-1") => tok1Budget.getAndDecrement() > 0
+          case Some("Bearer tok-2") => true
+          case _ => false
+        }
+        if (!ok) ex.sendResponseHeaders(401, -1)
+        else routeUnpaged(ex.getRequestURI.getPath) match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length.toLong)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+      }
+      ex.close()
+    })
+    srv.start()
+    try {
+      val c = new RestHttpCatalog(Seq(ConfigFx("c_rest", "rest", Map(
+        "uri" -> s"http://127.0.0.1:${srv.getAddress.getPort}",
+        "warehouse" -> "s3://warehouse", "credential" -> "cid:sec"))))
+      assert(c.listing(spark).count() == 4)
+      assert(mints.get() == 2) // the expiry cost exactly one re-mint
+    } finally srv.stop(0)
+  }
+
+  test("multi-level namespaces: %1F paths + parent walk enumerate the tree") {
+    val US = "\u001F"
+    val seenParents = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: HttpExchange) =>
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!auth.contains(s"Bearer $Token")) ex.sendResponseHeaders(401, -1)
+      else {
+        // getPath/getQuery DECODE the %1F — the raw URI must carry it
+        val raw = ex.getRequestURI.toString
+        val path = ex.getRequestURI.getPath
+        val parent = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case kv if kv.startsWith("parent=") =>
+              java.net.URLDecoder.decode(kv.stripPrefix("parent="), "UTF-8")
+          })
+        val resp: Option[Array[Byte]] = path match {
+          case "/v1/namespaces" =>
+            parent.foreach { p =>
+              assert(raw.contains("%1F") || !p.contains(US))
+              seenParents.updateWith(p)(n => Some(n.getOrElse(0) + 1))
+            }
+            val nss = parent match {
+              case None => Seq("ads", "sales")
+              case Some("ads") => Seq("ads.eu")
+              case Some(p) if p == s"ads${US}eu" => Seq.empty
+              case Some("sales") => Seq.empty
+              case _ => Seq.empty
+            }
+            Some(RestWire.namespacesJson(nss).getBytes("UTF-8"))
+          case p if p == s"/v1/namespaces/ads${US}eu/tables" =>
+            assert(raw.contains("%1F"))
+            Some(RestWire.tableIdentsJson("ads.eu", Seq("clicks_eu"))
+              .getBytes("UTF-8"))
+          case p if p == s"/v1/namespaces/ads${US}eu/tables/clicks_eu" =>
+            body("c_rest/load/ads.clicks.json") // reuse a golden payload
+          case "/v1/namespaces/ads/tables" | "/v1/namespaces/sales/tables" =>
+            Some(RestWire.tableIdentsJson("ads", Seq.empty).getBytes("UTF-8"))
+          case _ => None
+        }
+        resp match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length.toLong)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+      }
+      ex.close()
+    })
+    srv.start()
+    try {
+      val c = new RestHttpCatalog(Seq(ConfigFx("c_rest", "rest", Map(
+        "uri" -> s"http://127.0.0.1:${srv.getAddress.getPort}",
+        "warehouse" -> "s3://warehouse", "auth_token" -> Token))))
+      val listing = c.listing(spark).collect()
+        .map(r => (r.getAs[String]("namespace"), r.getAs[String]("table_name")))
+      // the nested namespace's table enumerated, dotted display form
+      assert(listing.toSet == Set(("ads.eu", "clicks_eu")))
+      // every namespace was asked for children exactly once
+      assert(seenParents.toMap ==
+        Map("ads" -> 1, "sales" -> 1, s"ads${US}eu" -> 1))
     } finally srv.stop(0)
   }
 
