@@ -224,12 +224,14 @@ object Mp4Meta {
         }
   }
 
-  /** the decoder stack the engine ships: raw luma + MJPEG are what the
-    * JDK can honestly decode; an H.264/AV1 library decoder drops in by
-    * being passed to [[decodeTrack]] alongside these (see
-    * [[FrameDecoder]] for the contract)
+  /** the decoder stack the engine ships: raw luma + MJPEG (JDK
+    * codecs) + the spec-derived intra-only H.264 decoder
+    * ([[graft.llm.h264.H264Decoder]] — all-intra avc1/avc3 streams
+    * with in-band parameter sets; inter prediction and CABAC remain
+    * the [[FrameDecoder]] library seam)
     */
-  val decoders: Seq[FrameDecoder] = Seq(RawLumaDecoder, MjpegDecoder)
+  val decoders: Seq[FrameDecoder] =
+    Seq(RawLumaDecoder, MjpegDecoder, h264.H264Decoder.AvcIntraDecoder)
 
   /** codec dispatch over demuxed samples: the first decoder claiming
     * the track's 4cc decodes every sample; a track with any failing
@@ -331,6 +333,27 @@ object Mp4Meta {
     encodeTrack(timescale, frameW, frameH, frameDelta, "jpeg", depth = 24,
       jpegSamples)
   }
+
+  /** fixture with a REAL all-intra H.264 track: an `'avc3'` sample
+    * entry (the in-band parameter-set convention of ISO 14496-15) and
+    * per-sample stsz sizes; every sample a complete access unit
+    * (SPS + PPS + IDR slice) as [[graft.llm.h264.H264Encoder]] emits.
+    * Round-trips through [[decodeAvcFrames]].
+    */
+  def encodeVideoAvc(timescale: Int, frameW: Int, frameH: Int,
+      frameDelta: Int, accessUnits: Seq[Array[Byte]]): Array[Byte] = {
+    require(accessUnits.nonEmpty, "at least one access unit")
+    encodeTrack(timescale, frameW, frameH, frameDelta, "avc3", depth = 24,
+      accessUnits)
+  }
+
+  /** the H.264 track decode — [[decodeTrack]] restricted to the
+    * intra-only spec decoder; None when any sample fails (inter
+    * slices, CABAC, malformation) or mismatches declared dimensions
+    */
+  def decodeAvcFrames(bytes: Array[Byte]): Option[VideoTrack] =
+    demuxVideo(bytes).flatMap(decodeTrack(_,
+      Seq(h264.H264Decoder.AvcIntraDecoder)))
 
   // private[llm]: Mp4MetaSpec builds a stand-in compressed-codec track
   // (an 'avc1' sample entry) to prove a drop-in FrameDecoder needs no

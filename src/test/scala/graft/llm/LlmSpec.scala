@@ -1197,11 +1197,15 @@ class MultimodalSpec extends SparkSpec {
     val Some(vs) = Mp4Meta.demuxVideo(bytes)
     assert(vs.codec == "avc1" && vs.samples.length == 3)
     (0 until 3).foreach(f => assert(vs.samples(f).sameElements(samples(f))))
-    // the shipped stack refuses the compressed entry — the honest seam
+    // the shipped stack refuses the track: the r18 intra-H.264 decoder
+    // claims the 'avc1' 4cc but rejects these non-H.264 sample bytes
+    // (None per sample → track rejected whole) — garbage never decodes
     assert(Mp4Meta.decodeAnyFrames(bytes).isEmpty)
     assert(Mp4Meta.decodeTrack(vs).isEmpty)
-    // ... and a drop-in FrameDecoder (what a JNI H.264 binding would
-    // be) crosses it with no changes above decodeTrack
+    // ... and a drop-in FrameDecoder (what a JNI inter-frame H.264
+    // binding would be) crosses the seam with no changes above
+    // decodeTrack — passed with precedence, since the shipped stack
+    // now claims 'avc1' itself for all-intra streams
     object Avc1Standin extends FrameDecoder {
       val codecs: Set[String] = Set("avc1")
       def decodeLuma(sample: Array[Byte], width: Int,
@@ -1209,7 +1213,7 @@ class MultimodalSpec extends SparkSpec {
         Some(sample.map(b => (b ^ 0x5a).toByte))
           .filter(_.length == width * height)
     }
-    val Some(vt) = Mp4Meta.decodeTrack(vs, Mp4Meta.decoders :+ Avc1Standin)
+    val Some(vt) = Mp4Meta.decodeTrack(vs, Avc1Standin +: Mp4Meta.decoders)
     assert(vt.width == w && vt.height == h && vt.frameDelta == 100)
     vt.frames.zip(lumas).foreach { case (got, exp) =>
       assert(got.sameElements(exp))
