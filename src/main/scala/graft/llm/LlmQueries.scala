@@ -342,7 +342,10 @@ object LlmQueries extends QueryPack {
     "x91_media_funnel" -> ((s, dir) => Multimodal.mediaCurationFunnel(media(s, dir))),
     "x92_mjpeg_frames" -> ((s, dir) => Multimodal.mjpegFrames(media(s, dir))),
     "x93_funnel_autogeo" -> ((s, dir) =>
-      Multimodal.mediaCurationFunnelAuto(media(s, dir)))
+      Multimodal.mediaCurationFunnelAuto(media(s, dir))),
+    // all-intra H.264 decode (r18): the spec-derived avc1/avc3 codec
+    // behind the FrameDecoder seam, isolated like x92 isolates MJPEG
+    "x94_avc_frames" -> ((s, dir) => Multimodal.avcFrames(media(s, dir)))
   )
 
   /** fixed BM25 query term set (all present in the corpus vocabulary) */
@@ -2734,6 +2737,20 @@ object LlmQueries extends QueryPack {
           FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
             unnest(generate_series(1, len(fr_brightness))) AS x(i)
           WHERE codec = 'mjpeg'""",
+
+    // intra-H.264 decode (the 'avc3' sample-entry clips): the engine
+    // demuxes and spec-decodes every access unit; the oracle reads the
+    // fixture's EXPECTED per-frame arrays, authored by the same
+    // demux+decode (the x12/x92 discipline), filtered by the codec tag
+    "x94_avc_frames" ->
+      s"""SELECT media_id, CAST(x.i - 1 AS INT) AS frame_idx,
+            fr_ts_ms[x.i] AS frame_ts_ms,
+            width AS fr_width, height AS fr_height,
+            fr_brightness[x.i] AS luma_mean,
+            fr_phash64[x.i] AS fphash64
+          FROM read_parquet('$MEDIA/media.parquet/*.parquet'),
+            unnest(generate_series(1, len(fr_brightness))) AS x(i)
+          WHERE codec = 'avc'""",
 
     // the auto-geometry funnel: at any corpus whose widest-ladder pair
     // work fits the budget the selection returns (8 bands, tau 7) and

@@ -177,7 +177,21 @@ object MediaCorpus {
         frameDelta = 500,
         jpegSamples = frames.map(fr =>
           ImageCodec.encodeJpeg(ImageCodec.grayImage(fr, W, H))))
-    else
+    else if (base % 19 == 11) {
+      // all-intra H.264 clip class (r18): every sample a complete
+      // SPS+PPS+IDR access unit behind an 'avc3' entry, so x94 and the
+      // codec-agnostic frame operators price the spec decoder at corpus
+      // scale. Encoder config varies with the BASE id (QP / deblock /
+      // MB-class rotation); a trimmed variant re-encodes the same
+      // source frames all-intra, so its per-frame recon — and hash
+      // containment — is exact by construction.
+      val cfg = graft.llm.h264.H264Encoder.Cfg(
+        qp = 22 + (base % 3).toInt * 4, deblock = base % 2 == 0)
+      Mp4Meta.encodeVideoAvc(timescale = 1000, frameW = W, frameH = H,
+        frameDelta = 500,
+        accessUnits = frames.map(fr =>
+          graft.llm.h264.H264Encoder.encodeFrame(fr, W, H, cfg)._1))
+    } else
       Mp4Meta.encodeVideo(timescale = 1000, frameW = W, frameH = H,
         frameDelta = 500, frames = frames)
   }
@@ -210,16 +224,20 @@ object MediaCorpus {
 
   private def videoRow(gid: Long, id: Long): Multimodal.MediaFx = {
     val bytes = mp4For(id)
-    val raw = Mp4Meta.decodeFrames(bytes) // demux once, not per branch
-    val mjpeg = raw.isEmpty
-    val vt = raw.orElse(Mp4Meta.decodeMjpegFrames(bytes)).get
+    val vs = Mp4Meta.demuxVideo(bytes).get // demux once, not per branch
+    val vt = Mp4Meta.decodeTrack(vs).get
+    val codecTag = vs.codec match {
+      case "jpeg" => Some("mjpeg")
+      case "avc3" | "avc1" => Some("avc")
+      case _ => None // raw luma: the uncompressed class carries no tag
+    }
     Multimodal.MediaFx(gid, "video", bytes, Some(vt.width), Some(vt.height),
       Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None, None,
       None, Some(vt.frames.indices.map(vt.frameTsMs)),
       Some(vt.frames.map(fr => fr.map(_ & 0xff).sum.toDouble / fr.length)),
       None, None,
       Some(vt.frames.map(fr => PHash.ofLuma(fr, vt.width, vt.height))),
-      codec = if (mjpeg) Some("mjpeg") else None)
+      codec = codecTag)
   }
 
   /** media_id offsets giving each modality a DISJOINT id space; offsets
@@ -257,7 +275,8 @@ object MediaCorpus {
   }
 
   /** bump when the generated corpus content changes (r16: MJPEG clip
-    * class at base ≡ 7 mod 19 + the codec column)
+    * class at base ≡ 7 mod 19 + the codec column; r18: all-intra
+    * H.264 clip class at base ≡ 11 mod 19)
     */
-  val RecipeVersion = "2"
+  val RecipeVersion = "3"
 }

@@ -406,6 +406,54 @@ object Multimodal {
             codec = Some("mjpeg"))
         }
         Seq(fx(31L, 9L, 8), fx(32L, 10L, 6), fx(33L, 11L, 10))
+      } ++ {
+        // all-intra H.264 clips (x94, r18): each sample a complete
+        // SPS+PPS+IDR access unit from the engine's own closed-loop
+        // encoder behind an 'avc3' sample entry; configs vary QP,
+        // deblocking and the I_PCM/Intra_4x4 rotation so the decode
+        // path exercises every MB class. Expected per-frame stats are
+        // authored by DECODING the authored bytes (the x12/x92 rule —
+        // and the encoder's closed-loop recon equals that decode
+        // bit-for-bit, which H264Spec pins).
+        val (w, h) = (64, 48)
+        def lumaFrames(fam: Long, nFrames: Int): Seq[Array[Byte]] = {
+          val a = 1.3 + (fam % 3).toDouble
+          val b = 0.9 + ((fam / 3) % 3).toDouble
+          val tau = 2.0 * StrictMath.PI
+          (0 until nFrames).map { f =>
+            Array.tabulate(w * h) { j =>
+              val fx = (j % w).toDouble / (w - 1)
+              val fy = (j / w).toDouble / (h - 1)
+              val s = StrictMath.sin(tau * (a * fx + b * fy +
+                0.7 * fx * fy - 0.6 * fx * fx) + 1.3 * fam + 0.45 * f)
+              val i0 = StrictMath.round(128.0 + 95.0 * s).toInt
+              (if (i0 < 0) 0 else if (i0 > 255) 255 else i0).toByte
+            }
+          }
+        }
+        def fx(i: Long, fam: Long, nFrames: Int,
+            cfg: h264.H264Encoder.Cfg): MediaFx = {
+          val bytes = Mp4Meta.encodeVideoAvc(timescale = 1000, frameW = w,
+            frameH = h, frameDelta = 500,
+            accessUnits = lumaFrames(fam, nFrames).map(fr =>
+              h264.H264Encoder.encodeFrame(fr, w, h, cfg)._1))
+          val vt = Mp4Meta.decodeAvcFrames(bytes).get
+          MediaFx(i, "video", bytes, Some(w), Some(h),
+            Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None,
+            None, None,
+            Some(vt.frames.indices.map(vt.frameTsMs)),
+            Some(vt.frames.map(fr =>
+              fr.map(_ & 0xff).sum.toDouble / fr.length)), None, None,
+            Some(vt.frames.map(fr =>
+              PHash.ofLuma(fr, vt.width, vt.height))),
+            codec = Some("avc"))
+        }
+        Seq(
+          fx(34L, 12L, 8, h264.H264Encoder.Cfg(qp = 22, deblock = true)),
+          fx(35L, 13L, 6, h264.H264Encoder.Cfg(qp = 30, deblock = false,
+            i4Every = 1, pcmEvery = 0)),
+          fx(36L, 14L, 10, h264.H264Encoder.Cfg(qp = 26, deblock = true,
+            i4Every = 0, pcmEvery = 5)))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */
@@ -615,6 +663,29 @@ object Multimodal {
         col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
       .mapPartitions(_.flatMap { m =>
         Mp4Meta.decodeMjpegFrames(m.payload).iterator.flatMap { vt =>
+          vt.frames.iterator.zipWithIndex.map { case (fr, i) =>
+            (m.media_id, i, vt.frameTsMs(i), vt.width, vt.height,
+              fr.map(_ & 0xff).sum.toDouble / fr.length,
+              PHash.ofLuma(fr, vt.width, vt.height))
+          }
+        }
+      }).toDF("media_id", "frame_idx", "frame_ts_ms", "fr_width",
+        "fr_height", "luma_mean", "fphash64")
+  }
+
+  /** x94 — the all-intra H.264 decode path: per-frame luma stats +
+    * pHash for clips whose track needs the spec-derived avc1/avc3
+    * decoder ([[graft.llm.h264.H264Decoder]]) — the x92 shape
+    * restricted to the compressed-entry clips the r18 codec covers.
+    * Same shuffle-free `mapPartitions` decode seam.
+    */
+  def avcFrames(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"), col("width"),
+        col("height"), col("duration_ms"), col("sample_rate")).as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        Mp4Meta.decodeAvcFrames(m.payload).iterator.flatMap { vt =>
           vt.frames.iterator.zipWithIndex.map { case (fr, i) =>
             (m.media_id, i, vt.frameTsMs(i), vt.width, vt.height,
               fr.map(_ & 0xff).sum.toDouble / fr.length,
