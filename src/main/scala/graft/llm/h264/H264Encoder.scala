@@ -33,7 +33,16 @@ object H264Encoder {
       /** plant chroma DC / DC+AC residuals on a rotation (parse-path
         * exercise; chroma recon is out of the luma contract)
         */
-      chromaResidue: Boolean = true)
+      chromaResidue: Boolean = true,
+      /** MB rows per slice (0 = one slice per picture). Multi-slice
+        * frames exercise cross-slice availability: intra prediction
+        * and nC contexts must treat other-slice neighbors as absent
+        */
+      mbRowsPerSlice: Int = 0,
+      /** with deblock on: false writes idc 2 (slice-boundary edges
+        * unfiltered) — only meaningful with mbRowsPerSlice > 0
+        */
+      deblockAcrossSlices: Boolean = true)
 
   private def nalBytes(header: Int, rbsp: Array[Byte]): Array[Byte] =
     Array(header.toByte) ++ Rbsp.escape(rbsp)
@@ -100,24 +109,28 @@ object H264Encoder {
     val mbW = w / 16; val mbH = h / 16
     val sps = H264Decoder.parseSps(spsRbsp(mbW, mbH))
     val pic = new Pic(sps)
-    val slice = 0
     val qp = cfg.qp
+    val total = mbW * mbH
+    // disable_deblocking_filter_idc: 1 when off, else 2 when slice
+    // boundaries must not be crossed (the multi-slice exercise), else 0
+    val idc =
+      if (!cfg.deblock) 1 else if (cfg.deblockAcrossSlices) 0 else 2
 
-    val bw = new BitWriter
+    def encodeSlice(bw: BitWriter, slice: Int, startMb: Int,
+        endMb: Int): Unit = {
     // slice header
-    bw.ue(0) // first_mb_in_slice
+    bw.ue(startMb) // first_mb_in_slice
     bw.ue(7) // slice_type: I (all slices of the picture are I)
     bw.ue(0) // pps_id
     bw.u(0, 4) // frame_num (log2_max_frame_num = 4)
     bw.ue(0) // idr_pic_id
     bw.flag(false); bw.flag(false) // dec_ref_pic_marking (IDR)
     bw.se(0) // slice_qp_delta
-    bw.ue(if (cfg.deblock) 0 else 1) // disable_deblocking_filter_idc
-    if (cfg.deblock) { bw.se(0); bw.se(0) } // alpha/beta offsets
+    bw.ue(idc) // disable_deblocking_filter_idc
+    if (idc != 1) { bw.se(0); bw.se(0) } // alpha/beta offsets
 
-    var mbAddr = 0
-    val total = mbW * mbH
-    while (mbAddr < total) {
+    var mbAddr = startMb
+    while (mbAddr < endMb) {
       val mbX = mbAddr % mbW; val mbY = mbAddr / mbW
       val px = mbX * 16; val py = mbY * 16
       val bx0 = px / 4; val by0 = py / 4
@@ -373,16 +386,25 @@ object H264Encoder {
       mbAddr += 1
     }
     bw.trailing()
+    } // encodeSlice
 
+    val rowsPer = if (cfg.mbRowsPerSlice <= 0) mbH else cfg.mbRowsPerSlice
+    val sliceNals = (0 until mbH by rowsPer).zipWithIndex.map {
+      case (row0, slice) =>
+        val bw = new BitWriter
+        encodeSlice(bw, slice, row0 * mbW,
+          math.min(total, (row0 + rowsPer) * mbW))
+        nalBytes(0x65, bw.toBytes)
+    }
     val sample = lenPrefixed(Seq(
       nalBytes(0x67, spsRbsp(mbW, mbH)),
-      nalBytes(0x68, ppsRbsp(qp)),
-      nalBytes(0x65, bw.toBytes)))
-    // in-loop filter on the closed-loop recon (mirrors decode order)
+      nalBytes(0x68, ppsRbsp(qp))) ++ sliceNals)
+    // in-loop filter on the closed-loop recon (mirrors decode order +
+    // the slice-boundary rule when idc == 2)
     if (cfg.deblock)
       H264Deblock.filterPlane(pic.plane, w, h,
         (x, y) => pic.mbQp(y * mbW + x), (x, y) => pic.mbSlice(y * mbW + x),
-        0, 0, 0)
+        idc, 0, 0)
     (sample, pic.plane)
   }
 

@@ -229,6 +229,45 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-slice frames round-trip; cross-slice availability holds") {
+    val (w, h) = (64, 48) // 3 MB rows
+    val src = synthFrame(w, h, 6)
+    for ((rows, across) <- Seq((1, true), (1, false), (2, true))) {
+      val cfg = H264Encoder.Cfg(qp = 26, mbRowsPerSlice = rows,
+        deblockAcrossSlices = across)
+      val (sample, recon) = H264Encoder.encodeFrame(src, w, h, cfg)
+      // one IDR NAL per slice
+      val nSlices = H264Decoder.splitNals(sample)
+        .count(n => (n(0) & 0x1f) == 5)
+      assert(nSlices == (h / 16 + rows - 1) / rows, s"rows=$rows")
+      val out = H264Decoder.decodeIdrLuma(sample)
+      assert(out.isDefined, s"rows=$rows across=$across")
+      assert(out.get._3.sameElements(recon), s"rows=$rows across=$across")
+    }
+    // idc 2 vs idc 0 differ exactly at slice-boundary edges: with
+    // per-row slices the frames must not be byte-identical (the
+    // boundary rows carry quantization steps the filter would smooth)
+    val (_, withCross) = H264Encoder.encodeFrame(src, w, h,
+      H264Encoder.Cfg(qp = 38, mbRowsPerSlice = 1, deblockAcrossSlices = true))
+    val (_, noCross) = H264Encoder.encodeFrame(src, w, h,
+      H264Encoder.Cfg(qp = 38, mbRowsPerSlice = 1, deblockAcrossSlices = false))
+    assert(!withCross.sameElements(noCross))
+  }
+
+  test("Annex-B framing decodes identically to length-prefixed") {
+    val (w, h) = (32, 32)
+    val src = synthFrame(w, h, 8)
+    val (sample, recon) = H264Encoder.encodeFrame(src, w, h)
+    val nals = H264Decoder.splitNals(sample)
+    val annexB = nals.toArray.flatMap(n =>
+      Array[Byte](0, 0, 0, 1) ++ n)
+    val Some((_, _, plane)) = H264Decoder.decodeIdrLuma(annexB)
+    assert(plane.sameElements(recon))
+    // decode is deterministic: two decodes agree byte-for-byte
+    val Some((_, _, p2)) = H264Decoder.decodeIdrLuma(sample)
+    assert(plane.sameElements(p2))
+  }
+
   test("I_PCM-only frames are lossless") {
     val (w, h) = (32, 32)
     val src = synthFrame(w, h, 3)
