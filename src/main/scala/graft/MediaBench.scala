@@ -130,12 +130,26 @@ object MediaBench {
     * previous id's clip (the x85 containment class). Seed salted away
     * from the image stream so the two modalities draw different textures.
     */
-  def mp4For(id: Long): Array[Byte] = {
+  def mp4For(id: Long, avcAll: Boolean = false): Array[Byte] = {
     val (base, variant) = baseOf(id)
     val nF = if (variant) 5 else 8
     val frames = (0 until nF).map(f => lumaFrame(mix(base) ^ 0x56494445L, f))
-    Mp4Meta.encodeVideo(timescale = 1000, frameW = W, frameH = H,
-      frameDelta = 500, frames = frames)
+    // all-intra H.264 class (r18): base ≡ 11 mod 19 mirrors the
+    // MediaCorpus mix; `avcAll` turns EVERY clip avc for the dedicated
+    // decode-throughput point (extract_vid then prices the spec
+    // decoder's CAVLC+transform+prediction+deblock per frame instead of
+    // a raw-plane memcpy). A variant re-encodes the same source frames
+    // all-intra, so hash containment stays exact by construction.
+    if (avcAll || base % 19 == 11) {
+      val cfg = graft.llm.h264.H264Encoder.Cfg(
+        qp = 22 + (base % 3).toInt * 4, deblock = base % 2 == 0)
+      Mp4Meta.encodeVideoAvc(timescale = 1000, frameW = W, frameH = H,
+        frameDelta = 500,
+        accessUnits = frames.map(fr =>
+          graft.llm.h264.H264Encoder.encodeFrame(fr, W, H, cfg)._1))
+    } else
+      Mp4Meta.encodeVideo(timescale = 1000, frameW = W, frameH = H,
+        frameDelta = 500, frames = frames)
   }
 
   /** media_id offsets giving each modality a DISJOINT id space (the
@@ -160,16 +174,19 @@ object MediaBench {
     * copies meant a knob added to one but not the other would silently
     * read hashes extracted from a DIFFERENT corpus)
     */
-  private def knobSuffix(vidX: Int, audX: Int, mega: Boolean): String =
+  private def knobSuffix(vidX: Int, audX: Int, mega: Boolean,
+      avcAll: Boolean = false): String =
     (if (vidX > 1) s"_vx$vidX" else "") +
       (if (audX > 1) s"_ax$audX" else "") +
-      (if (mega) "_mc" else "")
+      (if (mega) "_mc" else "") +
+      (if (avcAll) "_avc" else "")
 
   def stageMedia(spark: SparkSession, n: Long, vidX: Int = 1,
-      audX: Int = 1, mega: Boolean = false): String = {
+      audX: Int = 1, mega: Boolean = false,
+      avcAll: Boolean = false): String = {
     val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v2" +
-        knobSuffix(vidX, audX, mega)
+      s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/n${n}_v3" +
+        knobSuffix(vidX, audX, mega, avcAll)
     Bench.stagedAtomically(out) { tmp =>
       import spark.implicits._
       val nAud = math.max(8L, n / 4) * audX
@@ -188,7 +205,7 @@ object MediaBench {
           "duration_ms", "sample_rate")
         .write.parquet(s"$tmp/audio.parquet")
       spark.range(0, nVid, 1, 32)
-        .map(id => (vidOff + id, "video", mp4For(id), Some(W), Some(H),
+        .map(id => (vidOff + id, "video", mp4For(id, avcAll), Some(W), Some(H),
           Some(if (id % 5 == 4) 2500L else 4000L), None: Option[Int]))
         .toDF("media_id", "kind", "payload", "width", "height",
           "duration_ms", "sample_rate")
@@ -209,6 +226,9 @@ object MediaBench {
     // adversarial clustered corpus (r16 verdict task 4): 20% of images
     // share one pHash — see pngFor's mega doc
     val mega = sys.env.get("SPARK_GRAFT_MEDIA_MEGA").contains("1")
+    // every clip all-intra H.264 (r18): the dedicated decode-throughput
+    // point for the spec codec (the default mix carries 1-in-19)
+    val avcAll = sys.env.get("SPARK_GRAFT_MEDIA_AVC").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = core.GraftSession.builder("graft-media-bench", cpus)
       // harness-only maxResultSize raise — see the Bench.main note
@@ -223,10 +243,10 @@ object MediaBench {
     // metadata/hash tables keep the default.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "256")
 
-    val dir = stageMedia(spark, n, vidX, audX, mega)
+    val dir = stageMedia(spark, n, vidX, audX, mega, avcAll)
     val hdir =
       s"${System.getProperty("java.io.tmpdir")}/graft_media_scale/hashes_n$n" +
-        knobSuffix(vidX, audX, mega)
+        knobSuffix(vidX, audX, mega, avcAll)
     def payload(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
     def hashes(t: String): DataFrame = spark.read.parquet(s"$hdir/$t.parquet")
 
