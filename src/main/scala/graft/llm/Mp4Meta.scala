@@ -18,13 +18,15 @@ import java.nio.ByteBuffer
   * no vmhd/dinf (the walker tolerates their absence) — the seam where
   * a compressed codec would plug in is the per-frame byte slice.
   */
-/** The inter-frame-codec seam (r16 verdict task 7): the one boundary a
-  * pure-JDK build genuinely cannot cross is entropy-coded inter-frame
-  * video — H.264/AV1 need motion compensation plus CABAC/range
-  * decoding, and nothing in the JDK implements them (confirmed:
-  * `javax.imageio` is still-image only, JavaFX/JMF are not on a server
-  * classpath). This trait is the drop-in contract for a real decoder
-  * library at that boundary:
+/** The inter-frame-codec seam (r16 verdict task 7; narrowed r18): the
+  * boundary a pure-JDK build genuinely cannot cross is INTER-FRAME
+  * video — P/B slices need motion compensation and most real streams
+  * entropy-code with CABAC, and nothing in the JDK implements either
+  * (confirmed: `javax.imageio` is still-image only, JavaFX/JMF are not
+  * on a server classpath). ALL-INTRA H.264 (CAVLC) is inside the
+  * boundary as of r18 — [[graft.llm.h264.H264Decoder.AvcIntraDecoder]]
+  * decodes it from the public spec. This trait is the drop-in contract
+  * for a real decoder library at the remaining boundary:
   *
   *   - INPUT: one demuxed sample exactly as [[Mp4Meta.demuxVideo]]
   *     slices it out of `mdat` — the container work (sample-table walk,

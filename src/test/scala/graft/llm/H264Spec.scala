@@ -341,13 +341,24 @@ class H264Spec extends AnyFunSuite {
           cut >= sample.length, s"truncated at $cut decoded")
       }
     // bit corruption in the slice payload must either reject or decode
-    // to SOME frame — never throw out of the decodeLuma boundary
+    // to SOME frame — never throw out of the decodeLuma boundary; the
+    // fuzz sweep covers the single-slice, multi-slice and PCM-heavy
+    // stream shapes (each exercises different parse machinery)
     val rnd = new scala.util.Random(3)
-    (0 until 200).foreach { _ =>
-      val mutated = sample.clone()
-      val i = rnd.nextInt(mutated.length - 20) + 20
-      mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
-      H264Decoder.decodeIdrLuma(mutated) // must not throw
+    val shapes = Seq(
+      sample,
+      H264Encoder.encodeFrame(src, w, h,
+        H264Encoder.Cfg(qp = 30, mbRowsPerSlice = 1,
+          deblockAcrossSlices = false))._1,
+      H264Encoder.encodeFrame(src, w, h,
+        H264Encoder.Cfg(qp = 30, i4Every = 0, pcmEvery = 1))._1)
+    shapes.foreach { base =>
+      (0 until 200).foreach { _ =>
+        val mutated = base.clone()
+        val i = rnd.nextInt(mutated.length - 20) + 20
+        mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+        H264Decoder.decodeIdrLuma(mutated) // must not throw
+      }
     }
     // dimension mismatch via the FrameDecoder contract
     assert(H264Decoder.AvcIntraDecoder.decodeLuma(sample, w + 16, h).isEmpty)
