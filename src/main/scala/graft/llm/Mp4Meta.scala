@@ -52,6 +52,15 @@ trait FrameDecoder {
     */
   def decodeLuma(sample: Array[Byte], width: Int,
       height: Int): Option[Array[Byte]]
+
+  /** r18: sample-entry extradata hook — codecs whose parameter sets
+    * live OUT-OF-BAND in the sample entry (H.264's `avcC` box under an
+    * `avc1` entry) rewrite the demuxed samples into self-contained
+    * units here before per-sample decode; default identity (raw, MJPEG
+    * and in-band avc3 need nothing)
+    */
+  def normalizeSamples(samples: IndexedSeq[Array[Byte]],
+      extradata: Option[Array[Byte]]): IndexedSeq[Array[Byte]] = samples
 }
 
 object Mp4Meta {
@@ -121,7 +130,12 @@ object Mp4Meta {
     * sample tables — what a real demuxer hands a codec
     */
   case class VideoSamples(codec: String, width: Int, height: Int,
-      timescale: Long, frameDelta: Long, samples: IndexedSeq[Array[Byte]])
+      timescale: Long, frameDelta: Long, samples: IndexedSeq[Array[Byte]],
+      /** sample-entry decoder-config child box payload when present
+        * (H.264: the `avcC` box under an `avc1`/`avc3` entry — the
+        * out-of-band SPS/PPS + NAL length size real muxers emit)
+        */
+      extradata: Option[Array[Byte]] = None)
 
   /** demux the first video track: trak → mdia → {mdhd timescale, hdlr
     * must be 'vide', minf → stbl → {stsd format + dimensions, stts
@@ -148,11 +162,19 @@ object Mp4Meta {
         if new String(bytes, hl + 8, 4, "US-ASCII") == "vide"
         (mi, mie) <- findBox(bytes, mds, mde, "minf")
         (st, ste) <- findBox(bytes, mi, mie, "stbl")
-        (sd, _) <- findBox(bytes, st, ste, "stsd")
+        (sd, sde) <- findBox(bytes, st, ste, "stsd")
         // first sample entry: [size][format 4cc] at content offset 8
         codec = new String(bytes, sd + 12, 4, "US-ASCII")
         w = bb.getShort(sd + 8 + 32).toInt & 0xffff
         h = bb.getShort(sd + 8 + 34).toInt & 0xffff
+        // child boxes past the fixed 86-byte VisualSampleEntry: the
+        // decoder-config extradata (avcC) when the entry carries one
+        entrySize = bb.getInt(sd + 8)
+        extradata = if (entrySize > 94 && sd + 8 + entrySize <= sde)
+          findBox(bytes, sd + 8 + 86, sd + 8 + entrySize, "avcC").map {
+            case (cs, ce) => java.util.Arrays.copyOfRange(bytes, cs, ce)
+          }
+        else None
         (tt, _) <- findBox(bytes, st, ste, "stts")
         nFrames = bb.getInt(tt + 8)
         delta = bb.getInt(tt + 12).toLong & 0xffffffffL
@@ -179,7 +201,7 @@ object Mp4Meta {
         val offs = sizes.scanLeft(off.toLong)(_ + _)
         VideoSamples(codec, w, h, timescale, delta,
           (0 until nFrames).map(i => java.util.Arrays.copyOfRange(bytes,
-            offs(i).toInt, offs(i + 1).toInt)))
+            offs(i).toInt, offs(i + 1).toInt)), extradata)
       }
     } catch { case _: Exception => None }
   }
@@ -244,11 +266,16 @@ object Mp4Meta {
   def decodeTrack(vs: VideoSamples,
       available: Seq[FrameDecoder] = decoders): Option[VideoTrack] =
     available.find(_.codecs(vs.codec)).flatMap { d =>
-      val frames = vs.samples.map(d.decodeLuma(_, vs.width, vs.height))
-      if (frames.forall(_.isDefined))
-        Some(VideoTrack(vs.width, vs.height, vs.timescale, vs.frameDelta,
-          frames.map(_.get)))
-      else None
+      // a throwing normalize (malformed extradata) rejects the track
+      // whole, like a failing sample
+      scala.util.Try(d.normalizeSamples(vs.samples, vs.extradata))
+        .toOption.flatMap { normalized =>
+          val frames = normalized.map(d.decodeLuma(_, vs.width, vs.height))
+          if (frames.forall(_.isDefined))
+            Some(VideoTrack(vs.width, vs.height, vs.timescale,
+              vs.frameDelta, frames.map(_.get)))
+          else None
+        }
     }
 
   /** the raw-luma track decode — [[decodeTrack]] restricted to the
@@ -349,6 +376,21 @@ object Mp4Meta {
       accessUnits)
   }
 
+  /** fixture with a REAL `avc1`+`avcC` H.264 track (the OUT-OF-BAND
+    * parameter-set convention most muxers emit): the sample entry
+    * carries an avcC child box (SPS/PPS + NAL length size) and the
+    * samples are slice-only NAL units framed at the avcC length size.
+    * Round-trips through [[decodeAvcFrames]] via the
+    * [[FrameDecoder.normalizeSamples]] hook.
+    */
+  def encodeVideoAvc1(timescale: Int, frameW: Int, frameH: Int,
+      frameDelta: Int, samples: Seq[Array[Byte]],
+      avccPayload: Array[Byte]): Array[Byte] = {
+    require(samples.nonEmpty, "at least one sample")
+    encodeTrack(timescale, frameW, frameH, frameDelta, "avc1", depth = 24,
+      samples, entryExtra = box("avcC", avccPayload))
+  }
+
   /** the H.264 track decode — [[decodeTrack]] restricted to the
     * intra-only spec decoder; None when any sample fails (inter
     * slices, CABAC, malformation) or mismatches declared dimensions
@@ -362,7 +404,8 @@ object Mp4Meta {
   // operator changes
   private[llm] def encodeTrack(timescale: Int, frameW: Int, frameH: Int,
       frameDelta: Int, format: String, depth: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]],
+      entryExtra: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val duration = frames.length.toLong * frameDelta
     val uniformSize = frames.map(_.length).distinct match {
       case Seq(one) if format == "raw " => one
@@ -394,8 +437,10 @@ object Mp4Meta {
       val hdlrContent = vf ++ u32(0) ++ "vide".getBytes("US-ASCII") ++
         new Array[Byte](12) ++ Array[Byte](0) // empty null-term name
       val sampleEntry = {
-        val bb = ByteBuffer.allocate(86) // VisualSampleEntry
-        bb.putInt(86).put(format.getBytes("US-ASCII"))
+        // VisualSampleEntry (86 fixed bytes) + optional child boxes
+        // (the avcC decoder-config real muxers append)
+        val bb = ByteBuffer.allocate(86 + entryExtra.length)
+        bb.putInt(86 + entryExtra.length).put(format.getBytes("US-ASCII"))
         bb.position(bb.position() + 6) // reserved
         bb.putShort(1) // data_reference_index
         bb.position(bb.position() + 16) // pre_defined/reserved
@@ -406,6 +451,7 @@ object Mp4Meta {
         bb.position(bb.position() + 32) // compressorname
         bb.putShort(depth.toShort) // 8 = luma plane, 24 = color codec
           .putShort(0xffff.toShort) // pre_defined -1
+        if (entryExtra.nonEmpty) bb.put(entryExtra)
         bb.array()
       }
       val stszContent =

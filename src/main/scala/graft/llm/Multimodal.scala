@@ -448,12 +448,38 @@ object Multimodal {
               PHash.ofLuma(fr, vt.width, vt.height))),
             codec = Some("avc"))
         }
+        // 37 — the avc1+avcC shape (out-of-band SPS/PPS, 2-byte NAL
+        // lengths): same decode contract through the normalizeSamples
+        // hook, so x94 gates BOTH parameter-set conventions
+        def fxAvc1(i: Long, fam: Long, nFrames: Int, qp: Int): MediaFx = {
+          val lengthSize = 2
+          val encoded = lumaFrames(fam, nFrames).map(fr =>
+            h264.H264Encoder.encodeFrame(fr, w, h,
+              h264.H264Encoder.Cfg(qp = qp)))
+          val bytes = Mp4Meta.encodeVideoAvc1(timescale = 1000, frameW = w,
+            frameH = h, frameDelta = 500,
+            samples = encoded.map(e =>
+              h264.H264Encoder.toAvc1Sample(e._1, lengthSize)),
+            avccPayload = h264.H264Encoder.avccPayload(w / 16, h / 16, qp,
+              lengthSize))
+          val vt = Mp4Meta.decodeAvcFrames(bytes).get
+          MediaFx(i, "video", bytes, Some(w), Some(h),
+            Some(Mp4Meta.decode(bytes).get.durationMs), None, None, None,
+            None, None,
+            Some(vt.frames.indices.map(vt.frameTsMs)),
+            Some(vt.frames.map(fr =>
+              fr.map(_ & 0xff).sum.toDouble / fr.length)), None, None,
+            Some(vt.frames.map(fr =>
+              PHash.ofLuma(fr, vt.width, vt.height))),
+            codec = Some("avc"))
+        }
         Seq(
           fx(34L, 12L, 8, h264.H264Encoder.Cfg(qp = 22, deblock = true)),
           fx(35L, 13L, 6, h264.H264Encoder.Cfg(qp = 30, deblock = false,
             i4Every = 1, pcmEvery = 0)),
           fx(36L, 14L, 10, h264.H264Encoder.Cfg(qp = 26, deblock = true,
-            i4Every = 0, pcmEvery = 5)))
+            i4Every = 0, pcmEvery = 5)),
+          fxAvc1(37L, 15L, 7, 24))
       }
 
   /** fixture writer (committed parquet, like the metadata fixtures) */

@@ -612,13 +612,88 @@ object H264Decoder {
       }
     }
 
-  /** the [[FrameDecoder]] plug-in: 'avc1'/'avc3' sample entries whose
-    * sync samples carry in-band SPS/PPS (the avc3 convention; avcC
-    * extradata-only avc1 tracks reject — the demux seam hands samples,
-    * not sample-entry extradata)
+  /** parsed `avcC` decoder configuration (ISO 14496-15): the NAL
+    * length-field size the track's samples use, plus the out-of-band
+    * SPS/PPS NAL units
+    */
+  final case class AvcConfig(lengthSize: Int, sps: Seq[Array[Byte]],
+      pps: Seq[Array[Byte]])
+
+  /** parse an avcC box payload; throws [[H264Malformed]] on framing
+    * errors (a malformed config rejects the whole track upstream)
+    */
+  def parseAvcc(avcc: Array[Byte]): AvcConfig = {
+    if (avcc.length < 7 || (avcc(0) & 0xff) != 1)
+      throw new H264Malformed("avcC version")
+    val lengthSize = (avcc(4) & 3) + 1
+    var pos = 5
+    def u8(): Int = {
+      if (pos >= avcc.length) throw new H264Malformed("avcC truncated")
+      val v = avcc(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = (u8() << 8) | u8()
+    def nal(): Array[Byte] = {
+      val len = u16()
+      if (len <= 0 || pos + len > avcc.length)
+        throw new H264Malformed("avcC NAL length")
+      val out = java.util.Arrays.copyOfRange(avcc, pos, pos + len)
+      pos += len
+      out
+    }
+    val nSps = u8() & 0x1f
+    val sps = Seq.fill(nSps)(nal())
+    val nPps = u8()
+    val pps = Seq.fill(nPps)(nal())
+    AvcConfig(lengthSize, sps, pps)
+  }
+
+  private def framed4(nals: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    nals.foreach { n =>
+      out.write((n.length >> 24) & 0xff); out.write((n.length >> 16) & 0xff)
+      out.write((n.length >> 8) & 0xff); out.write(n.length & 0xff)
+      out.write(n, 0, n.length)
+    }
+    out.toByteArray
+  }
+
+  /** split a sample framed at `lengthSize`-byte NAL prefixes */
+  private def splitAt(sample: Array[Byte], lengthSize: Int): Seq[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i + lengthSize <= sample.length) {
+      var len = 0
+      var k = 0
+      while (k < lengthSize) { len = (len << 8) | (sample(i + k) & 0xff); k += 1 }
+      if (len <= 0 || i + lengthSize + len > sample.length)
+        throw new H264Malformed("bad NAL length")
+      out += java.util.Arrays.copyOfRange(sample, i + lengthSize,
+        i + lengthSize + len)
+      i += lengthSize + len
+    }
+    out.result()
+  }
+
+  /** the [[FrameDecoder]] plug-in: 'avc1'/'avc3' sample entries. In-band
+    * parameter sets (the avc3 convention) decode directly; when the
+    * sample entry carries an `avcC` box (the avc1 convention real
+    * muxers emit), [[FrameDecoder.normalizeSamples]] re-frames each
+    * sample from the avcC NAL length size to 4 bytes and prepends the
+    * out-of-band SPS/PPS, making every sample self-contained.
     */
   object AvcIntraDecoder extends FrameDecoder {
     val codecs: Set[String] = Set("avc1", "avc3")
+
+    override def normalizeSamples(samples: IndexedSeq[Array[Byte]],
+        extradata: Option[Array[Byte]]): IndexedSeq[Array[Byte]] =
+      extradata match {
+        case None => samples
+        case Some(avcc) =>
+          val cfg = parseAvcc(avcc)
+          val params = framed4(cfg.sps ++ cfg.pps)
+          samples.map(s => params ++ framed4(splitAt(s, cfg.lengthSize)))
+      }
+
     def decodeLuma(sample: Array[Byte], width: Int,
         height: Int): Option[Array[Byte]] =
       decodeIdrLuma(sample) match {

@@ -408,6 +408,45 @@ object H264Encoder {
     (sample, pic.plane)
   }
 
+  /** `avcC` decoder-configuration payload (ISO 14496-15) for this
+    * encoder's SPS/PPS — the out-of-band convention `avc1` sample
+    * entries use. `lengthSize` is the per-sample NAL length-field
+    * width (1, 2 or 4).
+    */
+  def avccPayload(widthMbs: Int, heightMbs: Int, qp: Int,
+      lengthSize: Int): Array[Byte] = {
+    require(Set(1, 2, 4)(lengthSize))
+    val sps = nalBytes(0x67, spsRbsp(widthMbs, heightMbs))
+    val pps = nalBytes(0x68, ppsRbsp(qp))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // configurationVersion
+    out.write(66); out.write(0xc0); out.write(20) // profile/compat/level
+    out.write(0xfc | (lengthSize - 1))
+    out.write(0xe0 | 1) // one SPS
+    out.write(sps.length >> 8); out.write(sps.length & 0xff)
+    out.write(sps, 0, sps.length)
+    out.write(1) // one PPS
+    out.write(pps.length >> 8); out.write(pps.length & 0xff)
+    out.write(pps, 0, pps.length)
+    out.toByteArray
+  }
+
+  /** rewrite an [[encodeFrame]] access unit (4-byte-framed SPS+PPS+IDR)
+    * into the avc1 sample shape: parameter sets dropped (they live in
+    * the avcC) and the remaining NALs re-framed at `lengthSize`
+    */
+  def toAvc1Sample(accessUnit: Array[Byte], lengthSize: Int): Array[Byte] = {
+    val slices = H264Decoder.splitNals(accessUnit)
+      .filter(n => (n(0) & 0x1f) != 7 && (n(0) & 0x1f) != 8)
+    val out = new java.io.ByteArrayOutputStream()
+    slices.foreach { n =>
+      var k = lengthSize - 1
+      while (k >= 0) { out.write((n.length >> (8 * k)) & 0xff); k -= 1 }
+      out.write(n, 0, n.length)
+    }
+    out.toByteArray
+  }
+
   /** chroma CBP rotation: none / DC-only / DC+AC */
   private def chromaPlan(cfg: Cfg, mbAddr: Int): Int =
     if (!cfg.chromaResidue) 0

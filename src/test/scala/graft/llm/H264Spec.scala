@@ -371,6 +371,43 @@ class H264Spec extends AnyFunSuite {
 
   // ---- 5. MP4 integration -------------------------------------------
 
+  test("avc1+avcC track (out-of-band SPS/PPS, 2-byte NAL lengths) decodes") {
+    val (w, h) = (64, 48)
+    val frames = (0 until 3).map(f => synthFrame(w, h, f + 20))
+    val qp = 26
+    val encoded = frames.map(fr =>
+      H264Encoder.encodeFrame(fr, w, h, H264Encoder.Cfg(qp = qp)))
+    // the avc1 convention: parameter sets in the sample entry's avcC,
+    // samples slice-only, NALs framed at the avcC length size (2 here,
+    // exercising the re-framing path — in-band samples use 4)
+    val lengthSize = 2
+    val avcc = H264Encoder.avccPayload(w / 16, h / 16, qp, lengthSize)
+    val samples = encoded.map(e =>
+      H264Encoder.toAvc1Sample(e._1, lengthSize))
+    // sanity: the avc1 samples genuinely carry no SPS/PPS
+    samples.foreach { s =>
+      assert(H264Decoder.decodeIdrLuma(s).isEmpty,
+        "slice-only sample must not decode without the avcC params")
+    }
+    val clip = Mp4Meta.encodeVideoAvc1(timescale = 1000, frameW = w,
+      frameH = h, frameDelta = 500, samples = samples, avccPayload = avcc)
+    // demux surfaces the extradata; the normalize hook rebuilds
+    // self-contained units and the track decodes to the closed-loop recon
+    val Some(vs) = Mp4Meta.demuxVideo(clip)
+    assert(vs.codec == "avc1" && vs.extradata.isDefined)
+    val Some(vt) = Mp4Meta.decodeAvcFrames(clip)
+    assert(vt.frames.length == 3)
+    vt.frames.zip(encoded.map(_._2)).foreach { case (got, exp) =>
+      assert(got.sameElements(exp))
+    }
+    // the generic stack path too
+    assert(Mp4Meta.decodeAnyFrames(clip).isDefined)
+    // a corrupted avcC rejects the track whole (no partial serving)
+    val badAvcc = avcc.clone(); badAvcc(0) = 9
+    val badClip = Mp4Meta.encodeVideoAvc1(1000, w, h, 500, samples, badAvcc)
+    assert(Mp4Meta.decodeAvcFrames(badClip).isEmpty)
+  }
+
   test("avc3 MP4 track round-trips through the shipped decoder stack") {
     val (w, h) = (64, 48)
     val frames = (0 until 4).map(f => synthFrame(w, h, f))
