@@ -43,23 +43,38 @@ object H264Cavlc {
   val vlcNc4 = new Vlc(coeffTokenNc4)
   val vlcChromaDc = new Vlc(coeffTokenChromaDc)
 
-  /** ordinary-table lookup helpers shared by total_zeros / run_before */
-  private def readFrom(br: BitReader, codes: IndexedSeq[String]): Int = {
-    val maxLen = codes.iterator.map(_.length).max
-    var v = 0
-    var len = 0
-    while (len <= maxLen) {
-      v = (v << 1) | br.u(1)
-      len += 1
-      var i = 0
-      while (i < codes.length) {
-        val c = codes(i)
-        if (c.length == len && Integer.parseInt(c, 2) == v) return i
-        i += 1
+  /** one total_zeros / run_before row compiled to a (len, value) →
+    * symbol map at init (r18 review: the per-coefficient inner loop
+    * was re-deriving maxLen and parsing code STRINGS per bit — the
+    * CAVLC hot path the decode-throughput bench prices)
+    */
+  private final class RowVlc(codes: IndexedSeq[String]) {
+    val maxLen: Int = codes.iterator.map(_.length).max
+    private val map: Map[(Int, Int), Int] =
+      codes.zipWithIndex.map { case (c, i) =>
+        (c.length, Integer.parseInt(c, 2)) -> i
+      }.toMap
+    def read(br: BitReader): Int = {
+      var v = 0
+      var len = 0
+      while (len <= maxLen) {
+        v = (v << 1) | br.u(1)
+        len += 1
+        map.get((len, v)) match {
+          case Some(sym) => return sym
+          case None =>
+        }
       }
+      throw new H264Malformed("VLC: no code matched")
     }
-    throw new H264Malformed("VLC: no code matched")
   }
+
+  private val totalZerosVlc: Map[Int, RowVlc] =
+    totalZeros4x4.map { case (tc, codes) => tc -> new RowVlc(codes) }
+  private val totalZerosChromaVlc: Map[Int, RowVlc] =
+    totalZerosChromaDc.map { case (tc, codes) => tc -> new RowVlc(codes) }
+  private val runBeforeVlc: Map[Int, RowVlc] =
+    runBefore.map { case (zl, codes) => zl -> new RowVlc(codes) }
 
   /** decoded residual block: scan-order coefficients + the totalCoeff
     * the nC neighbor context needs
@@ -122,8 +137,8 @@ object H264Cavlc {
     // total_zeros
     val totalZeros =
       if (totalCoeff == maxCoeffs) 0
-      else if (maxCoeffs == 4) readFrom(br, totalZerosChromaDc(totalCoeff))
-      else readFrom(br, totalZeros4x4(totalCoeff))
+      else if (maxCoeffs == 4) totalZerosChromaVlc(totalCoeff).read(br)
+      else totalZerosVlc(totalCoeff).read(br)
 
     // run_before per coefficient, highest frequency first
     var zerosLeft = totalZeros
@@ -132,7 +147,7 @@ object H264Cavlc {
     while (i < totalCoeff) {
       val run =
         if (i == totalCoeff - 1) zerosLeft // last (lowest-freq) coeff
-        else if (zerosLeft > 0) readFrom(br, runBefore(math.min(zerosLeft, 7)))
+        else if (zerosLeft > 0) runBeforeVlc(math.min(zerosLeft, 7)).read(br)
         else 0
       if (pos < 0 || pos >= maxCoeffs)
         throw new H264Malformed("CAVLC run placement out of range")

@@ -31,19 +31,31 @@ object H264Decoder {
   final case class Sps(spsId: Int, profileIdc: Int, levelIdc: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
       widthMbs: Int, heightMbs: Int, frameMbsOnly: Boolean,
-      cropped: Boolean)
+      cropped: Boolean,
+      /** pocType 1 only: whether slice headers omit delta_pic_order_cnt */
+      deltaPocAlwaysZero: Boolean = true)
 
   final case class Pps(ppsId: Int, spsId: Int, cabac: Boolean,
       bottomFieldPresent: Boolean, picInitQp: Int,
       deblockCtrlPresent: Boolean, constrainedIntra: Boolean,
-      sliceGroups: Int)
+      sliceGroups: Int, redundantPicCntPresent: Boolean = false)
 
-  /** split one demuxed MP4 sample into NAL payloads: 4-byte
-    * length-prefixed (ISO 14496-15 default) or Annex-B start codes
+  /** split one demuxed MP4 sample into NAL payloads. The MP4-native
+    * 4-byte length framing is tried FIRST and accepted only when it
+    * consumes the sample exactly; otherwise the bytes are re-read as
+    * Annex-B start codes. (r18 review: a start-code sniff misfires on
+    * length-framed samples whose first NAL is 256–511 bytes — the
+    * length field 00 00 01 xx IS a start-code prefix — so exact-consume
+    * framing is the disambiguator, biased toward the framing every
+    * demuxed sample actually uses.)
     */
   def splitNals(sample: Array[Byte]): Seq[Array[Byte]] = {
-    if (sample.length >= 4 && sample(0) == 0 && sample(1) == 0 &&
-        (sample(2) == 1 || (sample(2) == 0 && sample(3) == 1))) {
+    val framed =
+      try {
+        val nals = splitAt(sample, 4)
+        if (nals.nonEmpty) Some(nals) else None
+      } catch { case _: H264Malformed => None }
+    framed.getOrElse {
       // Annex-B: scan 00 00 01 start codes
       val out = Vector.newBuilder[Array[Byte]]
       var i = 0
@@ -61,20 +73,9 @@ object H264Decoder {
       }
       if (start >= 0 && start < sample.length)
         out += java.util.Arrays.copyOfRange(sample, start, sample.length)
-      out.result()
-    } else {
-      // 4-byte big-endian length prefixes
-      val out = Vector.newBuilder[Array[Byte]]
-      var i = 0
-      while (i + 4 <= sample.length) {
-        val len = ((sample(i) & 0xff) << 24) | ((sample(i + 1) & 0xff) << 16) |
-          ((sample(i + 2) & 0xff) << 8) | (sample(i + 3) & 0xff)
-        if (len <= 0 || i + 4 + len > sample.length)
-          throw new H264Malformed("bad NAL length")
-        out += java.util.Arrays.copyOfRange(sample, i + 4, i + 4 + len)
-        i += 4 + len
-      }
-      out.result()
+      val nals = out.result()
+      if (nals.isEmpty) throw new H264Malformed("no NAL framing recognized")
+      nals
     }
   }
 
@@ -102,8 +103,9 @@ object H264Decoder {
       log2MaxPocLsb = br.ue() + 4
       if (log2MaxPocLsb > 16) throw new H264Malformed("log2_max_poc_lsb")
     }
-    else if (pocType == 1) {
-      br.flag() // delta_pic_order_always_zero
+    var deltaPocAlwaysZero = true
+    if (pocType == 1) {
+      deltaPocAlwaysZero = br.flag()
       br.se(); br.se()
       val n = br.ue()
       var i = 0
@@ -125,7 +127,8 @@ object H264Decoder {
     val cropping = br.flag()
     if (cropping) { br.ue(); br.ue(); br.ue(); br.ue() }
     Sps(spsId, profileIdc, levelIdc, log2MaxFrameNum, pocType,
-      log2MaxPocLsb, widthMbs, heightMapUnits, frameMbsOnly, cropping)
+      log2MaxPocLsb, widthMbs, heightMapUnits, frameMbsOnly, cropping,
+      deltaPocAlwaysZero)
   }
 
   def parsePps(rbsp: Array[Byte]): Pps = {
@@ -144,9 +147,17 @@ object H264Decoder {
     br.se() // chroma_qp_index_offset (chroma recon skipped)
     val deblockCtrl = br.flag()
     val constrainedIntra = br.flag()
-    br.flag() // redundant_pic_cnt_present
+    val redundantPresent = br.flag() // redundant_pic_cnt_present
+    // optional PPS tail (r18 review: High-profile PPSes append it; a
+    // silent skip would desync the MB layer, so 8x8 transform and
+    // scaling matrices REJECT explicitly like CABAC does)
+    if (br.moreRbspData()) {
+      if (br.flag()) throw new H264Malformed("8x8 transform unsupported")
+      if (br.flag()) throw new H264Malformed("PPS scaling matrices unsupported")
+      br.se() // second_chroma_qp_index_offset (chroma recon skipped)
+    }
     Pps(ppsId, spsId, cabac, bottomField, picInitQp, deblockCtrl,
-      constrainedIntra, sliceGroups)
+      constrainedIntra, sliceGroups, redundantPresent)
   }
 
   /** luma 4x4 block decode order inside an MB → (x, y) pixel offsets
@@ -292,6 +303,11 @@ object H264Decoder {
     val mbX = mbAddr % p.mbW; val mbY = mbAddr / p.mbW
     val px = mbX * 16; val py = mbY * 16
     val bx0 = px / 4; val by0 = py / 4
+    // a second decode of the same address means overlapping slices —
+    // the nDecodedMbs completeness check would otherwise double-count
+    // and could bless a picture with never-decoded holes (r18 review)
+    if (p.mbSlice(mbAddr) != -1)
+      throw new H264Malformed(s"MB $mbAddr decoded twice")
     // slice membership is established BEFORE block decode: nC contexts
     // and intra availability for earlier blocks of THIS MB must see it
     p.mbSlice(mbAddr) = slice
@@ -572,7 +588,11 @@ object H264Decoder {
             if (sps.pocType == 0) {
               br.u(sps.log2MaxPocLsb)
               if (pps.bottomFieldPresent) br.se()
+            } else if (sps.pocType == 1 && !sps.deltaPocAlwaysZero) {
+              br.se() // delta_pic_order_cnt[0]
+              if (pps.bottomFieldPresent) br.se() // delta_pic_order_cnt[1]
             }
+            if (pps.redundantPicCntPresent) br.ue() // redundant_pic_cnt
             // dec_ref_pic_marking (IDR): two flags when nal_ref_idc != 0
             if (((nal(0) >> 5) & 3) != 0) { br.flag(); br.flag() }
             val qpDelta = br.se()
@@ -582,10 +602,19 @@ object H264Decoder {
               if (idc > 2) throw new H264Malformed("deblock idc")
               if (idc != 1) { offA = 2 * br.se(); offB = 2 * br.se() }
             }
-            if (pic == null) pic = new Pic(sps)
-            else if (pic.sps != sps)
-              throw new H264Malformed("SPS changed mid-picture")
-            pic.deblockIdc = idc; pic.offA = offA; pic.offB = offB
+            if (pic == null) {
+              pic = new Pic(sps)
+              pic.deblockIdc = idc; pic.offA = offA; pic.offB = offB
+            } else {
+              if (pic.sps != sps)
+                throw new H264Malformed("SPS changed mid-picture")
+              // the post-pass filter applies ONE parameter set to the
+              // picture; slices that disagree would need per-MB params
+              // (r18 review: last-slice-wins silently misfiltered)
+              if (pic.deblockIdc != idc || pic.offA != offA ||
+                  pic.offB != offB)
+                throw new H264Malformed("per-slice deblock params differ")
+            }
             val qpRef = Array((pps.picInitQp + qpDelta + 52) % 52)
             var mbAddr = firstMb
             val total = pic.mbW * pic.mbH
@@ -657,7 +686,10 @@ object H264Decoder {
     out.toByteArray
   }
 
-  /** split a sample framed at `lengthSize`-byte NAL prefixes */
+  /** split a sample framed at `lengthSize`-byte NAL prefixes; throws
+    * unless the framing consumes the sample EXACTLY (trailing garbage
+    * is a framing error, not padding)
+    */
   private def splitAt(sample: Array[Byte], lengthSize: Int): Seq[Array[Byte]] = {
     val out = Vector.newBuilder[Array[Byte]]
     var i = 0
@@ -671,6 +703,7 @@ object H264Decoder {
         i + lengthSize + len)
       i += lengthSize + len
     }
+    if (i != sample.length) throw new H264Malformed("NAL framing leftover")
     out.result()
   }
 

@@ -42,7 +42,14 @@ object H264Encoder {
       /** with deblock on: false writes idc 2 (slice-boundary edges
         * unfiltered) — only meaningful with mbRowsPerSlice > 0
         */
-      deblockAcrossSlices: Boolean = true)
+      deblockAcrossSlices: Boolean = true,
+      /** pic_order_cnt_type (0/1/2) — exercises the slice-header POC
+        * field variants (type 1 authored with
+        * delta_pic_order_always_zero_flag = 0, the parse-heavy shape)
+        */
+      pocType: Int = 2,
+      /** PPS redundant_pic_cnt_present_flag + the slice-header field */
+      redundantPicCnt: Boolean = false)
 
   private def nalBytes(header: Int, rbsp: Array[Byte]): Array[Byte] =
     Array(header.toByte) ++ Rbsp.escape(rbsp)
@@ -57,14 +64,21 @@ object H264Encoder {
     out.toByteArray
   }
 
-  def spsRbsp(widthMbs: Int, heightMbs: Int): Array[Byte] = {
+  def spsRbsp(widthMbs: Int, heightMbs: Int,
+      pocType: Int = 2): Array[Byte] = {
     val bw = new BitWriter
     bw.u(66, 8) // profile_idc: Baseline
     bw.u(0xc0, 8) // constraint_set0+1, reserved zero
     bw.u(20, 8) // level_idc 2.0
     bw.ue(0) // sps_id
     bw.ue(0) // log2_max_frame_num_minus4
-    bw.ue(2) // pic_order_cnt_type 2 (no slice-header POC fields)
+    bw.ue(pocType) // pic_order_cnt_type
+    if (pocType == 0) bw.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    else if (pocType == 1) {
+      bw.flag(false) // delta_pic_order_always_zero (slice fields PRESENT)
+      bw.se(0); bw.se(0) // offset_for_non_ref_pic / top_to_bottom
+      bw.ue(0) // num_ref_frames_in_pic_order_cnt_cycle
+    }
     bw.ue(1) // max_num_ref_frames
     bw.flag(false) // gaps_in_frame_num
     bw.ue(widthMbs - 1)
@@ -77,7 +91,7 @@ object H264Encoder {
     bw.toBytes
   }
 
-  def ppsRbsp(qp: Int): Array[Byte] = {
+  def ppsRbsp(qp: Int, redundantPicCnt: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0) // pps_id
     bw.ue(0) // sps_id
@@ -92,7 +106,7 @@ object H264Encoder {
     bw.se(0) // chroma_qp_index_offset
     bw.flag(true) // deblocking_filter_control_present
     bw.flag(false) // constrained_intra_pred
-    bw.flag(false) // redundant_pic_cnt_present
+    bw.flag(redundantPicCnt) // redundant_pic_cnt_present
     bw.trailing()
     bw.toBytes
   }
@@ -107,7 +121,7 @@ object H264Encoder {
     require(src.length == w * h)
     require(cfg.qp >= 0 && cfg.qp <= 51)
     val mbW = w / 16; val mbH = h / 16
-    val sps = H264Decoder.parseSps(spsRbsp(mbW, mbH))
+    val sps = H264Decoder.parseSps(spsRbsp(mbW, mbH, cfg.pocType))
     val pic = new Pic(sps)
     val qp = cfg.qp
     val total = mbW * mbH
@@ -124,6 +138,9 @@ object H264Encoder {
     bw.ue(0) // pps_id
     bw.u(0, 4) // frame_num (log2_max_frame_num = 4)
     bw.ue(0) // idr_pic_id
+    if (cfg.pocType == 0) bw.u(0, 4) // pic_order_cnt_lsb
+    else if (cfg.pocType == 1) bw.se(0) // delta_pic_order_cnt[0]
+    if (cfg.redundantPicCnt) bw.ue(0) // redundant_pic_cnt
     bw.flag(false); bw.flag(false) // dec_ref_pic_marking (IDR)
     bw.se(0) // slice_qp_delta
     bw.ue(idc) // disable_deblocking_filter_idc
@@ -229,40 +246,13 @@ object H264Encoder {
         // redo those blocks (and any that USED a redone neighbor —
         // avoided by zeroing in block order and recomputing recon
         // sequentially, which the closed loop below does)
-        val needRedo = (0 until 16).exists(b2 =>
-          (cbpLuma & (1 << (b2 / 4))) == 0 && coeffBlocks(b2).exists(_ != 0))
-        if (needRedo) {
-          // re-run recon with coded flags fixed (prediction chains make
-          // per-block patching unsound). The decoded flags reset first:
-          // availability during the re-run must match the decoder's
-          // single pass (a block's top-right neighbor later in decode
-          // order is UNAVAILABLE there — leaving first-pass flags set
-          // would flip that and diverge the prediction)
-          b = 0
-          while (b < 16) {
-            val (ox, oy) = blkPos(b)
-            pic.decoded((by0 + oy / 4) * pic.bw + (bx0 + ox / 4)) = false
-            b += 1
-          }
-          b = 0
-          while (b < 16) {
-            val (ox, oy) = blkPos(b)
-            val gbx = bx0 + ox / 4; val gby = by0 + oy / 4
-            val coded = (cbpLuma & (1 << (b / 4))) != 0
-            val r = ref4(pic, px + ox, py + oy, slice)
-            val pred = H264Pred.pred4x4(modes(b), r)
-            val recon =
-              if (coded) {
-                val res = H264Transform.inverse4x4(H264Transform.dequant4x4(
-                  coeffBlocks(b), qp, dcBypass = false))
-                Array.tabulate(16)(i => H264Transform.clip255(pred(i) + res(i)))
-              } else pred
-            reconBlocks(b) = recon
-            writePlane(ox, oy, recon, 4)
-            pic.decoded(gby * pic.bw + gbx) = true
-            b += 1
-          }
-        }
+        // NOTE (r18 review): a quadrant whose cbpLuma bit is 0 has, by
+        // the OR-of-nonzero construction above, only all-zero
+        // coefficient blocks — which already reconstruct as pure
+        // prediction in the first pass (zero residual). No re-run is
+        // ever needed; the invariant is asserted.
+        assert((0 until 16).forall(b2 =>
+          (cbpLuma & (1 << (b2 / 4))) != 0 || coeffBlocks(b2).forall(_ == 0)))
         // chroma residue plan (parse-path exercise)
         val cbpChroma = chromaPlan(cfg, mbAddr)
         val cbp = cbpLuma | (cbpChroma << 4)
@@ -397,8 +387,8 @@ object H264Encoder {
         nalBytes(0x65, bw.toBytes)
     }
     val sample = lenPrefixed(Seq(
-      nalBytes(0x67, spsRbsp(mbW, mbH)),
-      nalBytes(0x68, ppsRbsp(qp))) ++ sliceNals)
+      nalBytes(0x67, spsRbsp(mbW, mbH, cfg.pocType)),
+      nalBytes(0x68, ppsRbsp(qp, cfg.redundantPicCnt))) ++ sliceNals)
     // in-loop filter on the closed-loop recon (mirrors decode order +
     // the slice-boundary rule when idc == 2)
     if (cfg.deblock)

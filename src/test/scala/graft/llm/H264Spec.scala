@@ -254,6 +254,92 @@ class H264Spec extends AnyFunSuite {
     assert(!withCross.sameElements(noCross))
   }
 
+  test("slice-header POC variants and redundant_pic_cnt round-trip") {
+    val (w, h) = (32, 32)
+    val src = synthFrame(w, h, 12)
+    for {
+      pocType <- Seq(0, 1, 2)
+      redundant <- Seq(false, true)
+    } {
+      val (sample, recon) = H264Encoder.encodeFrame(src, w, h,
+        H264Encoder.Cfg(qp = 26, pocType = pocType,
+          redundantPicCnt = redundant))
+      val out = H264Decoder.decodeIdrLuma(sample)
+      assert(out.isDefined, s"poc=$pocType redundant=$redundant")
+      assert(out.get._3.sameElements(recon),
+        s"poc=$pocType redundant=$redundant")
+    }
+  }
+
+  test("PPS tail: benign tail accepted, 8x8/scaling-matrix tails reject") {
+    def ppsWithTail(t8x8: Boolean, scaling: Boolean): Array[Byte] = {
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(0) // pps_id, sps_id
+      bw.flag(false); bw.flag(false) // cavlc, bottom_field
+      bw.ue(0) // slice groups
+      bw.ue(0); bw.ue(0)
+      bw.flag(false); bw.u(0, 2)
+      bw.se(0); bw.se(0); bw.se(0)
+      bw.flag(true); bw.flag(false); bw.flag(false)
+      bw.flag(t8x8) // transform_8x8_mode_flag
+      bw.flag(scaling) // pic_scaling_matrix_present_flag
+      bw.se(0) // second_chroma_qp_index_offset
+      bw.trailing()
+      bw.toBytes
+    }
+    // benign tail (all features off): parses clean
+    val pps = H264Decoder.parsePps(ppsWithTail(t8x8 = false, scaling = false))
+    assert(!pps.cabac && pps.deblockCtrlPresent)
+    intercept[H264Malformed] {
+      H264Decoder.parsePps(ppsWithTail(t8x8 = true, scaling = false))
+    }
+    intercept[H264Malformed] {
+      H264Decoder.parsePps(ppsWithTail(t8x8 = false, scaling = true))
+    }
+  }
+
+  test("spliced adversarial slice layouts reject as None") {
+    val (w, h) = (32, 48) // 3 MB rows
+    val src = synthFrame(w, h, 14)
+    def nalsOf(cfg: H264Encoder.Cfg): Seq[Array[Byte]] =
+      H264Decoder.splitNals(H264Encoder.encodeFrame(src, w, h, cfg)._1)
+    def frame4(nals: Seq[Array[Byte]]): Array[Byte] =
+      nals.toArray.flatMap(n => Array[Byte](
+        ((n.length >> 24) & 0xff).toByte, ((n.length >> 16) & 0xff).toByte,
+        ((n.length >> 8) & 0xff).toByte, (n.length & 0xff).toByte) ++ n)
+    val perRow = nalsOf(H264Encoder.Cfg(qp = 30, mbRowsPerSlice = 1))
+    val Seq(sps, pps, s0, s1, s2) = perRow
+    // overlapping slices (same first_mb twice) must reject, even though
+    // the decodeMb call count reaches the picture total
+    assert(H264Decoder.decodeIdrLuma(frame4(Seq(sps, pps, s0, s0, s1)))
+      .isEmpty)
+    // a coverage hole rejects too
+    assert(H264Decoder.decodeIdrLuma(frame4(Seq(sps, pps, s0, s2))).isEmpty)
+    // slices disagreeing on deblock parameters reject (the post-pass
+    // filter applies ONE parameter set; last-slice-wins would misfilter)
+    val noDbk = nalsOf(H264Encoder.Cfg(qp = 30, mbRowsPerSlice = 1,
+      deblock = false))
+    assert(H264Decoder.decodeIdrLuma(
+      frame4(Seq(sps, pps, s0, noDbk(3), s2))).isEmpty)
+    // the intact per-row set still decodes (the splice harness is sound)
+    assert(H264Decoder.decodeIdrLuma(frame4(perRow)).isDefined)
+  }
+
+  test("length-framed sample whose first NAL is 256-511 bytes decodes") {
+    val (w, h) = (32, 16)
+    val src = synthFrame(w, h, 16)
+    val (sample, recon) = H264Encoder.encodeFrame(src, w, h)
+    // prepend a 300-byte SEI NAL: its 4-byte length prefix is
+    // 00 00 01 2C — exactly the byte shape a start-code sniff would
+    // misread as Annex-B (r18 review); strict exact-consume framing
+    // must keep the sample length-framed
+    val sei = Array.fill(300)(0x33.toByte)
+    sei(0) = 0x06 // nal_unit_type 6 (SEI), nal_ref_idc 0
+    val framed = Array[Byte](0, 0, 1, 44) ++ sei ++ sample
+    val out = H264Decoder.decodeIdrLuma(framed)
+    assert(out.isDefined && out.get._3.sameElements(recon))
+  }
+
   test("Annex-B framing decodes identically to length-prefixed") {
     val (w, h) = (32, 32)
     val src = synthFrame(w, h, 8)
