@@ -444,7 +444,22 @@ object Similarity {
     */
   def communityQualityWith(graph: DataFrame,
       communities: DataFrame): DataFrame = {
+    // r18 optimization: `comm` is referenced three times (both edge-side
+    // tag joins + the community-size base) and the callers hand it
+    // non-trivial subtrees — x72 the CC output, x78/x79 the
+    // artifact ∪ probe-assigned union — which re-executed per reference
+    // (zero ReusedExchange in the formatted plans: per-reference column
+    // pruning makes the copies non-identical, so exchange reuse never
+    // fires; x79's plan scanned its stored communities artifact 6×).
+    // Two longs per corpus row, MEMORY_AND_DISK; caller clears cache.
+    // Measured (FloorProbe, stage counts are deterministic and window-
+    // insensitive): x72 32→27 stages, x78 77→53, x79 43→39, with
+    // matching task-time drops in-window — the one persist candidate of
+    // the r18 audit where AQE's runtime stage reuse does NOT already
+    // dedupe the work (the copies differ by pruning, and what re-runs
+    // is the full union/CC subtree, not a cheap projection).
     val comm = communities.select(col("vec_id"), col("community_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tagged = graph.select(col("doc_a"), col("doc_b"))
       .join(comm.select(col("vec_id").as("doc_a"),
         col("community_id").as("comm_a")), Seq("doc_a"))
