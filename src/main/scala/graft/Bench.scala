@@ -44,6 +44,42 @@ object Bench {
   private type QueryFn =
     (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame
 
+  /** window-insensitive per-run counters (r18 verdict task 2): every
+    * r18 keep/revert adjudication leaned on summed executor task time
+    * and stage counts (FloorProbe/StageCensus machinery) because wall
+    * totals on this host swing ±50% with external load; the bench now
+    * rides the same counters per query so the driver's artifacts carry
+    * them without forensic reconstruction. Counters are read via a
+    * settle-poll (the async listener bus drains after the action
+    * returns — the StageCensus lesson), OUTSIDE the wall-clock region.
+    */
+  private class RunCounter extends org.apache.spark.scheduler.SparkListener {
+    private val stagesN = new java.util.concurrent.atomic.AtomicInteger
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stagesN.incrementAndGet(); ()
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      if (t.taskInfo != null)
+        taskMs.addAndGet(t.taskInfo.finishTime - t.taskInfo.launchTime)
+      ()
+    }
+    def snapshot: (Int, Long) = (stagesN.get, taskMs.get)
+    /** poll until two consecutive reads agree (bounded ~1s) */
+    def settled(): (Int, Long) = {
+      var prev = snapshot
+      var spins = 0
+      Thread.sleep(50)
+      var cur = snapshot
+      while (cur != prev && spins < 20) {
+        prev = cur; Thread.sleep(50); cur = snapshot; spins += 1
+      }
+      cur
+    }
+  }
+
   /** rewrite each sf table as a multi-file parquet copy; returns the
     * staged dir. Events' ns-as-long column passes through as written
     * (Tables.load converts by schema, not by path).
@@ -380,16 +416,23 @@ object Bench {
       else "timed_under_load"
     sampleLoad()
 
-    def runOnce(fn: QueryFn, clear: Boolean = true): Double = {
+    val counter = new RunCounter
+    spark.sparkContext.addSparkListener(counter)
+
+    /** wall seconds + window-insensitive (stages, task-time s) deltas */
+    def runOnce(fn: QueryFn, clear: Boolean = true): (Double, Int, Double) = {
       // drop persisted intermediates (x03's candidate set, x06's bucket
       // table): they exist for intra-query branch reuse, and Spark's
       // CacheManager would otherwise hand them to the NEXT run by plan
       // identity — every timed run must pay the full compute, like the
       // DuckDB baseline does
       if (clear) spark.catalog.clearCache()
+      val (s0, t0ms) = counter.snapshot
       val t0 = System.nanoTime()
       fn(spark, runDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (s1, t1ms) = counter.settled()
+      (wall, s1 - s0, (t1ms - t0ms) / 1000.0)
     }
 
     val failed = scala.collection.mutable.ListBuffer[(String, String)]()
@@ -409,6 +452,8 @@ object Bench {
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     def jmapR(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    def jmapI(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"${jstr(k)}:${v.toLong}" }.mkString("{", ",", "}")
     def jfails: String = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
 
@@ -425,6 +470,10 @@ object Bench {
     val sfMins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mMins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // window-insensitive per-query metrics (r18 verdict task 2): min
+    // summed-task-time and min stage count across the timed sweeps
+    val taskTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stageCounts = scala.collection.mutable.LinkedHashMap[String, Double]()
     val amp = amplify.getOrElse(0)
     var passes = 0 // completed warm-up/sweep passes across both sections
     def emitPartial(): Unit = {
@@ -455,7 +504,7 @@ object Bench {
         // warm-up: JIT + parquet footer cache + codegen cache; its time
         // rides as the provisional partial-output entry
         try {
-          val t = runOnce(fn, clear)
+          val (t, _, _) = runOnce(fn, clear)
           samples(name) = scala.collection.mutable.ListBuffer()
           outMed(name) = t
           outMin(name) = t
@@ -474,8 +523,17 @@ object Bench {
       (1 to 3).foreach { _ =>
         qs.foreach { case (name, fn) =>
           if (alive(name)) {
-            try samples(name) += runOnce(fn, clear)
-            catch {
+            try {
+              val (t, st, tt) = runOnce(fn, clear)
+              samples(name) += t
+              // min across sweeps: stage counts are deterministic (AQE
+              // decisions aside); task time is the window-insensitive
+              // floor the adjudications use
+              if (!stageCounts.contains(name) || st < stageCounts(name))
+                stageCounts(name) = st.toDouble
+              if (!taskTimes.contains(name) || tt < taskTimes(name))
+                taskTimes(name) = tt
+            } catch {
               case e: Throwable =>
                 val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
                 failed += name -> msg.linesIterator.take(1).mkString.take(200)
@@ -483,6 +541,8 @@ object Bench {
                 samples.remove(name)
                 outMed.remove(name)
                 outMin.remove(name)
+                stageCounts.remove(name)
+                taskTimes.remove(name)
             }
           }
         }
@@ -563,31 +623,61 @@ object Bench {
     if (mGuard == "BREACH")
       Console.err.println(s"[bench] m-suite guard BREACH: " +
         f"m_total=${mTimings.values.sum}%.2f s > 6 s at sane load")
+    // host thermometer (r18 verdict task 8 + r18 ADVICE item 2): the
+    // m-suite is constant-size (KB fixtures, pure scheduling), so its
+    // section total is a pure host-contention gauge — it read 3.3 s on
+    // every quiet r17/r18 window and 5.9–12.6 s on loaded ones with
+    // ZERO m-code change. The ratio to that quiet floor rides in the
+    // JSON so a reviewer separates window heat from plan regressions
+    // without cross-referencing OPTIMIZATION notes, and `canonical`
+    // now additionally requires the thermometer ≤ 1.3× the floor —
+    // a hot-window run can no longer self-stamp as the round's record
+    // (the r18 close regressed total_min 97.6→143.6 s at ratio 1.80
+    // yet stamped canonical:true).
+    val mFloorS = 3.3
+    val mFloorRatio =
+      if (mTimings.isEmpty) 0.0 else mTimings.values.sum / mFloorS
     // machine-checkable canonicality (r14 verdict item 1's alternative;
     // tightened per r15 ADVICE): a run only counts as the round's record
     // when the FULL default query selection ran (no SPARK_GRAFT_ONLY
     // filter, no amplified subset — a cherry-picked run must not
     // self-stamp), the m-guard read ok (n/a passes only when the engine
     // registers no m-queries at all), the start-load gate actually ran
-    // and passed (a disabled gate is not a pass), and nothing failed —
-    // a reviewer greps ONE boolean instead of re-deriving it
+    // and passed (a disabled gate is not a pass), nothing failed, and
+    // the m-suite thermometer read quiet — a reviewer greps ONE boolean
+    // instead of re-deriving it
     val fullSelection = sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
       amplify.isEmpty
     val noMQueriesExist = !SparkEntry.queries.keys.exists(_.startsWith("m"))
     val canonical = fullSelection &&
-      (mGuard == "ok" || (mGuard == "n/a" && noMQueriesExist)) &&
+      ((mGuard == "ok" && mFloorRatio <= 1.3) ||
+        (mGuard == "n/a" && noMQueriesExist)) &&
       loadGate == "ok" && failed.isEmpty
+    // window-insensitive totals ride the FINAL line (r18 verdict task
+    // 2): stage counts are deterministic across windows and task time
+    // is far less window-bound than wall, so a "0.59× total" window is
+    // separable from a plan regression off the driver's artifact alone
+    val wiKeys =
+      s""""task_time_total_s":${r3(taskTimes.values.sum)},"stages_total":${stageCounts.values.sum.toLong},"m_floor_ratio":${r3(mFloorRatio)}"""
     val gateKeys =
-      s""""load_gate":${jstr(loadGate)},"start_load":${r3(startLoad)},"quiet_wait_s":$quietWaitedS,"canonical":$canonical"""
+      s""""load_gate":${jstr(loadGate)},"start_load":${r3(startLoad)},"quiet_wait_s":$quietWaitedS,"canonical":$canonical,$wiKeys"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"m_total":${mTimings.values.sum},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(sfTimings)},"queries_min":${jmap(sfMins)},"m_queries":${jmap(mTimings)},"m_queries_min":${jmap(mMins)},"task_time_s":${jmapR(taskTimes)},"stages":${jmapI(stageCounts)},"m_total":${mTimings.values.sum},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${sfMins.values.sum},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
     val jsonShort =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmapR(sfTimings)},"m_total":${r3(mTimings.values.sum)},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}"""
-    // the 175-query map outgrew the ~4 KiB stdout tail the driver keeps
-    // (BENCH_r13/r14 both read `parsed: null` off a mid-map cut), so the
-    // LAST printed line is a compact headline-only record that always
-    // fits; the per-query maps live in the full line above it and in the
-    // committed bench_out.json (the canonical round artifact)
+    // the 175-query map outgrew the stdout tail the driver keeps — the
+    // driver's BENCH_r* artifacts each retain EXACTLY the last 2000
+    // chars (incl. sbt's trailing "[success]" line) and parse the last
+    // complete JSON line inside it: BENCH_r12–r14 all read
+    // `parsed: null` off a mid-map cut of a ~4.5 KB final line, and
+    // 181 query NAMES alone are ~3.3 KB, so per-query maps can never
+    // ride the final line (r18 verdict task 1 as literally stated is
+    // physically unsatisfiable against that window). The LAST printed
+    // line therefore stays a compact headline-only record that always
+    // fits — now carrying the window-insensitive per-run totals — and
+    // the per-query maps (timings + task_time_s/stages) live in the
+    // full line above it and in the committed bench_out.json (the
+    // canonical round artifact).
     val jsonCompact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","m_total":${r3(mTimings.values.sum)},"m_guard":${jstr(mGuard)},$gateKeys,"total_min":${r3(sfMins.values.sum)},"staged":$doStage,"amplify":$amp,"load_avg":$loads,"failed":$jfails,"n_ok":${sfTimings.size + mTimings.size},"n_failed":${failed.size},"sf":${jstr(sfDir)},"queries_file":"bench_out.json"}"""
 

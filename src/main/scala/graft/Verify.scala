@@ -22,6 +22,12 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
+      // per-query cache scope (r18 ADVICE item 1): in-function persists
+      // (comm/ue/perComm, CC edge caches) rely on the caller-clears
+      // contract; Bench.runOnce clears per run, and without the same
+      // clear here a full verify accumulates every query's cached
+      // blocks for the whole ~181-query session
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
