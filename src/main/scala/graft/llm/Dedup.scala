@@ -224,6 +224,15 @@ object Dedup {
     clustersFromPairs(docs.select(col("doc_id")), candidateEdges(docs),
       maxIter)
 
+  /** [[dupClusters]] without the cluster-size tail — for consumers
+    * (representative flags, cluster-keyed splits, takedown semi-joins)
+    * that only read (doc_id, cluster_id) and would otherwise pay the
+    * size agg+join just to prune it
+    */
+  def dupClusterLabels(docs: DataFrame, maxIter: Int = 25): DataFrame =
+    clusterLabels(docs.select(col("doc_id")), candidateEdges(docs),
+      maxIter)
+
   /** connected components over an explicit (doc_a, doc_b) pair set:
     * alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14 — the
@@ -314,6 +323,31 @@ object Dedup {
       maxIter: Int = 25,
       planProbe: (Int, Int, Int) => Unit = (_, _, _) => (),
       localEdgeCap: Int = 1 << 20): DataFrame = {
+    // sizes wrap the labels-only core (r19): `labels` is referenced
+    // twice (the size agg + the join back), exactly the double
+    // reference the former in-`finish` shape paid — persisting it was
+    // measured and LOST in r18 (the subtree is a cheap union), so the
+    // shape is kept; consumers that prune cluster_size away
+    // (communityQuality/graphRefreshCycle/assignToCommunities feeds)
+    // now call [[clusterLabels]] directly and skip this agg+join
+    // entirely — Catalyst cannot remove the inner join itself even
+    // when the size column is pruned.
+    val labels = clusterLabels(ids, pairs, maxIter, planProbe,
+      localEdgeCap)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** labels-only connected components — [[clustersFromPairs]] without
+    * the cluster-size agg+join tail, for consumers that only need
+    * (doc_id, cluster_id)
+    */
+  def clusterLabels(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25,
+      planProbe: (Int, Int, Int) => Unit = (_, _, _) => (),
+      localEdgeCap: Int = 1 << 20): DataFrame = {
     val spark = ids.sparkSession
     val root = graft.stream.StreamOps.checkpointDir("dup-clusters")
     // parquet spill: truncates the candidate-generation lineage (and its
@@ -351,16 +385,12 @@ object Dedup {
     val edgesCached = edgesRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shared tail: singleton docs (in no surviving edge) label to
-    // themselves; sizes ride one corpus-keyed aggregation
+    // themselves (sizes, when wanted, ride [[clustersFromPairs]]'s wrap)
     def finish(labels: DataFrame, vertIds: DataFrame): DataFrame = {
       val singletons = ids.join(vertIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("label"))
-      val all = labels.union(singletons)
-      val sizes = all.groupBy(col("label"))
-        .agg(count(lit(1)).as("cluster_size"))
-      all.join(sizes, Seq("label"))
-        .select(col("doc_id"), col("label").as("cluster_id"),
-          col("cluster_size"))
+      labels.union(singletons)
+        .select(col("doc_id"), col("label").as("cluster_id"))
     }
     val idsAreLong = edgesCached.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
@@ -928,7 +958,7 @@ object Dedup {
   def takedownPropagate(docs: DataFrame, forgetMod: Long = 41L): DataFrame =
     takedownPropagateWithClusters(docs,
       docs.filter(col("doc_id") % forgetMod === 0).select(col("doc_id")),
-      dupClusters(docs))
+      dupClusterLabels(docs))
 
   /** [[takedownPropagate]] against a PRE-BUILT cluster assignment (the
     * stored dedup artifact) — the production entry point.

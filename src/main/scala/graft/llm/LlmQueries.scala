@@ -243,9 +243,10 @@ object LlmQueries extends QueryPack {
     "x73_assign_communities" -> ((s, dir) => {
       val e = embs(s, dir)
       val corpus = e.filter(col("vec_id") % 10 =!= 0)
-      val comms = Similarity.knnCommunities(corpus, minCos = 0.3, k = 5,
-        nBands = LshBands, bitsPerBand = LshBits)
-        .select(col("vec_id"), col("community_id"))
+      // labels-only stored artifact (r19): the donation join prunes
+      // community_size, so the size agg+join tail was dead work
+      val comms = Similarity.knnCommunityLabels(corpus, minCos = 0.3,
+        k = 5, nBands = LshBands, bitsPerBand = LshBits)
       Similarity.assignToCommunities(corpus, comms,
         e.filter(col("vec_id") % 10 === 0), minCos = 0.3,
         nBands = LshBands, bitsPerBand = LshBits)

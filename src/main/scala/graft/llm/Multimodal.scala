@@ -842,6 +842,13 @@ object Multimodal {
     */
   def videoNearDupFrom(frameHashes: DataFrame, minSim: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
+    // NO persist on the distinct table (r19, measured twice now): it is
+    // referenced 3× (nh, df cut, candidate join input) but the
+    // standalone x85 A/B shows 9→19 jobs / 38→420 tasks / 16→49 s task
+    // time WITH a persist — the barrier plus 32-partition cache
+    // exchanges cost more than the re-executed distinct, exactly the
+    // r18 decode-persist verdict one node up. The funnels' video-leg
+    // copies run off the extract cache and stay cheap.
     val d = frameHashes.select(col("media_id"), col("fphash64")).distinct()
     val nh = d.groupBy(col("media_id")).agg(count(lit(1)).as("nh"))
     val rare = d.groupBy(col("fphash64"))
@@ -1368,20 +1375,34 @@ object Multimodal {
       nBands: Int, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val h = hashed.filter(col(hashCol).isNotNull)
       .select(col("media_id"), col(hashCol).as("h"))
-    // r18 fusion: ONE hash-keyed window derives both the star edges
-    // and the representative set — the former min-agg + join-back
-    // shuffled h twice (agg exchange + join exchange of the full
-    // frame). These are the per-media rows (media_id, h), NOT the
-    // band-exploded volume the text side's window warning is about,
-    // so the partition-key sort is cheap; the shuffled frame is shared
-    // by both branches via exchange reuse.
-    val wRep = Window.partitionBy(col("h"))
-    val withRep = h.withColumn("rep", min(col("media_id")).over(wRep))
-    val stars = withRep.filter(col("media_id") =!= col("rep"))
+    // r19 restructure (found by the per-job trace — x86 ran ~45
+    // separate exchange-materialization jobs per execution): the r18
+    // hash-keyed WINDOW assumed its shuffled frame would be shared by
+    // the star branch and the rep branch via exchange reuse, but the
+    // three consumers prune different columns, the copies are
+    // non-identical, and the full-volume window (exchange + sort)
+    // re-executed up to 3× per leg (the comm-table pathology of the
+    // r18 round, one level down). A map-side-combinable min-AGG
+    // produces the same rep table with ONE full-volume exchange that
+    // combines to distinct-hash size before the wire, no sort; both
+    // downstream references (the star join + the banded rep join)
+    // consume the SAME (h, rep) aggregate, so the agg exchange is
+    // identical in both copies and reuse actually fires. Edge set
+    // unchanged: rep = min media_id per distinct hash either way.
+    // persisted (r19, per-job trace): reps is referenced three times
+    // (star join + the banded join's size agg + its group agg) and
+    // column pruning REWRITES the aggregate per copy (the size-agg
+    // copy prunes `rep` away, turning the agg into a plain distinct),
+    // so the copies can never canonicalize equal and each re-ran the
+    // full-volume exchange. Two longs per distinct hash,
+    // MEMORY_AND_DISK; caller clears cache (house rule).
+    val reps = h.groupBy(col("h")).agg(min(col("media_id")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stars = h.join(reps, Seq("h"))
+      .filter(col("media_id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("media_id").as("id_b"))
     val repPairs = hammingNearDupFrom(
-      withRep.filter(col("media_id") === col("rep"))
-        .select(col("media_id"), col("h").as(hashCol)),
+      reps.select(col("rep").as("media_id"), col("h").as(hashCol)),
       hashCol, tau, nBands, maxBucket)
       .select(col("id_a"), col("id_b"))
     stars.unionAll(repPairs)

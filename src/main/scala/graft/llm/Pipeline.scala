@@ -145,7 +145,7 @@ object Pipeline {
   def curationFunnel(docs: DataFrame, evalMod: Long = 10L): DataFrame = {
     val q = TextOps.qualityGate(docs)
       .select(col("doc_id"), col("keep").as("p1"))
-    val d = Dedup.dupClusters(docs)
+    val d = Dedup.dupClusterLabels(docs)
       .select(col("doc_id"),
         (col("doc_id") === col("cluster_id")).as("p2"))
     // eval docs have no decontam row (they ARE the eval set): the left

@@ -222,7 +222,7 @@ object Sampling {
     */
   def clusterSafeSplit(docs: DataFrame, trainFrac: Double = 0.8,
       valFrac: Double = 0.1): DataFrame =
-    clusterSafeSplitWith(Dedup.dupClusters(docs), trainFrac, valFrac)
+    clusterSafeSplitWith(Dedup.dupClusterLabels(docs), trainFrac, valFrac)
 
   /** [[clusterSafeSplit]] off a pre-built cluster assignment — the
     * production entry point (stored artifact, one projection).

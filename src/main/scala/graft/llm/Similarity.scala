@@ -384,6 +384,26 @@ object Similarity {
         col("cluster_size").as("community_size"))
   }
 
+  /** [[knnCommunities]] without the community_size tail — for
+    * assignment/donation consumers that only read (vec_id,
+    * community_id) and would otherwise pay the size agg+join just to
+    * prune it (labels identical by construction — the size join is
+    * multiplicity-preserving)
+    */
+  def knnCommunityLabels(embeddings: DataFrame, minCos: Double = 0.3,
+      k: Int = 5, nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame = {
+    val g = knnGraph(embeddings, k, nBands, bitsPerBand, dim, maxBucket)
+    val edges = g.filter(col("cos") >= minCos)
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"))
+      .distinct()
+    Dedup.clusterLabels(
+        embeddings.select(col("vec_id").as("doc_id")), edges, maxIter)
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("community_id"))
+  }
+
   /** community QUALITY metrics over the [[knnCommunities]] partition —
     * the audit a graph-curation stack runs before trusting communities
     * for exemplar picking or takedown propagation (the
@@ -414,7 +434,16 @@ object Similarity {
     */
   def communityQuality(embeddings: DataFrame, minCos: Double = 0.3,
       k: Int = 5, nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
-      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame =
+    communityQualityManaged(embeddings, minCos, k, nBands, bitsPerBand,
+      dim, maxBucket, maxIter).df
+
+  /** [[communityQuality]] returning the ownership handle over its
+    * internal persists (the full edge set + the callee's)
+    */
+  def communityQualityManaged(embeddings: DataFrame, minCos: Double = 0.3,
+      k: Int = 5, nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): ManagedFrame = {
     val g = knnGraph(embeddings, k, nBands, bitsPerBand, dim, maxBucket)
     // full undirected ranked edge set (cos rides along: identical for
     // both directions of a pair, so max() is pure dedup), shared by the
@@ -427,11 +456,18 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val strong = ue.filter(col("cos") >= minCos)
       .select(col("doc_a"), col("doc_b"))
-    val comm = Dedup.clustersFromPairs(
+    // labels-only CC (r19): community_size in the OUTPUT is re-derived
+    // from the assignment by communityQualityWith's own base agg, so
+    // the clustersFromPairs size agg+join was computed and then pruned
+    // to a multiplicity-preserving no-op join Catalyst can't drop
+    val comm = Dedup.clusterLabels(
         embeddings.select(col("vec_id").as("doc_id")), strong, maxIter)
       .select(col("doc_id").as("vec_id"),
         col("cluster_id").as("community_id"))
-    communityQualityWith(ue.select(col("doc_a"), col("doc_b")), comm)
+    val inner =
+      communityQualityWithManaged(ue.select(col("doc_a"), col("doc_b")),
+        comm)
+    ManagedFrame(inner.df, ue +: inner.caches)
   }
 
   /** [[communityQuality]] off STORED artifacts — the production entry
@@ -442,8 +478,23 @@ object Similarity {
     * after an incremental ingest costs only the metric joins, never a
     * graph or CC rebuild.
     */
-  def communityQualityWith(graph: DataFrame,
-      communities: DataFrame): DataFrame = {
+  /** a result frame plus the intra-query persists backing it — the
+    * [[VecIndex]] ownership discipline applied to the metric pipelines
+    * (r18 verdict task 5): `close()` releases exactly this call's
+    * cached blocks, so a long-lived library consumer no longer depends
+    * on session-wide `clearCache` (the bench/verify harnesses clear per
+    * query either way). Plans already derived from `df` keep working
+    * after close — they just stop hitting cache.
+    */
+  final case class ManagedFrame(df: DataFrame, caches: Seq[DataFrame])
+      extends AutoCloseable {
+    override def close(): Unit =
+      caches.foreach(_.unpersist(blocking = true))
+  }
+
+  /** [[communityQualityWith]] returning the ownership handle */
+  def communityQualityWithManaged(graph: DataFrame,
+      communities: DataFrame): ManagedFrame = {
     // r18 optimization: `comm` is referenced three times (both edge-side
     // tag joins + the community-size base) and the callers hand it
     // non-trivial subtrees — x72 the CC output, x78/x79 the
@@ -492,7 +543,7 @@ object Similarity {
     val mD = col("m").cast("double")
     val volD = col("volume").cast("double")
     val minSide = least(volD, lit(2d) * mD - volD)
-    base
+    val out = base
       .join(perComm, Seq("community_id"), "left")
       .select(col("community_id"), col("community_size"),
         coalesce(col("n_internal"), lit(0L)).as("n_internal"),
@@ -510,7 +561,15 @@ object Similarity {
           .otherwise(lit(0d)).as("modularity"),
         when(minSide > 0d, col("n_cut").cast("double") / minSide)
           .otherwise(lit(0d)).as("conductance"))
+    ManagedFrame(out, Seq(comm, perComm))
   }
+
+  /** [[communityQualityWithManaged]] without the handle — the
+    * caller-clears-cache contract (harnesses clear per query)
+    */
+  def communityQualityWith(graph: DataFrame,
+      communities: DataFrame): DataFrame =
+    communityQualityWithManaged(graph, communities).df
 
   /** INCREMENTAL community assignment — the vector-graph member of the
     * incremental-ingest family (x50 band-key gate, x60 snapshot diff,
@@ -647,7 +706,17 @@ object Similarity {
   def graphRefreshCycle(oldDocs: DataFrame, newDocs: DataFrame,
       embeddings: DataFrame, minCos: Double = 0.3, k: Int = 5,
       nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
-      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): DataFrame =
+    graphRefreshCycleManaged(oldDocs, newDocs, embeddings, minCos, k,
+      nBands, bitsPerBand, dim, maxBucket, maxIter).df
+
+  /** [[graphRefreshCycle]] returning the ownership handle (the split
+    * roots + edge set + the callees')
+    */
+  def graphRefreshCycleManaged(oldDocs: DataFrame, newDocs: DataFrame,
+      embeddings: DataFrame, minCos: Double = 0.3, k: Int = 5,
+      nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket, maxIter: Int = 25): ManagedFrame = {
     // persist the split roots: corpus/batch are referenced by the band
     // probe, the exact-cosine verify, AND the CC vertex set — without
     // the cache boundary every reference re-expands the full-outer
@@ -670,13 +739,17 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val strong = ue.filter(col("cos") >= minCos)
       .select(col("doc_a"), col("doc_b"))
-    val comms = Dedup.clustersFromPairs(
+    // labels-only CC (r19) — the size column was pruned by every
+    // consumer here; see the communityQuality note
+    val comms = Dedup.clusterLabels(
         corpus.select(col("vec_id").as("doc_id")), strong, maxIter)
       .select(col("doc_id").as("vec_id"),
         col("cluster_id").as("community_id"))
-    graphRefreshCycleWith(corpus, batch,
+    val inner = graphRefreshCycleWithManaged(corpus, batch,
       ue.select(col("doc_a"), col("doc_b")), comms, minCos, nBands,
       bitsPerBand, dim)
+    ManagedFrame(inner.df,
+      Seq(changed, corpus, batch, ue) ++ inner.caches)
   }
 
   /** [[graphRefreshCycle]] off STORED artifacts — the production entry
@@ -690,7 +763,17 @@ object Similarity {
     */
   def graphRefreshCycleWith(corpus: DataFrame, batch: DataFrame,
       graph: DataFrame, communities: DataFrame, minCos: Double = 0.3,
-      nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64): DataFrame = {
+      nBands: Int = 4, bitsPerBand: Int = 16, dim: Int = 64): DataFrame =
+    graphRefreshCycleWithManaged(corpus, batch, graph, communities,
+      minCos, nBands, bitsPerBand, dim).df
+
+  /** [[graphRefreshCycleWith]] returning the ownership handle (the
+    * delta-probe persist + the metric callee's)
+    */
+  def graphRefreshCycleWithManaged(corpus: DataFrame, batch: DataFrame,
+      graph: DataFrame, communities: DataFrame, minCos: Double = 0.3,
+      nBands: Int = 4, bitsPerBand: Int = 16,
+      dim: Int = 64): ManagedFrame = {
     val comms = communities.select(col("vec_id"), col("community_id"))
     // delta probe: two consumers (donation + edge append)
     val verified = probeVerified(corpus, batch, minCos, nBands,
@@ -708,13 +791,17 @@ object Similarity {
       .select(col("vec_id"),
         coalesce(col("community_id"), col("vec_id")).as("community_id"))
     val merged = comms.unionByName(assigned)
+    // no inner distinct on the delta edges (r19): graphPlus's own
+    // distinct dedupes the whole union globally, so pre-deduping the
+    // delta leg paid an exchange + agg for rows the outer distinct
+    // re-dedupes anyway — output identical for every input
     val newEdges = verified
       .select(least(col("vec_id"), col("cand_id")).as("doc_a"),
         greatest(col("vec_id"), col("cand_id")).as("doc_b"))
-      .distinct()
     val graphPlus = graph.select(col("doc_a"), col("doc_b"))
       .unionByName(newEdges).distinct()
-    communityQualityWith(graphPlus, merged)
+    val inner = communityQualityWithManaged(graphPlus, merged)
+    ManagedFrame(inner.df, verified +: inner.caches)
   }
 
   /** capped-bucket diagnostic for [[lshNearDup]]: (band, bucket, bsz)
