@@ -644,14 +644,33 @@ object Similarity {
     */
   private[llm] def probeVerified(corpus: DataFrame, batch: DataFrame,
       minCos: Double, nBands: Int, bitsPerBand: Int, dim: Int,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    probeVerifiedTracked(corpus, batch, minCos, nBands, bitsPerBand, dim,
+      maxBucket)._1
+
+  /** [[probeVerified]] plus the internal persists, for Managed callers */
+  private[llm] def probeVerifiedTracked(corpus: DataFrame, batch: DataFrame,
+      minCos: Double, nBands: Int, bitsPerBand: Int, dim: Int,
+      maxBucket: Int = Dedup.MaxBucket): (DataFrame, Seq[DataFrame]) = {
     graft.functions.CosineSim.register(corpus.sparkSession)
     // r18 fusion: vectors ride the band rows from the projection
     // ([[vecBucketsV]]) on BOTH sides — the former plan joined them
     // back by vec_id (an exchange pair per side); the bsz count below
     // column-prunes v away, so the thin subtree is unchanged.
+    // r19 persist (re-pricing the documented thin-side trade per the
+    // r18 verdict): the bsz copy is "thin" only in bytes — pruning v
+    // away still re-runs the float→double conversion and the
+    // hyperplane-bucket hash over the whole corpus, a second full
+    // compute pass. Persisting the band rows (vectors inline — the 4×
+    // corpus vector bytes the r17 note warned about, MEMORY_AND_DISK
+    // so it spills, never OOMs) won EVERY interleaved A/B pair:
+    // sf0.1 x57+x73+x78+x79 task time 306/162/233 → 253/87/97 s,
+    // ×10 x57+x73 117/117/137 → 50/61/56 s, ×10 x78+x79 quiet pair
+    // 292 → 174 s. Caller clears cache; Managed callers own it via
+    // [[probeVerifiedTracked]].
     val cbr = vecBucketsV(corpus.select(col("vec_id"),
       asDouble(col("embedding")).as("v")), nBands, bitsPerBand, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket sizes via a map-side-combinable AGG joined back (the r15
     // hammingNearDupFrom surgery — a whole-partition count WINDOW would
     // shuffle AND SORT every corpus band row); the size table is
@@ -672,12 +691,13 @@ object Similarity {
     val bq = vecBucketsV(batch.select(col("vec_id"),
         asDouble(col("embedding")).as("v")), nBands, bitsPerBand, dim)
       .withColumnRenamed("v", "qv")
-    bq.join(groups, Seq("band", "bucket"))
+    val out = bq.join(groups, Seq("band", "bucket"))
       .select(col("vec_id"), col("qv"), explode(col("cs")).as("c"))
       .select(col("vec_id"), col("c.cand_id").as("cand_id"),
         call_function("cosine_sim", col("qv"), col("c.cvv")).as("cos"))
       .filter(col("cos") >= minCos)
       .groupBy(col("vec_id"), col("cand_id")).agg(max(col("cos")).as("cos"))
+    (out, Seq(cbr))
   }
 
   /** the incremental graph-maintenance cycle END-TO-END (r11 verdict
@@ -740,7 +760,13 @@ object Similarity {
     val strong = ue.filter(col("cos") >= minCos)
       .select(col("doc_a"), col("doc_b"))
     // labels-only CC (r19) — the size column was pruned by every
-    // consumer here; see the communityQuality note
+    // consumer here; see the communityQuality note. NOT persisted
+    // (r19 A/B, 3 pairs): the callee references the communities twice
+    // (donation join + merged union), but post-clusterLabels the
+    // subtree is just the local-label union + an anti-join over the
+    // corpus cache — a persist read jobs −1, tasks +31, wall/task
+    // time WORSE in 2 of 3 pairs (the r18 cache-only-when-it-pays
+    // rule).
     val comms = Dedup.clusterLabels(
         corpus.select(col("vec_id").as("doc_id")), strong, maxIter)
       .select(col("doc_id").as("vec_id"),
@@ -776,8 +802,9 @@ object Similarity {
       dim: Int = 64): ManagedFrame = {
     val comms = communities.select(col("vec_id"), col("community_id"))
     // delta probe: two consumers (donation + edge append)
-    val verified = probeVerified(corpus, batch, minCos, nBands,
-        bitsPerBand, dim)
+    val (probe, probeCaches) = probeVerifiedTracked(corpus, batch, minCos,
+      nBands, bitsPerBand, dim)
+    val verified = probe
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
@@ -801,7 +828,7 @@ object Similarity {
     val graphPlus = graph.select(col("doc_a"), col("doc_b"))
       .unionByName(newEdges).distinct()
     val inner = communityQualityWithManaged(graphPlus, merged)
-    ManagedFrame(inner.df, verified +: inner.caches)
+    ManagedFrame(inner.df, (verified +: probeCaches) ++ inner.caches)
   }
 
   /** capped-bucket diagnostic for [[lshNearDup]]: (band, bucket, bsz)
