@@ -1096,7 +1096,19 @@ object Multimodal {
       audFp: DataFrame, vidHash: DataFrame,
       imgTau: Int = 7, imgBands: Int = 8): DataFrame = {
     val q = mediaQualityGateFrom(stats)
+    // persisted (r19, per-job trace): the survivor id list is the join
+    // key of all four stage-2 inputs, and each reference re-ran the
+    // whole [stats scan → verdict → filter] chain as its own broadcast
+    // build (the funnel ran ~40 single-stage extract-cache scans per
+    // execution). One media_id column, MEMORY_AND_DISK; caller clears
+    // cache (house rule).
     val survivors = q.filter(col("keep")).select(col("media_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the four survivor-JOINED frames measured persisted and REVERTED
+    // (r19 A/B): jobs 211→154 but wall WORSE in both pairs (10.1→12.4,
+    // 11.7→12.6 s) — four materialization barriers serialize a DAG
+    // whose duplicated pieces are cheap broadcast-join scans once the
+    // survivor list itself is cached
     val d = mediaDedupKeepFrom(
       stats.join(survivors, Seq("media_id"))
         .select(col("media_id"), col("kind")),
